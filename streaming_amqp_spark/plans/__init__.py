@@ -1,0 +1,27 @@
+"""Query surface of the engine (SURVEY.md §2B/§2C).
+
+Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, str]`` (DuckDB-runnable ANSI SQL over the same
+parquet views).  Column names/aliases match pairwise so the driver's
+order-insensitive value-hash comparison can line them up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect_registries(*modules) -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        for name, fn in m.QUERIES.items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r}")
+            queries[name] = fn
+        oracles.update(getattr(m, "ORACLES", {}))
+    return queries, oracles

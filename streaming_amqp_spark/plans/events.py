@@ -1,0 +1,229 @@
+"""Time-window / event queries — the reference's demonstrated streaming
+query surface (SURVEY.md §2B) expressed over the ``events`` table.
+
+The canonical reference query is "max temperature per 5-second tumbling
+window" (`AMQPTemperature.scala:94-99`: ``reduceByWindow(max, 5s, 5s)``);
+here it is the event-time formulation (``F.window``), which is also exactly
+what the streaming layer runs with a watermark (streaming_amqp_spark.streaming).
+Batch and streaming share these plan shapes — Structured Streaming's
+incrementalization of the same logical plan is the point of the redesign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streaming_amqp_spark.envelope import body_as, events_as_envelope
+from streaming_amqp_spark.functions.numeric import davg, dsum
+from streaming_amqp_spark.tables import load_table
+
+
+def events_window_5s_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: tumbling 5 s window, max value + count per window.
+    ≡ reduceByWindow(max, 5 seconds, 5 seconds) at AMQPTemperature.scala:97.
+    max() needs no rounding: it returns one of the input doubles verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 seconds").alias("w"))
+        .agg(
+            F.max("value").alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "max_value", "n_events")
+    )
+
+
+_W5S_SQL = """
+SELECT time_bucket(INTERVAL 5 SECOND, ts) AS window_start,
+       max(value) AS max_value,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def events_window_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+            davg("value", "avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+_WHOUR_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min window, 5 min slide): each event lands in two
+    overlapping windows.  The upgrade over the reference's tumbling-only
+    reduceByWindow (its window==slide case, SURVEY §2B)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "max_value")
+    )
+
+
+# Each event belongs to the two 5-min-aligned starts within (ts-10m, ts]:
+_WSLIDE_SQL = """
+SELECT window_start,
+       count(*) AS n_events,
+       max(value) AS max_value
+FROM (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - (off * INTERVAL 5 MINUTE)
+           AS window_start,
+         value, ts
+  FROM events, UNNEST([0, 1]) AS t(off)
+)
+WHERE ts < window_start + INTERVAL 10 MINUTE AND ts >= window_start
+GROUP BY window_start
+"""
+
+
+def events_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30 min inactivity
+    (lag + cumulative gap count — one shuffle on user_id).  The streaming
+    twin is ``session_window`` (streaming_amqp_spark.streaming.windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(W.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_order))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    > 1800.0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800.0
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field navigation (≡ the reference's JSON-envelope tree walks,
+    AMQPBrokerStreamSuite.scala:119-240) via ``get_json_object``."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    # integer sum ÷ count: both engines do the same exact int aggregation
+    # then one IEEE division → bit-identical avg.
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+        F.count(F.when(k > 50, 1)).alias("n_k_gt_50"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       sum(k) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
+       count(CASE WHEN k > 50 THEN 1 END) AS n_k_gt_50
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def envelope_body_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → AMQP envelope → AMQPBodyFunction-style body cast → agg.
+    Exercises the envelope construction + body converter (envelope.py ≡
+    AMQPBodyFunction.scala:31-40) end-to-end in batch."""
+    ev = load_table(spark, sf_dir, "events")
+    env = events_as_envelope(ev)
+    vals = body_as(env, "double", alias="temperature")
+    return vals.groupBy(F.window("ingest_ts", "1 hour").alias("w")).agg(
+        F.max("temperature").alias("max_temp"),
+        F.count("*").alias("n_msgs"),
+    ).select(F.col("w.start").alias("window_start"), "max_temp", "n_msgs")
+
+
+# The double→string→double body round-trip is lossless (shortest-roundtrip
+# formatting in both engines), so the oracle reads the value directly.
+_ENVELOPE_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       max(value) AS max_temp,
+       count(*) AS n_msgs
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "events_window_5s_max": events_window_5s_max,
+    "events_window_hourly_by_type": events_window_hourly_by_type,
+    "events_sliding_10m_5m": events_sliding_10m_5m,
+    "events_sessionize_30m": events_sessionize_30m,
+    "events_json_props": events_json_props,
+    "envelope_body_roundtrip": envelope_body_roundtrip,
+}
+
+ORACLES = {
+    "events_window_5s_max": _W5S_SQL,
+    "events_window_hourly_by_type": _WHOUR_SQL,
+    "events_sliding_10m_5m": _WSLIDE_SQL,
+    "events_sessionize_30m": _SESSION_SQL,
+    "events_json_props": _JSON_SQL,
+    "envelope_body_roundtrip": _ENVELOPE_SQL,
+}

@@ -1,0 +1,721 @@
+"""Batch relational query surface (SURVEY.md §2C: everything the reference
+delegates to Spark, expressed Catalyst-first over the driver's tables).
+
+Design-for-scale notes, applied throughout:
+- Dimension tables (region, nation, supplier, customer at TPC-H ratios) are
+  explicitly ``F.broadcast``-hinted in joins against the fact tables
+  (lineitem/orders) so a 100 TB fact scan never shuffles for a MB-scale dim.
+- Filters appear before joins/aggregations so Catalyst pushes them into the
+  parquet scan (verify with ``.explain``: PushedFilters).
+- Aggregates use built-in functions only → whole-stage codegen, partial
+  (map-side) aggregation, AQE coalescing all apply.
+- Money aggregates run in exact DECIMAL and surface as double
+  (functions.numeric): deterministic across engines/partitionings, and
+  penny-exact at 100 TB where double sums drift.
+
+Reference provenance: the reference exercises only map/window-reduce/print
+on its stream (AMQPTemperature.scala:94-99, AMQPBrokerStreamSuite.scala);
+the relational surface below is what its BASELINE.json north star requires
+of the new engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streaming_amqp_spark.functions.numeric import davg, dec, dsum
+from streaming_amqp_spark.tables import load_table
+
+RATIO = 4  # decimals for genuinely-irrational outputs (log etc.)
+
+# Exact decimal revenue term: extendedprice * (1 - discount), optionally
+# * (1 + tax).  Mirrored verbatim in the oracle SQL strings below.
+def _revenue_term() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - dec("l_discount"))
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(8,2)))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavored analytical queries
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    charge = _revenue_term() * (F.lit(1).cast("decimal(8,2)") + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(_revenue_term(), "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REV_SQL}) AS DOUBLE)                             AS sum_disc_price,
+       CAST(sum({_REV_SQL} * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)
+         AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice)
+         AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )  # fact-fact equi-join: sort-merge/shuffle-hash, AQE-planned
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue_term(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q3_SQL = f"""
+SELECT o_orderkey,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # All dims broadcast; the only shuffles are lineitem⋈orders + final agg.
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(_revenue_term(), "revenue"))
+        .select("n_name", "revenue")
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # Single pushed-down filter + global agg: the minimal-shuffle shape.
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(dec("l_extendedprice") * dec("l_discount"), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_revenue_term(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Join forms: semi / anti / range / as-of
+# --------------------------------------------------------------------------
+
+def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+_SEMI_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+"""
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def range_join_signup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks of the same user within 24h after each signup.
+
+    Equi-key (user_id) + range predicate — Catalyst plans the equi part as a
+    hash/sort-merge join and evaluates the range as a post-join filter, so
+    this scales like a normal keyed join (no cartesian explosion).
+    """
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("su_user"),
+        F.col("ts").alias("signup_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cl_user"), F.col("ts").alias("click_ts")
+    )
+    return (
+        signups.join(
+            clicks,
+            (F.col("su_user") == F.col("cl_user"))
+            & (F.col("click_ts") >= F.col("signup_ts"))
+            & (F.col("click_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        .groupBy("signup_id")
+        .agg(F.count("cl_user").alias("n_clicks_24h"))
+    )
+
+
+_RANGE_SQL = """
+SELECT s.event_id AS signup_id, count(c.user_id) AS n_clicks_24h
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR
+GROUP BY s.event_id
+"""
+
+
+def asof_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each 'error' event, the
+    most recent 'purchase' timestamp of the same user at or before it.
+
+    Implemented as the scalable union+window pattern (one shuffle on
+    user_id, no per-row subquery): tag both streams, sort within user by
+    (ts, tag), carry the last non-null purchase ts forward.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        purchases.unionByName(errors)
+        .withColumn("asof_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("error_ts"), "asof_purchase_ts")
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       (SELECT max(p.ts) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND p.ts <= e.ts) AS asof_purchase_ts
+FROM events e
+WHERE e.event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation forms: rollup / cube / grouping sets / distinct / pivot
+# --------------------------------------------------------------------------
+
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(n_name, 'ALL') AS n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_distinct_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        davg("c_acctbal", "avg_acctbal"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+         AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation — the portable (and
+    Catalyst-identical) formulation of ``groupBy().pivot()``."""
+    orders = _t(spark, sf_dir, "orders")
+    statuses = ["O", "F", "P"]
+    aggs = [
+        F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_status_{s}")
+        for s in statuses
+    ]
+    return orders.groupBy("o_orderpriority").agg(*aggs)
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_status_O,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_status_F,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_status_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions, sorts/limits, set ops, correlated subquery
+# --------------------------------------------------------------------------
+
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def window_lag_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Raw double subtraction of identical inputs is bit-deterministic.
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+_LAG_SQL = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS value_delta,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_event_type
+FROM events
+"""
+
+
+def sort_limit_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # top-K + driver merge, never a global sort of 100 TB.
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+def set_ops_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations, tagged
+    into one result so a single query exercises all three set ops."""
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sup_n = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    union = cust_n.union(sup_n).distinct().withColumn("set_op", F.lit("union"))
+    inter = cust_n.intersect(sup_n).withColumn("set_op", F.lit("intersect"))
+    diff = cust_n.exceptAll(sup_n).withColumn("set_op", F.lit("except"))
+    return union.unionByName(inter).unionByName(diff).select("set_op", "nationkey")
+
+
+_SET_OPS_SQL = """
+SELECT 'union' AS set_op, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect', nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except', nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+def priciest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2 flavor), decorrelated into a
+    broadcast join against the per-brand max — the scalable rewrite."""
+    part = _t(spark, sf_dir, "part")
+    brand_max = part.groupBy(F.col("p_brand").alias("bm_brand")).agg(
+        F.max("p_retailprice").alias("max_price")
+    )
+    return part.join(
+        F.broadcast(brand_max),
+        (part.p_brand == brand_max.bm_brand)
+        & (part.p_retailprice == brand_max.max_price),
+    ).select("p_partkey", "p_brand", "p_retailprice")
+
+
+_PRICIEST_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface (SURVEY §2C) in one projection.
+
+    sqrt/abs/subtraction are IEEE-exact (no rounding needed); ln is libm-
+    dependent so it is rounded — at 4 decimals a boundary hit needs the
+    true value within ~1e-16 of a half-ulp, i.e. never for these inputs.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.concat_ws("|", F.col("o_orderpriority"), F.col("o_orderstatus")).alias(
+            "prio_status"
+        ),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.year(F.col("o_orderdate")).alias("order_year"),
+        F.month(F.col("o_orderdate")).alias("order_month"),
+        F.dayofmonth(F.col("o_orderdate")).alias("order_day"),
+        F.sqrt(F.col("o_totalprice")).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1.0), RATIO).alias("log_price"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+    )
+
+
+_SCALAR_SQL = f"""
+SELECT o_orderkey,
+       upper(o_orderstatus) AS status_upper,
+       concat_ws('|', o_orderpriority, o_orderstatus) AS prio_status,
+       substring(o_orderpriority, 1, 1) AS prio_code,
+       length(o_orderpriority) AS prio_len,
+       year(o_orderdate)  AS order_year,
+       month(o_orderdate) AS order_month,
+       dayofmonth(o_orderdate) AS order_day,
+       sqrt(o_totalprice) AS sqrt_price,
+       round(ln(o_totalprice + 1.0), {RATIO}) AS log_price,
+       o_orderkey % 7 AS key_mod7,
+       abs(o_totalprice - 100000.0) AS price_dev
+FROM orders
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "semi_join_big_orders": semi_join_big_orders,
+    "anti_join_idle_customers": anti_join_idle_customers,
+    "range_join_signup_clicks": range_join_signup_clicks,
+    "asof_join_error_purchase": asof_join_error_purchase,
+    "agg_rollup_region_nation": agg_rollup_region_nation,
+    "agg_cube_lineitem": agg_cube_lineitem,
+    "agg_grouping_sets_orders": agg_grouping_sets_orders,
+    "agg_distinct_by_segment": agg_distinct_by_segment,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "window_running_revenue": window_running_revenue,
+    "window_lag_event_delta": window_lag_event_delta,
+    "sort_limit_top_lineitems": sort_limit_top_lineitems,
+    "set_ops_nation_presence": set_ops_nation_presence,
+    "priciest_part_per_brand": priciest_part_per_brand,
+    "scalar_function_showcase": scalar_function_showcase,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "semi_join_big_orders": _SEMI_SQL,
+    "anti_join_idle_customers": _ANTI_SQL,
+    "range_join_signup_clicks": _RANGE_SQL,
+    "asof_join_error_purchase": _ASOF_SQL,
+    "agg_rollup_region_nation": _ROLLUP_SQL,
+    "agg_cube_lineitem": _CUBE_SQL,
+    "agg_grouping_sets_orders": _GROUPING_SETS_SQL,
+    "agg_distinct_by_segment": _DISTINCT_SQL,
+    "pivot_status_by_priority": _PIVOT_SQL,
+    "window_topk_orders_per_customer": _TOPK_SQL,
+    "window_running_revenue": _RUNNING_SQL,
+    "window_lag_event_delta": _LAG_SQL,
+    "sort_limit_top_lineitems": _SORT_LIMIT_SQL,
+    "set_ops_nation_presence": _SET_OPS_SQL,
+    "priciest_part_per_brand": _PRICIEST_SQL,
+    "scalar_function_showcase": _SCALAR_SQL,
+}

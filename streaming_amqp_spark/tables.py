@@ -1,0 +1,63 @@
+"""Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+
+Columnar parquet scans give Catalyst predicate pushdown + column pruning
+for free; every query in ``plans``/``operators`` builds on these readers so
+the scan is the narrowest projection the query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the confs correctness depends on to a caller-provided session
+    (the verify driver builds its own vanilla SparkSession — the session
+    factory's settings are not guaranteed to be present)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as a
+        # nanos long (legacy.parquet.nanosAsLong). Truncate to micros —
+        # exactly what DuckDB's reader does — so both engines see the same
+        # microsecond TimestampType values.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load every test table; optionally register each as a temp view so the
+    SQL entry points (``spark.sql``) see the same names DuckDB does."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
