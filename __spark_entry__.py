@@ -16,11 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from streaming_amqp_spark.operators import dedup as _dedup  # noqa: E402
+from streaming_amqp_spark.operators import multimodal as _multimodal  # noqa: E402
+from streaming_amqp_spark.operators import similarity as _similarity  # noqa: E402
+from streaming_amqp_spark.operators import textstats as _textstats  # noqa: E402
 from streaming_amqp_spark.plans import collect_registries  # noqa: E402
 from streaming_amqp_spark.plans import events as _events  # noqa: E402
 from streaming_amqp_spark.plans import relational as _relational  # noqa: E402
 
-_MODULES = (_relational, _events)
+_MODULES = (_relational, _events, _textstats, _dedup, _similarity, _multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -32,6 +32,11 @@ HEADLINE = [
     "events_sessionize_30m",
     "events_json_props",
     "asof_join_error_purchase",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_cosine_topk",
+    "text_quality_score",
+    "multimodal_decode_features",
 ]
 
 

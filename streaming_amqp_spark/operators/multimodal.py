@@ -1,0 +1,149 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The reference's ``Data`` body section (raw bytes, AMQPJsonFunction.scala:
+139-148) is the multimodal precedent: bytes flow through the engine
+untouched, with schema-level typing.  Here the ``documents`` table stands
+in for a media table (its UTF-8 bytes as the blob); the pattern — binary
+column + metadata projection + Arrow-batched Python decode — is exactly
+what image/audio/video processing needs at scale:
+
+- Metadata extraction (size, content hash, modality tag) stays JVM-side.
+- Decode / feature-extract runs in ``mapInPandas`` (Arrow batches, one
+  Python worker per partition — the only sane place for codec libraries
+  on a 1000-executor cluster).  The actual image decode is STUBBED
+  (``decode_image_stub``) because no codec libs exist in this container;
+  the Spark-side plumbing (schema, batching, partitioning) is real and
+  tested with a deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streaming_amqp_spark.tables import load_table
+
+FAKE_DECODE = True  # no codec libs in this container (see module docstring)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata over a binary column: byte length, content hash,
+    modality tag, and derived (deterministic) media attributes."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    nbytes = F.octet_length(blob)
+    return d.select(
+        "doc_id",
+        nbytes.alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (nbytes % 3 + 1).cast("int"),
+        ).alias("modality"),
+        (nbytes % 640).alias("fake_width"),
+        (nbytes % 480).alias("fake_height"),
+    )
+
+
+_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       (['image', 'audio', 'video'])[octet_length(encode(text)) % 3 + 1]
+         AS modality,
+       octet_length(encode(text)) % 640 AS fake_width,
+       octet_length(encode(text)) % 480 AS fake_height
+FROM documents
+"""
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
+    """Stub for the real image decode (no codec libraries in container).
+
+    Returns (width, height, channels, mean_byte).  With FAKE_DECODE the
+    values derive deterministically from the bytes; a real deployment
+    would replace the body with e.g. PIL/libvips and keep the signature.
+    """
+    if not FAKE_DECODE:
+        raise NotImplementedError(
+            "real image decode requires codec libs (PIL/libvips) not present "
+            "in this container; set FAKE_DECODE or install a decoder"
+        )
+    n = len(payload)
+    return (n % 640 or 1, n % 480 or 1, 3, float(sum(payload)) / max(n, 1))
+
+
+def decode_images(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``: processes whole record
+    batches per Python worker invocation, never row-at-a-time."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_stub(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(b) for b in pdf[blob_col]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "mean_byte": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary column → Arrow batches →
+    per-batch Python decode → typed feature rows.  (Stub decode: see
+    module docstring.  mean_byte is integer-sum/len — exact, so the DuckDB
+    oracle reproduces it.)"""
+    d = load_table(spark, sf_dir, "documents")
+    with_blob = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+    return decode_images(with_blob)
+
+
+# The stub's arithmetic is exact-integer (sum of bytes / length), so even
+# the mapInPandas path is oracle-checkable.  The corpus is ASCII, so the
+# byte sum equals the code-point sum.
+_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN n % 640 = 0 THEN 1 ELSE n % 640 END AS INTEGER) AS width,
+       CAST(CASE WHEN n % 480 = 0 THEN 1 ELSE n % 480 END AS INTEGER) AS height,
+       3 AS channels,
+       CAST(list_sum(list_transform(range(1, n + 1), i -> unicode(text[i])))
+            AS DOUBLE) / n AS mean_byte
+FROM b
+"""
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode_features": multimodal_decode_features,
+}
+
+ORACLES = {
+    "multimodal_meta": _META_SQL,
+    "multimodal_decode_features": _DECODE_SQL,
+}

@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+float[64], label).
+
+Three tiers, mirroring how an ANN service scales:
+- Brute-force top-k (the exact baseline): broadcast the small query set,
+  codegen'd cosine against every candidate, per-group top-k.  O(Q·N·d) but
+  embarrassingly parallel — correct plan shape even at 100 TB when Q is
+  small.
+- Random-hyperplane LSH (sign-bit bucketing): candidates only form within
+  a bucket, shuffling bucket keys instead of the full cross product — the
+  scale path for all-pairs near-dup.
+- Label centroids: the IVF coarse-quantizer half (assign → average).
+
+Hyperplanes are fixed literals (seeded numpy), embedded identically in the
+Spark plan and the DuckDB oracle, so bucket assignments match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streaming_amqp_spark.functions.vectors import cosine, dot, sql_cosine, sql_dot
+from streaming_amqp_spark.tables import load_table
+
+DIMS = 64
+KNN_K = 5
+N_QUERIES = 8  # query set = vec_id < 8
+N_PLANES = 4
+NEAR_DUP_COS = 0.3
+
+# Deterministic hyperplanes, generated once at import from a fixed seed and
+# embedded as literals in both engines' plans.
+_rng = np.random.default_rng(42)
+HYPERPLANES: list[list[float]] = [
+    [float(x) for x in _rng.standard_normal(DIMS)] for x_ in range(N_PLANES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 8)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+_KNN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {sql_cosine('q.embedding', 'b.embedding', DIMS)} AS cos_sim
+  FROM embeddings q, embeddings b
+  WHERE q.vec_id < {N_QUERIES} AND b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (IVF coarse quantizer): posexplode → one shuffle
+    on (label, dim).  avg is rounded(6): cross-engine sum-order ulps are
+    ~1e-15 on these magnitudes, far below the rounding unit."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias(
+            "avg_val"
+        ),
+    )
+
+
+_CENTROID_SQL = """
+SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vecs,
+       round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS avg_val
+FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+GROUP BY label, i
+"""
+
+
+def _bucket_expr() -> F.Column:
+    bits = []
+    for plane in HYPERPLANES:
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(dot(F.col("embedding"), lit_plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return F.concat(*bits)
+
+
+def _sql_bucket(tbl: str) -> str:
+    bits = []
+    for plane in HYPERPLANES:
+        chain = " + ".join(
+            f"(CAST({tbl}.embedding[{i}] AS DOUBLE) * {plane[i - 1]!r})"
+            for i in range(1, DIMS + 1)
+        )
+        bits.append(f"(CASE WHEN ({chain}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + histogram."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("vec_id", _bucket_expr().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+_LSH_BUCKETS_SQL = f"""
+SELECT {_sql_bucket('embeddings')} AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH scale path for all-pairs similarity: cosine is evaluated
+    only for same-bucket pairs, and survivors (cos ≥ threshold) returned."""
+    emb = _emb(spark, sf_dir)
+    bucketed = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket"))
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+    )
+    b = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", cosine(F.col("e1"), F.col("e2")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+_LSH_PAIRS_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_sql_bucket('embeddings')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {sql_cosine('a.embedding', 'b.embedding', DIMS)} AS cos_sim
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding', DIMS)} >= {NEAR_DUP_COS}
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (exact all-pairs baseline; the LSH variant
+    above is the 100 TB path — this one is the recall oracle for it)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine(F.col("e1"), F.col("e2")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+_EMB_DEDUP_SQL = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {sql_cosine('a.embedding', 'b.embedding', DIMS)} AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {sql_cosine('a.embedding', 'b.embedding', DIMS)} >= {NEAR_DUP_COS}
+"""
+
+
+QUERIES = {
+    "knn_cosine_topk": knn_cosine_topk,
+    "embedding_centroids": embedding_centroids,
+    "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_candidate_pairs": ann_lsh_candidate_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "knn_cosine_topk": _KNN_SQL,
+    "embedding_centroids": _CENTROID_SQL,
+    "ann_lsh_buckets": _LSH_BUCKETS_SQL,
+    "ann_lsh_candidate_pairs": _LSH_PAIRS_SQL,
+    "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+}

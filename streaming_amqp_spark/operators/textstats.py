@@ -1,0 +1,212 @@
+"""Text analysis over the ``documents`` table: token statistics, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All per-document expressions are single-pass projections (no shuffle); the
+aggregate views shuffle once on their group key.  Ratios are exact-integer
+divisions surfaced as double (deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_amqp_spark.functions.text import (
+    STOPWORDS,
+    shingles,
+    simhash16,
+    stopword_count,
+    tokens,
+)
+from streaming_amqp_spark.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char-based
+    length stats, and a BPE-ish subword estimate (ceil(chars/4) — the
+    standard ~4-chars-per-token heuristic, exact integer arithmetic)."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (-F.floor(-F.length("text") / F.lit(4)).cast("long")).alias("est_bpe_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       length(text) AS n_chars_measured,
+       CAST(-floor(-length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS type_token_ratio
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean token length, type-token
+    ratio, combined into one score.  The formula is an explicit
+    left-to-right double expression — identical evaluation order in the
+    oracle keeps the result bit-deterministic."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    n_tok = F.size(t)
+    sw_ratio = stopword_count(t).cast("double") / n_tok
+    # sum of token lengths = chars - (n_tokens - 1) separators, exact ints
+    avg_tok_len = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    score = (F.lit(0.4) * (F.lit(1.0) - sw_ratio)) + (F.lit(0.3) * ttr) + (
+        F.lit(0.3) * (avg_tok_len / F.lit(10.0))
+    )
+    return d.where(n_tok >= 1).select(
+        "doc_id",
+        "lang",
+        sw_ratio.alias("stopword_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_SW_LIST}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok AS avg_token_len,
+       CAST(n_uniq AS DOUBLE) / n_tok AS type_token_ratio,
+       (0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok))
+         + (0.3 * (CAST(n_uniq AS DOUBLE) / n_tok))
+         + (0.3 * ((CAST(n_chars - n_tok + 1 AS DOUBLE) / n_tok) / 10.0))
+         AS quality_score
+FROM t
+WHERE n_tok >= 1
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (function-word profile).  The synthetic corpus
+    shares one vocabulary across langs, so the interesting output is the
+    *plumbing* — per-language marker counts, predicted label, agreement
+    rate against the labeled ``lang`` column — not model accuracy."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    en_score = stopword_count(t)
+    pred = F.when(en_score > 0, F.lit("en")).otherwise(F.lit("unknown"))
+    per_doc = d.select(
+        "lang", en_score.alias("en_markers"), pred.alias("pred_lang")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("en_markers").alias("total_en_markers"),
+        F.count(F.when(F.col("pred_lang") == F.col("lang"), 1)).alias("n_pred_match"),
+    )
+
+
+_LANG_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_SW_LIST})))
+           AS en_markers
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(en_markers) AS total_en_markers,
+       count(CASE WHEN (CASE WHEN en_markers > 0 THEN 'en' ELSE 'unknown' END) = lang
+                  THEN 1 END) AS n_pred_match
+FROM scored
+GROUP BY lang
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 (exact-dup key) + winnowing-
+    style robust fingerprint = min md5 over 3-word shingles (stable under
+    small edits — the rolling-hash-min idea with a portable hash)."""
+    d = _docs(spark, sf_dir)
+    sh = shingles()
+    return d.where(F.size(tokens()) >= 3).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("robust_fp"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH sh AS (
+  SELECT doc_id, text,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                || ' ' || string_split(text,' ')[i+2])) AS shingles
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       list_min(list_transform(shingles, s -> md5(s))) AS robust_fp,
+       len(shingles) AS n_shingles
+FROM sh
+"""
+
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (see functions.text.simhash16)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash16(tokens()).alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    digit_bits = []
+    for p in range(1, 17):
+        digit_bits.append(
+            "CASE WHEN sum(CASE WHEN substring(md5(t), {p}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 "
+            "THEN '1' ELSE '0' END".format(p=p)
+        )
+    concat = " || ".join(digit_bits)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+)
+SELECT doc_id, {concat} AS simhash
+FROM toks
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_simhash": text_simhash,
+}
+
+ORACLES = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_lang_id": _LANG_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+    "text_simhash": _simhash_oracle(),
+}
