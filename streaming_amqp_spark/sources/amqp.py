@@ -1,0 +1,330 @@
+"""AMQP 1.0 streaming source as a PySpark ``DataSource``.
+
+The Spark-first re-expression of the reference's receiver stack
+(AMQPReceiver.scala, ReliableAMQPReceiver.scala, AMQPFlowController.scala,
+AMQPUtils.scala): one source + options replaces the DStream/receiver/flow-
+controller/rate-controller class hierarchy, and Structured Streaming's
+offset/commit protocol replaces the WAL + store-then-ack machinery.
+
+Semantics mapping (reference → here):
+
+- ``AMQPUtils.createStream(ssc, host, port, username, password, address,
+  converter, storageLevel)`` (AMQPUtils.scala:45-57) →
+  ``spark.readStream.format("amqp").options(host=…, port=…, username=…,
+  password=…, address=…).load()``; converters are column expressions over
+  the fixed envelope schema (streaming_amqp_spark.envelope).
+- Credit-based flow control — prefetch off, 1000 credits, replenish at 50%
+  (AMQPFlowController.scala:55-56,92-94,131-141) → ``maxMessagesPerBatch``
+  admission cap + the transport's credit window (same defaults).
+- Reliable receiver — buffer, store block, then send AMQP ``Accepted``
+  (ReliableAMQPReceiver.scala:111-169) → messages are retained in the
+  reader buffer until Spark calls ``commit(offset)``, which settles them;
+  a restart replays the unsettled tail ⇒ the same at-least-once guarantee.
+- Unreliable receiver (AMQPReceiver.scala:159-162) → ``reliable=false``
+  settles on receive (at-most-once on failure).
+- Rate controllers (AMQPRateController.scala) → admission control: at most
+  ``maxMessagesPerBatch`` per micro-batch; messages beyond the cap stay
+  buffered/unsettled rather than AMQP-``Rejected`` (SURVEY §4.2: rejection
+  has no Structured Streaming analogue; releasing is the lossless choice).
+
+Scale note: this reader is a ``SimpleDataSourceStreamReader`` (driver-side
+ingest, records shipped to executors as Arrow batches) — appropriate for a
+protocol-push source at the reference's design rate (~10k msg/s,
+AMQPFlowController.scala:271).  Scaling beyond one link = N source
+instances on N addresses unioned together, which Spark plans as N
+independent partitions.
+
+The network transport (python-qpid-proton) is optional: the container has
+no AMQP stack, so ``QpidTransport`` import-gates and tests exercise the
+full source machinery through ``SpoolTransport`` (a directory of JSON-line
+message files — the stand-in for the reference's in-process ProtonServer
+harness, AMQPTestUtils.scala:213-266).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from datetime import datetime, timezone
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
+
+CREDITS_DEFAULT = 1000  # AMQPFlowController.scala:55
+CREDITS_THRESHOLD = 500  # AMQPFlowController.scala:56
+
+
+def _json_encode_body(body: Any) -> tuple[str | None, str | None, bytes | None]:
+    """Total mapping of an AMQP body to (body_type, body_json, body_binary).
+
+    Mirrors AMQPJsonFunction.scala:111-148 (string/list/map/array → JSON,
+    binary → bytes) but adds the default case the reference lacks
+    (SURVEY §7.4.3: an Int body raises MatchError there) — any other value
+    is JSON-stringified and tagged amqpValue.
+    """
+    if body is None:
+        return None, None, None
+    if isinstance(body, (bytes, bytearray)):
+        return "data", None, bytes(body)
+    if isinstance(body, str):
+        return "amqpValue", body, None
+    # list / dict / int / float / bool — JSON-encode (total, unlike the ref)
+    return "amqpValue", json.dumps(body, separators=(",", ":")), None
+
+
+class Transport:
+    """Minimal message-delivery interface the reader drives.
+
+    ``fetch(max_n)`` returns up to max_n new messages as dicts;
+    ``settle(n)`` acknowledges the oldest n outstanding messages
+    (≡ AMQP Accepted disposition on commit).
+    """
+
+    def fetch(self, max_n: int) -> list[dict]:
+        raise NotImplementedError
+
+    def settle(self, n: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class SpoolTransport(Transport):
+    """Replayable test/file transport: JSON-lines message files in a
+    directory, consumed in (filename, line) order.  Stands in for a broker
+    in tests exactly like the reference's embedded ActiveMQ / in-process
+    ProtonServer (AMQPTestUtils.scala:66-91,213-266)."""
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        self.consumed = 0
+
+    def _all_messages(self) -> list[dict]:
+        out: list[dict] = []
+        for fname in sorted(os.listdir(self.spool_dir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.spool_dir, fname)) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        out.append(json.loads(line))
+        return out
+
+    def fetch(self, max_n: int) -> list[dict]:
+        msgs = self._all_messages()
+        batch = msgs[self.consumed : self.consumed + max_n]
+        self.consumed += len(batch)
+        return batch
+
+    def replay(self, start: int, end: int) -> list[dict]:
+        return self._all_messages()[start:end]
+
+
+class QpidTransport(Transport):
+    """Real AMQP 1.0 transport over python-qpid-proton (import-gated: the
+    lib is absent in this container, so constructing this raises with a
+    clear message; the class documents the intended wiring).
+
+    Flow control mirrors AMQPFlowController.scala: prefetch disabled,
+    ``credit_window`` credits granted, replenished when consumption crosses
+    ``credit_threshold`` (:92-94,:131-141).  Deliveries stay unsettled
+    until ``settle`` (reliable mode) ≡ ReliableAMQPReceiver.scala:142-159.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        address: str,
+        username: str | None = None,
+        password: str | None = None,
+        credit_window: int = CREDITS_DEFAULT,
+        credit_threshold: int = CREDITS_THRESHOLD,
+        reliable: bool = True,
+    ):
+        try:
+            import proton  # noqa: F401
+            import proton.utils  # noqa: F401
+        except ImportError as e:  # pragma: no cover - no AMQP stack in image
+            raise ImportError(
+                "QpidTransport needs python-qpid-proton; use "
+                "transport=spool for offline testing"
+            ) from e
+        from proton.utils import BlockingConnection
+
+        url = f"amqp://{host}:{port}"
+        self._conn = BlockingConnection(
+            url, allowed_mechs="PLAIN" if username else None,
+            user=username, password=password,
+        )
+        # prefetch=0 ≡ setPrefetch(0) + manual flow (AMQPFlowController.scala:92-94)
+        self._recv = self._conn.create_receiver(address, credit=0)
+        self._recv.receiver.flow(credit_window)
+        self._credit_window = credit_window
+        self._credit_threshold = credit_threshold
+        self._since_replenish = 0
+        self._reliable = reliable
+        self._unsettled: list[Any] = []
+
+    def fetch(self, max_n: int) -> list[dict]:  # pragma: no cover
+        out: list[dict] = []
+        while len(out) < max_n:
+            try:
+                delivery = self._recv.receive(timeout=0.1)
+            except Exception:
+                break
+            msg = delivery.message if hasattr(delivery, "message") else delivery
+            out.append(
+                {
+                    "message_id": str(msg.id) if msg.id is not None else None,
+                    "to_address": msg.address,
+                    "subject": msg.subject,
+                    "reply_to": msg.reply_to,
+                    "correlation_id": (
+                        str(msg.correlation_id)
+                        if msg.correlation_id is not None
+                        else None
+                    ),
+                    "application_properties": {
+                        str(k): str(v) for k, v in (msg.properties or {}).items()
+                    },
+                    "body": msg.body,
+                }
+            )
+            if self._reliable:
+                self._unsettled.append(delivery)
+            else:
+                delivery.settle()
+            self._since_replenish += 1
+            # replenish ≡ issueCredits (AMQPFlowController.scala:131-141)
+            if self._since_replenish >= self._credit_threshold:
+                self._recv.receiver.flow(self._since_replenish)
+                self._since_replenish = 0
+        return out
+
+    def settle(self, n: int) -> None:  # pragma: no cover
+        for d in self._unsettled[:n]:
+            d.settle()  # Accepted ≡ ReliableAMQPReceiver.scala:152-156
+        del self._unsettled[:n]
+
+    def close(self) -> None:  # pragma: no cover
+        self._conn.close()
+
+
+class AMQPStreamReader(SimpleDataSourceStreamReader):
+    """Offset/commit protocol over a Transport.
+
+    Offset = {"seq": total messages admitted}.  Messages fetched but not
+    yet committed stay in ``_retained`` so ``readBetweenOffsets`` can
+    replay a failed batch (≡ WAL-backed block replay in the reference);
+    ``commit`` settles and drops them (≡ store-then-ack,
+    ReliableAMQPReceiver.scala:111-159).
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.max_per_batch = int(
+            options.get("maxmessagesperbatch", CREDITS_DEFAULT)
+        )
+        self.reliable = options.get("reliable", "true").lower() == "true"
+        transport_kind = options.get("transport", "qpid")
+        if transport_kind == "spool":
+            self.transport: Transport = SpoolTransport(options["spooldir"])
+        else:
+            self.transport = QpidTransport(
+                host=options.get("host", "localhost"),
+                port=int(options.get("port", 5672)),
+                address=options.get("address", "spark"),
+                username=options.get("username"),
+                password=options.get("password"),
+                credit_window=self.max_per_batch,
+                reliable=self.reliable,
+            )
+        self._seq = 0
+        self._retained: list[tuple[int, tuple]] = []  # (seq, row)
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _to_row(self, msg: dict) -> tuple:
+        body_type, body_json, body_bin = _json_encode_body(msg.get("body"))
+        if msg.get("body_b64") is not None:  # spool-file binary bodies
+            body_type, body_json = "data", None
+            body_bin = base64.b64decode(msg["body_b64"])
+        if ts_str := msg.get("ingest_ts"):
+            ingest = datetime.fromisoformat(ts_str)
+            if ingest.tzinfo is not None:
+                ingest = ingest.astimezone(timezone.utc).replace(tzinfo=None)
+        else:
+            ingest = datetime.fromtimestamp(time.time(), tz=timezone.utc).replace(
+                tzinfo=None
+            )
+        props = msg.get("application_properties") or None
+        annotations = msg.get("message_annotations") or None
+        return (
+            msg.get("message_id"),
+            msg.get("to_address"),
+            msg.get("subject"),
+            msg.get("reply_to"),
+            msg.get("correlation_id"),
+            {str(k): str(v) for k, v in props.items()} if props else None,
+            {str(k): str(v) for k, v in annotations.items()} if annotations else None,
+            body_type,
+            body_json,
+            body_bin,
+            ingest,
+        )
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        msgs = self.transport.fetch(self.max_per_batch)
+        rows = [self._to_row(m) for m in msgs]
+        base = self._seq
+        self._retained.extend((base + i, r) for i, r in enumerate(rows))
+        self._seq = base + len(rows)
+        if not self.reliable:
+            self._retained.clear()
+        return iter(rows), {"seq": self._seq}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        lo, hi = start["seq"], end["seq"]
+        replay = [r for s, r in self._retained if lo <= s < hi]
+        if len(replay) == hi - lo:
+            return iter(replay)
+        if isinstance(self.transport, SpoolTransport):  # replayable transport
+            return iter(
+                self._to_row(m) for m in self.transport.replay(lo, hi)
+            )
+        # non-replayable transport with settled messages: at-least-once means
+        # the committed prefix is gone; only the retained tail is available.
+        return iter(replay)
+
+    def commit(self, end: dict) -> None:
+        upto = end["seq"]
+        n_settle = sum(1 for s, _ in self._retained if s < upto)
+        self.transport.settle(n_settle)
+        self._retained = [(s, r) for s, r in self._retained if s >= upto]
+
+
+class AMQPDataSource(DataSource):
+    """``spark.readStream.format("amqp")`` — envelope-schema AMQP source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "amqp"
+
+    def schema(self) -> StructType:
+        return ENVELOPE_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> AMQPStreamReader:
+        return AMQPStreamReader(dict(self.options))
+
+
+def register_amqp_source(spark) -> None:
+    spark.dataSource.register(AMQPDataSource)
