@@ -24,7 +24,7 @@ from streaming_amqp_spark.functions.text import (
     shingles,
     tokens,
 )
-from streaming_amqp_spark.tables import load_table
+from streaming_amqp_spark.tables import fan_out, load_table
 
 JACCARD_THRESHOLD = 0.8
 
@@ -51,7 +51,7 @@ sizes AS (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.where(F.size(tokens()) >= 3)
         .select("doc_id", shingles().alias("shingles"))

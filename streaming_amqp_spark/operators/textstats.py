@@ -18,11 +18,12 @@ from streaming_amqp_spark.functions.text import (
     stopword_count,
     tokens,
 )
-from streaming_amqp_spark.tables import load_table
+from streaming_amqp_spark.tables import fan_out, load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # single-file input → fan out so md5-heavy projections use all cores
+    return fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism.
+
+    The driver's small tables arrive as one parquet file = one partition;
+    compute-heavy per-row operators (shingling, 16-way minhash, simhash)
+    would otherwise run single-core.  The same holds at 100 TB whenever
+    file count < cores: pay one narrow shuffle of the (small) input to
+    unlock full-width CPU for the expensive projection.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
 ) -> dict[str, DataFrame]:
