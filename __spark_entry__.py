@@ -23,8 +23,17 @@ from streaming_amqp_spark.operators import textstats as _textstats  # noqa: E402
 from streaming_amqp_spark.plans import collect_registries  # noqa: E402
 from streaming_amqp_spark.plans import events as _events  # noqa: E402
 from streaming_amqp_spark.plans import relational as _relational  # noqa: E402
+from streaming_amqp_spark.plans import scalars as _scalars  # noqa: E402
 
-_MODULES = (_relational, _events, _textstats, _dedup, _similarity, _multimodal)
+_MODULES = (
+    _relational,
+    _events,
+    _scalars,
+    _textstats,
+    _dedup,
+    _similarity,
+    _multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,221 @@
+"""Scalar-function families and window-rank variants (SURVEY §2C rows:
+"Scalar functions (string/date/math/array/map/json)", "Window functions
+(ranking/analytic)", "Pivot/unpivot").
+
+Each query exercises one function family through expressions whose
+semantics are identical in Spark and DuckDB (argument-for-argument), so
+the oracle checks the functions themselves, not a lowest-common-
+denominator rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from streaming_amqp_spark.tables import fan_out, load_table
+
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.lpad(name, 25, "*").alias("padded"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.reverse(name).alias("reversed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.regexp_replace(name, "[0-9]+", "N").alias("digits_masked"),
+        F.regexp_extract(name, "([0-9]+)", 1).alias("digits"),
+        F.base64(F.col("c_mktsegment").cast("binary")).alias("segment_b64"),
+        F.lower(F.col("c_mktsegment")).alias("segment_lower"),
+    )
+
+
+_STRING_SQL = """
+SELECT c_custkey,
+       lpad(c_name, 25, '*') AS padded,
+       trim('  x  ') AS trimmed,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       reverse(c_name) AS reversed,
+       repeat('ab', 3) AS repeated,
+       instr(c_name, '#') AS hash_pos,
+       regexp_replace(c_name, '[0-9]+', 'N', 'g') AS digits_masked,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       to_base64(encode(c_mktsegment)) AS segment_b64,
+       lower(c_mktsegment) AS segment_lower
+FROM customer
+"""
+
+
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized documents: construct, sort, slice,
+    membership, distinct count, joins back to string."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.concat_ws("-", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_position(toks, "join").cast("bigint").alias("join_pos"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).alias(
+            "sorted_vocab"
+        ),
+    )
+
+
+_ARRAY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_toks,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       string_split(text, ' ')[1] AS first_tok,
+       string_split(text, ' ')[-1] AS last_tok,
+       array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+       CAST(coalesce(list_position(string_split(text, ' '), 'join'), 0) AS BIGINT)
+         AS join_pos,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+         AS sorted_vocab
+FROM documents
+"""
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("week", d).alias("week_start"),
+        (d + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday → +1.
+_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+       o_orderdate + INTERVAL 90 DAY AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+         AS days_to_2002,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / ntile over part
+    prices within brand (ties exercised by shared retail prices)."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wt = W.partitionBy("p_brand").orderBy("p_retailprice")  # ties visible
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.percent_rank().over(wt).alias("prnk"),
+        F.cume_dist().over(wt).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_RANK_SQL = """
+SELECT p_partkey, p_brand,
+       rank()         OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS rnk,
+       dense_rank()   OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS drnk,
+       percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS prnk,
+       cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS cdist,
+       ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+         AS quartile
+FROM part
+"""
+
+
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack — the inverse of the pivot query."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, 'orderyear', "
+        "CAST(year(o_orderdate) AS DOUBLE)) AS (measure, value)",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value FROM orders
+UNION ALL
+SELECT o_orderkey, 'orderyear', CAST(year(o_orderdate) AS DOUBLE) FROM orders
+"""
+
+
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation) keyed by the unique o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("prio_of_last_order"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("prio_of_first_order"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+_MINMAX_BY_SQL = """
+SELECT o_orderstatus,
+       max_by(o_orderpriority, o_orderkey) AS prio_of_last_order,
+       min_by(o_orderpriority, o_orderkey) AS prio_of_first_order,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (approx_count_distinct = HyperLogLog++,
+    percentile_approx = KLL-ish sketch).  Engine-specific sketches → no
+    SQL oracle (driver records rows-only); the exact twins are checked in
+    agg_distinct_by_segment.  These are the 100 TB workhorses: fixed-size
+    state instead of O(distinct) hash tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUERIES = {
+    "scalar_string_funcs": scalar_string_funcs,
+    "scalar_array_funcs": scalar_array_funcs,
+    "scalar_date_funcs": scalar_date_funcs,
+    "window_rank_variants": window_rank_variants,
+    "unpivot_order_measures": unpivot_order_measures,
+    "agg_minmax_by": agg_minmax_by,
+    "agg_approx_stats": agg_approx_stats,
+}
+
+ORACLES = {
+    "scalar_string_funcs": _STRING_SQL,
+    "scalar_array_funcs": _ARRAY_SQL,
+    "scalar_date_funcs": _DATE_SQL,
+    "window_rank_variants": _RANK_SQL,
+    "unpivot_order_measures": _UNPIVOT_SQL,
+    "agg_minmax_by": _MINMAX_BY_SQL,
+    # agg_approx_stats: intentionally no oracle (sketches are engine-specific)
+}

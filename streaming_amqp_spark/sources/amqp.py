@@ -283,6 +283,16 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         )
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # Restart resync (≡ checkpoint recovery via StreamingContext.
+        # getOrCreate, AMQPTemperature.scala:61): a fresh reader starts at
+        # seq 0 but Spark hands us the checkpointed offset. For a replayable
+        # transport, fast-forward past the committed prefix; for a live AMQP
+        # link the broker redelivers unsettled messages itself and committed
+        # ones were already settled (at-least-once either way).
+        if start["seq"] > self._seq and isinstance(self.transport, SpoolTransport):
+            skip = start["seq"] - self._seq
+            self.transport.consumed += skip
+            self._seq = start["seq"]
         msgs = self.transport.fetch(self.max_per_batch)
         rows = [self._to_row(m) for m in msgs]
         base = self._seq

@@ -196,3 +196,81 @@ def test_streaming_dedup(amqp, tmp_path):
     out = _run_stream_to_memory(amqp, deduped.select("message_id"), "dedup_out")
     ids = sorted(r.message_id for r in out.collect())
     assert ids == ["m0", "m1", "m2", "m3", "m4"]
+
+
+def test_checkpoint_recovery(amqp, tmp_path):
+    """Stop/restart against the same checkpoint resumes from the committed
+    offset and does not re-emit consumed messages (≡ StreamingContext.
+    getOrCreate recovery, AMQPTemperature.scala:61)."""
+    msgs = _temperature_messages()
+    spool = _write_spool(tmp_path, msgs[:3])
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        env = (
+            amqp.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", spool)
+            .load()
+        )
+        # file sink: supports checkpoint recovery (memory sink does not)
+        # and is the exactly-once sink path
+        return (
+            env.selectExpr("message_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    ids1 = sorted(r.message_id for r in amqp.read.parquet(out_dir).collect())
+    assert ids1 == ["m0", "m1", "m2"]
+
+    _write_spool(tmp_path, msgs[3:], fname="001.jsonl")
+    q2 = start()  # fresh reader instance, same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    ids = sorted(r.message_id for r in amqp.read.parquet(out_dir).collect())
+    assert ids == ["m0", "m1", "m2", "m3", "m4"], (
+        f"restart re-emitted or lost messages: {ids}"
+    )
+
+
+def test_stateful_running_device_stats(amqp, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-device
+    running count/max across micro-batches."""
+    from streaming_amqp_spark.streaming.stateful import running_device_stats
+
+    msgs = _temperature_messages()  # values 20-24 on address 'temperature'
+    spool = _write_spool(tmp_path, msgs[:3])
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    stats = running_device_stats(env)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("dev_stats")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    _write_spool(tmp_path, msgs[3:], fname="001.jsonl")
+    q.processAllAvailable()
+    q.stop()
+    # update-mode memory sink appends one row per state update; the last
+    # row for the device carries the final running stats
+    rows = amqp.sql(
+        "SELECT * FROM dev_stats WHERE device = 'temperature'"
+    ).collect()
+    assert rows, "no state output emitted"
+    final = rows[-1]
+    assert final.n_messages == 5
+    assert final.max_value == 24.0
