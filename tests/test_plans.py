@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the properties that decide whether a query
+survives a 100×/1000× scale-up.  These lock in the plan shapes reviewed
+with .explain — a regression that drops a pushdown or a broadcast fails
+here long before it shows up as a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 needed columns, not all 11
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "HashAggregate" in plan  # partial+final map-side combine
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    # supplier/customer/nation/region all broadcast: ≥4 broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    # and the date filter reaches the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q6_single_scan_no_join_no_shuffle_agg_input(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_limit_top_lineitems")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_semi_anti_join_forms(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "semi_join_big_orders")
+    anti = _plan(spark, sf_dir, "anti_join_idle_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_has_no_cartesian_product(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_scan_heavy_query(spark, sf_dir):
+    df = _QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in final
+    # '*(n)' prefixes mark WholeStageCodegen stages in simple explain mode
+    assert "*(1)" in final, "scan/filter/partial-agg stage not codegen'd"
