@@ -233,6 +233,14 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         self.max_per_batch = int(
             options.get("maxmessagesperbatch", CREDITS_DEFAULT)
         )
+        # Rate limiting ≡ the latent AMQPAsyncFlowController /
+        # AMQPRateController family (AMQPFlowController.scala:152-370,
+        # AMQPRateController.scala:38-341): admit at most
+        # maxRatePerSecond × elapsed-since-last-batch messages per batch.
+        # Excess stays buffered/unsettled (released, never AMQP-Rejected —
+        # SURVEY §4.2).
+        self.max_rate = float(options.get("maxratepersecond", 0)) or None
+        self._last_read_t: float | None = None
         self.reliable = options.get("reliable", "true").lower() == "true"
         transport_kind = options.get("transport", "qpid")
         if transport_kind == "spool":
@@ -293,7 +301,15 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
             skip = start["seq"] - self._seq
             self.transport.consumed += skip
             self._seq = start["seq"]
-        msgs = self.transport.fetch(self.max_per_batch)
+        admit = self.max_per_batch
+        if self.max_rate:
+            now = time.monotonic()
+            elapsed = (
+                now - self._last_read_t if self._last_read_t is not None else 1.0
+            )
+            self._last_read_t = now
+            admit = min(admit, max(1, int(self.max_rate * elapsed)))
+        msgs = self.transport.fetch(admit)
         rows = [self._to_row(m) for m in msgs]
         base = self._seq
         self._retained.extend((base + i, r) for i, r in enumerate(rows))

@@ -274,3 +274,38 @@ def test_stateful_running_device_stats(amqp, tmp_path):
     final = rows[-1]
     assert final.n_messages == 5
     assert final.max_value == 24.0
+
+
+def test_max_rate_per_second_limits_admission(amqp, tmp_path):
+    """Rate limiting ≡ the reference's latent rate controllers
+    (AMQPRateController.scala): each batch admits ≈ rate × elapsed, never
+    the whole backlog at once, and nothing is lost."""
+    msgs = [
+        {"message_id": f"m{i}", "body": str(i), "ingest_ts": "2024-01-01T00:00:00"}
+        for i in range(30)
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .option("maxRatePerSecond", "10")
+        .load()
+    )
+    q = (
+        env.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert amqp.sql("SELECT count(*) n FROM rate_out").collect()[0].n == 30
+    progress = [
+        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+    sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+    # the first batch sees elapsed=1.0s → ≤10 rows; the backlog drains over
+    # multiple batches rather than one
+    assert sizes and sizes[0] <= 10
+    assert len(sizes) >= 2
