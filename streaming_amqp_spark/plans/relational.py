@@ -227,6 +227,161 @@ LIMIT 20
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with ≥1 late lineitem (EXISTS → left-semi),
+    counted per priority."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    # "late" ≡ shipped more than 60 days after order: the predicate needs
+    # both sides, so it lives inside the semi-join condition.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation after a fact-fact join —
+    high/low-priority line counts per return flag."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total revenue (exact
+    decimal sums → one double division, deterministic)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), _revenue_term()
+    ).otherwise(F.lit(0).cast("decimal(8,2)"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_revenue_term()).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(8,2)) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact, joined back to dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across join columns — the
+    optimizer extracts the common l_partkey=p_partkey conjunct so the join
+    stays an equi-join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 10))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") < 5))
+        | ((F.col("p_type").contains("ECONOMY")) & (F.col("l_discount") <= 0.02))
+    )
+    return j.where(cond).agg(
+        dsum(_revenue_term(), "revenue"), F.count("*").alias("n_lines")
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity >= 10)
+   OR (p_size >= 40 AND l_quantity < 5)
+   OR (p_type LIKE '%ECONOMY%' AND l_discount <= 0.02)
+"""
+
+
 # --------------------------------------------------------------------------
 # Join forms: semi / anti / range / as-of
 # --------------------------------------------------------------------------
@@ -675,9 +830,14 @@ FROM orders
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "semi_join_big_orders": semi_join_big_orders,
     "anti_join_idle_customers": anti_join_idle_customers,
     "range_join_signup_clicks": range_join_signup_clicks,
@@ -699,9 +859,14 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "q3_shipping_priority": _Q3_SQL,
+    "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_items": _Q10_SQL,
+    "q12_shipmode_priority": _Q12_SQL,
+    "q14_promo_revenue_ratio": _Q14_SQL,
+    "q18_large_volume_customers": _Q18_SQL,
+    "q19_disjunctive_predicates": _Q19_SQL,
     "semi_join_big_orders": _SEMI_SQL,
     "anti_join_idle_customers": _ANTI_SQL,
     "range_join_signup_clicks": _RANGE_SQL,

@@ -309,3 +309,64 @@ def test_max_rate_per_second_limits_admission(amqp, tmp_path):
     # multiple batches rather than one
     assert sizes and sizes[0] <= 10
     assert len(sizes) >= 2
+
+
+def test_streaming_session_windows(amqp, tmp_path):
+    """session_window with a 10 s gap: two bursts on one device form two
+    sessions (the session-window upgrade the reference lacks, SURVEY §2C)."""
+    from streaming_amqp_spark.streaming.windows import session_agg
+
+    msgs = [
+        {"message_id": f"a{i}", "to_address": "d1", "body": "1",
+         "ingest_ts": f"2024-01-01T00:00:{i:02d}"}
+        for i in (0, 3, 6)      # burst 1: 0-6 s
+    ] + [
+        {"message_id": f"b{i}", "to_address": "d1", "body": "1",
+         "ingest_ts": f"2024-01-01T00:01:{i:02d}"}
+        for i in (0, 2)         # burst 2: 60-62 s (gap 54 s > 10 s)
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    sess = session_agg(
+        env,
+        aggs=[F.count("*").alias("n_msgs")],
+        gap="10 seconds",
+        keys=["to_address"],
+    )
+    out = _run_stream_to_memory(amqp, sess, "sess_out", output_mode="complete")
+    got = {
+        (r.session_start.isoformat(), r.session_end.isoformat(), r.n_msgs)
+        for r in out.collect()
+    }
+    # session end = last event + gap
+    assert got == {
+        ("2024-01-01T00:00:00", "2024-01-01T00:00:16", 3),
+        ("2024-01-01T00:01:00", "2024-01-01T00:01:12", 2),
+    }
+
+
+def test_streaming_sliding_windows(amqp, tmp_path):
+    """Sliding windows (10 s / 5 s): events land in two overlapping windows."""
+    from streaming_amqp_spark.streaming.windows import sliding_agg
+
+    msgs = [
+        {"message_id": "m1", "body": "7", "ingest_ts": "2024-01-01T00:00:06"},
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    slid = sliding_agg(env, aggs=[F.count("*").alias("n")], window="10 seconds",
+                       slide="5 seconds")
+    out = _run_stream_to_memory(amqp, slid, "slide_out", output_mode="complete")
+    starts = sorted(r.window_start.isoformat() for r in out.collect())
+    # ts=6s → windows starting at 0s and 5s
+    assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:00:05"]
