@@ -184,6 +184,115 @@ WHERE {sql_cosine('a.embedding', 'b.embedding', DIMS)} >= {NEAR_DUP_COS}
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize with the per-label centroids, then
+    search only the probed cluster.
+
+    The two-phase shape is the scalable one: phase 1 scores Q queries
+    against K centroids (tiny, broadcast), phase 2 scans only ~N/K vectors
+    per query (cluster-pruned, co-partitioned by label).  Exactness is
+    traded for a K× scan reduction; `knn_cosine_topk` is the recall
+    baseline.
+
+    Determinism note: centroids are rounded to 6 decimals in both engines
+    before use, so every downstream cosine is computed from identical
+    inputs → bit-identical results.
+    """
+    emb = _emb(spark, sf_dir)
+    # phase 0: centroids (reuses the oracle-checked definition)
+    cent = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pv", lambda s: s["v"]).alias("centroid"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # phase 1: nearest centroid per query (K×Q tiny cross join)
+    scored_c = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_emb",
+        "c_label",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("c_label"))
+    probe = (
+        scored_c.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") == 1)
+        .select("query_id", "q_emb", F.col("c_label").alias("probe_label"))
+    )
+    # phase 2: exact search inside the probed cluster only
+    cand = emb.join(
+        F.broadcast(probe), emb.label == probe.probe_label
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _ivf_oracle() -> str:
+    # centroid as a list built in pos order, rounded identically to Spark
+    dot_qc = " + ".join(
+        f"(CAST(q.embedding[{i}] AS DOUBLE) * c.centroid[{i}])"
+        for i in range(1, DIMS + 1)
+    )
+    norm_c = " + ".join(
+        f"(c.centroid[{i}] * c.centroid[{i}])" for i in range(1, DIMS + 1)
+    )
+    norm_q = " + ".join(
+        f"(CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE))"
+        for i in range(1, DIMS + 1)
+    )
+    return f"""
+WITH cent AS (
+  SELECT label AS c_label,
+         list(v ORDER BY pos) AS centroid
+  FROM (SELECT label, i - 1 AS pos,
+               round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS v
+        FROM embeddings, UNNEST(range(1, {DIMS + 1})) AS t(i)
+        GROUP BY label, i - 1)
+  GROUP BY label
+),
+probe AS (
+  SELECT query_id, c_label AS probe_label FROM (
+    SELECT q.vec_id AS query_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({dot_qc}) / (sqrt({norm_q}) * sqrt({norm_c})) DESC,
+                      c.c_label) AS rk
+    FROM embeddings q, cent c
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rk = 1
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {sql_cosine('q.embedding', 'b.embedding', DIMS)} AS cos_sim
+  FROM probe p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings b ON b.label = p.probe_label AND b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (exact all-pairs baseline; the LSH variant
     above is the 100 TB path — this one is the recall oracle for it)."""
@@ -212,10 +321,12 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_candidate_pairs": ann_lsh_candidate_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
+    "ann_ivf_topk": _ivf_oracle(),
     "knn_cosine_topk": _KNN_SQL,
     "embedding_centroids": _CENTROID_SQL,
     "ann_lsh_buckets": _LSH_BUCKETS_SQL,
