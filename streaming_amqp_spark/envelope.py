@@ -71,7 +71,10 @@ def body_as(df: DataFrame, cast_to: str = "string", alias: str = "value") -> Dat
     raw = F.when(F.col("body_type") == BODY_TYPE_VALUE, F.col("body")).when(
         F.col("body_type") == BODY_TYPE_DATA, F.col("body_binary").cast("string")
     )
-    converted = raw.cast(cast_to).alias(alias)
+    # try_cast, not cast: under ANSI dialect a malformed body would throw —
+    # the exact crash-on-bad-message wart of the reference's unreliable
+    # path (AMQPReceiver.scala:159-162) this engine must not replicate.
+    converted = raw.try_cast(cast_to).alias(alias)
     return df.select(converted, "ingest_ts").where(F.col(alias).isNotNull())
 
 
