@@ -210,8 +210,43 @@ GROUP BY 1
 """
 
 
+def envelope_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface over the envelope's applicationProperties
+    (SURVEY §2C scalar map family): element_at lookup, map_keys, size."""
+    ev = load_table(spark, sf_dir, "events")
+    env = events_as_envelope(ev)
+    m = F.col("application_properties")
+    return (
+        env.select(
+            "to_address",
+            F.element_at(m, "user_id").cast("long").alias("user_id"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sig"),
+            F.size(m).alias("n_props"),
+        )
+        .groupBy("to_address", "keys_sig", "n_props")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# the envelope's map is built from (user_id, props), so the oracle derives
+# the same facts from the raw columns
+_MAP_FUNCS_SQL = """
+SELECT event_type AS to_address,
+       'props,user_id' AS keys_sig,
+       2 AS n_props,
+       count(*) AS n_msgs,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_window_5s_max": events_window_5s_max,
+    "envelope_map_functions": envelope_map_functions,
     "events_window_hourly_by_type": events_window_hourly_by_type,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionize_30m": events_sessionize_30m,
@@ -221,6 +256,7 @@ QUERIES = {
 
 ORACLES = {
     "events_window_5s_max": _W5S_SQL,
+    "envelope_map_functions": _MAP_FUNCS_SQL,
     "events_window_hourly_by_type": _WHOUR_SQL,
     "events_sliding_10m_5m": _WSLIDE_SQL,
     "events_sessionize_30m": _SESSION_SQL,
