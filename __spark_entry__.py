@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streaming_amqp_spark.operators import dedup as _dedup  # noqa: E402
 from streaming_amqp_spark.operators import multimodal as _multimodal  # noqa: E402
+from streaming_amqp_spark.operators import pipeline as _pipeline  # noqa: E402
 from streaming_amqp_spark.operators import similarity as _similarity  # noqa: E402
 from streaming_amqp_spark.operators import textstats as _textstats  # noqa: E402
 from streaming_amqp_spark.plans import collect_registries  # noqa: E402
@@ -33,6 +34,7 @@ _MODULES = (
     _dedup,
     _similarity,
     _multimodal,
+    _pipeline,
 )
 
 

@@ -185,6 +185,75 @@ GROUP BY o_orderstatus
 """
 
 
+def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance, stddev, and Pearson correlation built from exact decimal
+    moments (sum, sum-of-squares, sum-of-products) surfaced as doubles and
+    combined with the textbook formulas — every double op is performed
+    identically by the oracle, so results are bit-deterministic where the
+    built-in var_samp/corr (order-dependent double accumulation) would not
+    hash-match across engines."""
+    from streaming_amqp_spark.functions.numeric import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_extendedprice"), dec("l_quantity")
+    n = F.count("*").cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    # second moments overflow 2^53 after decimal scaling, where decimal→
+    # double conversion double-rounds differently across engines; rounding
+    # to an integer BIGINT first makes the conversion exact in both
+    sxx = F.round(F.sum(x * x), 0).cast("long").cast("double")
+    syy = F.round(F.sum(y * y), 0).cast("long").cast("double")
+    sxy = F.round(F.sum(x * y), 0).cast("long").cast("double")
+    grouped = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    corr = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return grouped.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        var.alias("price_var"),
+        F.sqrt(var).alias("price_stddev"),
+        corr.alias("price_qty_corr"),
+    )
+
+
+_VARIANCE_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT)
+              AS DOUBLE) AS syy,
+         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT)
+              AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (sxx - sx * sx / n) / (n - 1.0) AS price_var,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS price_stddev,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS price_qty_corr
+FROM m
+"""
+
+
 def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (approx_count_distinct = HyperLogLog++,
     percentile_approx = KLL-ish sketch).  Engine-specific sketches → no
@@ -207,6 +276,7 @@ QUERIES = {
     "window_rank_variants": window_rank_variants,
     "unpivot_order_measures": unpivot_order_measures,
     "agg_minmax_by": agg_minmax_by,
+    "agg_variance_corr": agg_variance_corr,
     "agg_approx_stats": agg_approx_stats,
 }
 
@@ -217,5 +287,6 @@ ORACLES = {
     "window_rank_variants": _RANK_SQL,
     "unpivot_order_measures": _UNPIVOT_SQL,
     "agg_minmax_by": _MINMAX_BY_SQL,
+    "agg_variance_corr": _VARIANCE_SQL,
     # agg_approx_stats: intentionally no oracle (sketches are engine-specific)
 }
