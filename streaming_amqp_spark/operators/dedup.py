@@ -237,8 +237,84 @@ HAVING count(*) > 1
 """
 
 
+def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates within Hamming distance ≤ 1: one side is
+    expanded to 17 probes (the hash + each single-bit flip) and equi-joined
+    against the other side's exact hash — the standard multi-probe trick
+    that keeps radius-k search an equi-join (shuffle on hash keys) instead
+    of a pairwise distance scan."""
+    from streaming_amqp_spark.operators.textstats import text_simhash
+
+    sim = text_simhash(spark, sf_dir)
+
+    def flip(col, p):  # flip bit p (1-based) of the 16-char bitstring
+        flipped = F.when(F.substring(col, p, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        return F.concat(
+            F.substring(col, 1, p - 1), flipped, F.substring(col, p + 1, 16 - p)
+        )
+
+    probes = F.array(F.col("simhash"), *[flip(F.col("simhash"), p) for p in range(1, 17)])
+    left = sim.select(
+        F.col("doc_id").alias("id1"), F.explode(probes).alias("probe")
+    )
+    right = sim.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    pairs = (
+        left.join(right, left.probe == right.h2)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    h1 = sim.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"))
+    h2 = sim.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"))
+    dist = sum(
+        F.when(
+            F.substring("s1", p, 1) != F.substring("s2", p, 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in range(1, 17)
+    )
+    return (
+        pairs.join(h1, "id1")
+        .join(h2, "id2")
+        .select("id1", "id2", dist.alias("hamming"))
+    )
+
+
+def _simhash_hamming1_oracle() -> str:
+    from streaming_amqp_spark.operators.textstats import _simhash_oracle
+
+    flips = ", ".join(
+        "substring(simhash, 1, {pm1}) || (CASE WHEN substring(simhash, {p}, 1) = '1'"
+        " THEN '0' ELSE '1' END) || substring(simhash, {pp1}, {rest})".format(
+            pm1=p - 1, p=p, pp1=p + 1, rest=16 - p
+        )
+        for p in range(1, 17)
+    )
+    dist = " + ".join(
+        f"(CASE WHEN substring(a.simhash, {p}, 1) <> substring(b.simhash, {p}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for p in range(1, 17)
+    )
+    return f"""
+WITH per_doc AS ({_simhash_oracle()}),
+probes AS (
+  SELECT doc_id, unnest([simhash, {flips}]) AS probe FROM per_doc
+),
+pairs AS (
+  SELECT DISTINCT p.doc_id AS id1, q.doc_id AS id2
+  FROM probes p JOIN per_doc q ON p.probe = q.simhash AND p.doc_id < q.doc_id
+)
+SELECT c.id1, c.id2, {dist} AS hamming
+FROM pairs c
+JOIN per_doc a ON a.doc_id = c.id1
+JOIN per_doc b ON b.doc_id = c.id2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_simhash_hamming1": dedup_simhash_hamming1,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash_buckets": dedup_simhash_buckets,
@@ -246,6 +322,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _EXACT_SQL,
+    "dedup_simhash_hamming1": _simhash_hamming1_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash_buckets": _simhash_buckets_oracle(),
