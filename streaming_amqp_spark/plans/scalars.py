@@ -185,6 +185,41 @@ GROUP BY o_orderstatus
 """
 
 
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling family: nullif, coalesce/ifnull,
+    least/greatest, CASE, boolean logic."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_non_building"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_or_default"),
+        F.least(bal, F.lit(5000.0)).alias("bal_capped"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floored"),
+        F.when(bal < 0, "overdrawn")
+        .when(bal < 1000, "low")
+        .otherwise("healthy")
+        .alias("bal_band"),
+        ((bal > 0) & (F.col("c_nationkey") < 10)).alias("pos_low_nation"),
+    )
+
+
+_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_non_building,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+       least(c_acctbal, 5000.0) AS bal_capped,
+       greatest(c_acctbal, 0.0) AS bal_floored,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'healthy' END AS bal_band,
+       c_acctbal > 0 AND c_nationkey < 10 AS pos_low_nation
+FROM customer
+"""
+
+
 def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance, stddev, and Pearson correlation built from exact decimal
     moments (sum, sum-of-squares, sum-of-products) surfaced as doubles and
@@ -276,6 +311,7 @@ QUERIES = {
     "window_rank_variants": window_rank_variants,
     "unpivot_order_measures": unpivot_order_measures,
     "agg_minmax_by": agg_minmax_by,
+    "scalar_conditional_funcs": scalar_conditional_funcs,
     "agg_variance_corr": agg_variance_corr,
     "agg_approx_stats": agg_approx_stats,
 }
@@ -287,6 +323,7 @@ ORACLES = {
     "window_rank_variants": _RANK_SQL,
     "unpivot_order_measures": _UNPIVOT_SQL,
     "agg_minmax_by": _MINMAX_BY_SQL,
+    "scalar_conditional_funcs": _CONDITIONAL_SQL,
     "agg_variance_corr": _VARIANCE_SQL,
     # agg_approx_stats: intentionally no oracle (sketches are engine-specific)
 }

@@ -162,3 +162,37 @@ def test_ingest_throughput_10k_msgs_per_sec(amqp, tmp_path):
     assert sum(counted) == n
     print(f"\ningest throughput: {rate:,.0f} msg/s over {dt:.2f}s")
     assert rate >= 10_000, f"throughput {rate:,.0f} msg/s below 10k floor"
+
+
+def test_union_of_multiple_amqp_sources(amqp, tmp_path):
+    """Scale-out pattern for N addresses: one source per address, unioned —
+    Spark plans them as independent partitions (the multi-link answer to
+    single-receiver throughput limits, see sources/amqp.py docstring)."""
+    temp = [
+        {"message_id": f"t{i}", "to_address": "temperature", "body": str(20 + i),
+         "ingest_ts": "2024-01-01T00:00:00"}
+        for i in range(3)
+    ]
+    hum = [
+        {"message_id": f"h{i}", "to_address": "humidity", "body": str(50 + i),
+         "ingest_ts": "2024-01-01T00:00:00"}
+        for i in range(2)
+    ]
+    a = _read(amqp, _write_spool(tmp_path, temp, sub="temp"))
+    b = _read(amqp, _write_spool(tmp_path, hum, sub="hum"))
+    both = a.unionByName(b)
+    q = (
+        both.groupBy("to_address")
+        .count()
+        .writeStream.format("memory")
+        .queryName("union_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.to_address, r["count"])
+        for r in amqp.sql("SELECT * FROM union_out").collect()
+    }
+    assert got == {("temperature", 3), ("humidity", 2)}
