@@ -170,6 +170,60 @@ FROM sh
 """
 
 
+WINNOW_W = 4  # winnowing window (in shingles)
+
+
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al., MOSS): hash every positional 3-gram
+    shingle, keep the minimum hash of each sliding window of W hashes —
+    guarantees a shared fingerprint for any sufficiently long shared
+    substring, with O(n/W) selected hashes per document.  Output is the
+    exploded (doc_id, fingerprint) set, the join key for containment-style
+    near-dup detection at corpus scale."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    # positional (non-distinct) shingles, hashed in order
+    idx = F.sequence(F.lit(0), F.size(t) - F.lit(3))
+    sh_pos = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            )
+        ),
+    )
+    picks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(sh_pos) - F.lit(WINNOW_W)),
+            lambda i: F.array_min(F.slice(sh_pos, i + 1, WINNOW_W)),
+        )
+    )
+    return (
+        d.where(F.size(t) >= WINNOW_W + 2)
+        .select("doc_id", F.explode(picks).alias("fingerprint"))
+    )
+
+
+_WINNOW_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> md5(string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS hashes
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {WINNOW_W + 2}
+)
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(hashes) - {WINNOW_W} + 2),
+         i -> list_min(hashes[i : i + {WINNOW_W} - 1])))) AS fingerprint
+FROM h
+"""
+
+
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (see functions.text.simhash16)."""
     d = _docs(spark, sf_dir)
@@ -201,10 +255,12 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
 }
 
 ORACLES = {
+    "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_id": _LANG_SQL,
