@@ -31,8 +31,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / representation noise below the rounding decimals
-        return repr(round(v, 9))
+        # exact comparison: every declared query is engineered to be
+        # bit-identical across engines (see functions/numeric.py docstring);
+        # only -0.0 is collapsed
+        return repr(v + 0.0) if v == 0.0 else repr(v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
