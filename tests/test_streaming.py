@@ -370,3 +370,24 @@ def test_streaming_sliding_windows(amqp, tmp_path):
     starts = sorted(r.window_start.isoformat() for r in out.collect())
     # ts=6s → windows starting at 0s and 5s
     assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:00:05"]
+
+
+def test_stateful_tws_running_stats(amqp, tmp_path):
+    """transformWithStateInPandas twin of the stateful operator (needs
+    google.protobuf at runtime - skipped where unavailable)."""
+    from streaming_amqp_spark.streaming import stateful
+
+    if not stateful.HAVE_TWS:
+        pytest.skip("transformWithStateInPandas needs google.protobuf")
+    msgs = _temperature_messages()
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    stats = stateful.running_device_stats_tws(env)
+    out = _run_stream_to_memory(amqp, stats, "tws_out", output_mode="update")
+    final = out.collect()[-1]
+    assert final.n_messages == 5 and final.max_value == 24.0
