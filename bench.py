@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "knn_cosine_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "multimodal_decode_features",
+    "agg_variance_corr",
+    "curate_documents",
 ]
 
 
