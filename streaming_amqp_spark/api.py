@@ -1,0 +1,112 @@
+"""User-facing facade: the reference's Python API, DataFrame-native.
+
+The reference's Python surface is one call — ``AMQPUtils.createStream(ssc,
+host, port, address)`` (python/amqp.py:24-37 in radanalyticsio/
+streaming-amqp) — returning a DStream of JSON envelope strings (the JSON
+converter is fixed on the Python path, AMQPUtils.scala:145-159).  Here the
+same entry points return DataFrames:
+
+- :func:`create_stream` → streaming envelope DataFrame (typed columns; the
+  superset the Scala/Java converter API could produce).
+- :func:`create_json_stream` → streaming single-column ``value: string``
+  JSON DataFrame — byte-shape parity with the reference's Python API.
+- :func:`read_batch` → batch envelope DataFrame over currently-available
+  messages (no reference analogue; DStreams cannot batch-read).
+
+All three accept the source options of ``sources/amqp.py`` (host, port,
+username, password, address, maxMessagesPerBatch, maxRatePerSecond,
+reliable, transport, spooldir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streaming_amqp_spark.envelope import json_envelope_column
+from streaming_amqp_spark.sources.amqp import register_amqp_source
+
+_REGISTERED: set[int] = set()
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    key = id(spark)
+    if key not in _REGISTERED:
+        register_amqp_source(spark)
+        _REGISTERED.add(key)
+
+
+def _options(
+    host: str | None,
+    port: int | None,
+    address: str | None,
+    username: str | None,
+    password: str | None,
+    options: dict,
+) -> dict[str, str]:
+    out = {k: str(v) for k, v in options.items()}
+    if host is not None:
+        out["host"] = host
+    if port is not None:
+        out["port"] = str(port)
+    if address is not None:
+        out["address"] = address
+    # The reference wraps absent credentials in Option(null)
+    # (AMQPUtils.scala:157); absent here means no SASL PLAIN.
+    if username is not None:
+        out["username"] = username
+    if password is not None:
+        out["password"] = password
+    return out
+
+
+def create_stream(
+    spark: SparkSession,
+    host: str | None = None,
+    port: int | None = None,
+    address: str | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    **options,
+) -> DataFrame:
+    """≡ ``AMQPUtils.createStream`` (AMQPUtils.scala:45-57) with the
+    envelope schema as the fixed converter output."""
+    _ensure_registered(spark)
+    return (
+        spark.readStream.format("amqp")
+        .options(**_options(host, port, address, username, password, options))
+        .load()
+    )
+
+
+def create_json_stream(
+    spark: SparkSession,
+    host: str | None = None,
+    port: int | None = None,
+    address: str | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    **options,
+) -> DataFrame:
+    """≡ the Python facade's JSON-string stream (python/amqp.py:24-37):
+    one ``value`` column holding the §1.2 JSON envelope per message."""
+    env = create_stream(spark, host, port, address, username, password, **options)
+    return env.select(json_envelope_column().alias("value"))
+
+
+def read_batch(
+    spark: SparkSession,
+    host: str | None = None,
+    port: int | None = None,
+    address: str | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    **options,
+) -> DataFrame:
+    """Batch drain of currently-available messages (partitioned per spool
+    file / per address — see ``AMQPBatchReader``)."""
+    _ensure_registered(spark)
+    return (
+        spark.read.format("amqp")
+        .options(**_options(host, port, address, username, password, options))
+        .load()
+    )

@@ -50,7 +50,12 @@ import time
 from datetime import datetime, timezone
 from typing import Any, Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
@@ -75,6 +80,37 @@ def _json_encode_body(body: Any) -> tuple[str | None, str | None, bytes | None]:
         return "amqpValue", body, None
     # list / dict / int / float / bool — JSON-encode (total, unlike the ref)
     return "amqpValue", json.dumps(body, separators=(",", ":")), None
+
+
+def _msg_to_row(msg: dict) -> tuple:
+    """One spool/transport message dict → one envelope-schema row."""
+    body_type, body_json, body_bin = _json_encode_body(msg.get("body"))
+    if msg.get("body_b64") is not None:  # spool-file binary bodies
+        body_type, body_json = "data", None
+        body_bin = base64.b64decode(msg["body_b64"])
+    if ts_str := msg.get("ingest_ts"):
+        ingest = datetime.fromisoformat(ts_str)
+        if ingest.tzinfo is not None:
+            ingest = ingest.astimezone(timezone.utc).replace(tzinfo=None)
+    else:
+        ingest = datetime.fromtimestamp(time.time(), tz=timezone.utc).replace(
+            tzinfo=None
+        )
+    props = msg.get("application_properties") or None
+    annotations = msg.get("message_annotations") or None
+    return (
+        msg.get("message_id"),
+        msg.get("to_address"),
+        msg.get("subject"),
+        msg.get("reply_to"),
+        msg.get("correlation_id"),
+        {str(k): str(v) for k, v in props.items()} if props else None,
+        {str(k): str(v) for k, v in annotations.items()} if annotations else None,
+        body_type,
+        body_json,
+        body_bin,
+        ingest,
+    )
 
 
 class Transport:
@@ -262,33 +298,7 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         return {"seq": 0}
 
     def _to_row(self, msg: dict) -> tuple:
-        body_type, body_json, body_bin = _json_encode_body(msg.get("body"))
-        if msg.get("body_b64") is not None:  # spool-file binary bodies
-            body_type, body_json = "data", None
-            body_bin = base64.b64decode(msg["body_b64"])
-        if ts_str := msg.get("ingest_ts"):
-            ingest = datetime.fromisoformat(ts_str)
-            if ingest.tzinfo is not None:
-                ingest = ingest.astimezone(timezone.utc).replace(tzinfo=None)
-        else:
-            ingest = datetime.fromtimestamp(time.time(), tz=timezone.utc).replace(
-                tzinfo=None
-            )
-        props = msg.get("application_properties") or None
-        annotations = msg.get("message_annotations") or None
-        return (
-            msg.get("message_id"),
-            msg.get("to_address"),
-            msg.get("subject"),
-            msg.get("reply_to"),
-            msg.get("correlation_id"),
-            {str(k): str(v) for k, v in props.items()} if props else None,
-            {str(k): str(v) for k, v in annotations.items()} if annotations else None,
-            body_type,
-            body_json,
-            body_bin,
-            ingest,
-        )
+        return _msg_to_row(msg)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         # Restart resync (≡ checkpoint recovery via StreamingContext.
@@ -338,8 +348,76 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         self._retained = [(s, r) for s, r in self._retained if s >= upto]
 
 
+class _SpoolFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _AddressPartition(InputPartition):
+    def __init__(self, address: str):
+        self.address = address
+
+
+class AMQPBatchReader(DataSourceReader):
+    """``spark.read.format("amqp")`` — drain currently-available messages as
+    a batch DataFrame (the reference has no batch mode; this is the
+    DataFrame-native upgrade for replaying a captured spool or bounded
+    queue).
+
+    Scale design: the scan is partitioned — one executor-side partition per
+    spool file (``transport=spool``) or per AMQP address
+    (comma-separated ``address`` list for a live link), so a 100 TB spool
+    directory reads wide exactly like Spark's file sources; nothing funnels
+    through the driver.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.kind = options.get("transport", "qpid")
+
+    def partitions(self) -> list[InputPartition]:
+        if self.kind == "spool":
+            spool = self.options["spooldir"]
+            files = sorted(
+                os.path.join(spool, f)
+                for f in os.listdir(spool)
+                if f.endswith(".jsonl")
+            )
+            return [_SpoolFilePartition(p) for p in files] or [
+                _SpoolFilePartition("")
+            ]
+        addresses = self.options.get("address", "spark").split(",")
+        return [_AddressPartition(a.strip()) for a in addresses]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if isinstance(partition, _SpoolFilePartition):
+            if not partition.path:
+                return
+            with open(partition.path) as f:
+                for line in f:
+                    if line := line.strip():
+                        yield _msg_to_row(json.loads(line))
+            return
+        # live link: per-partition connection, drain until empty, settle all
+        transport = QpidTransport(  # pragma: no cover - no AMQP stack in image
+            host=self.options.get("host", "localhost"),
+            port=int(self.options.get("port", 5672)),
+            address=partition.address,
+            username=self.options.get("username"),
+            password=self.options.get("password"),
+            reliable=True,
+        )
+        try:  # pragma: no cover
+            while batch := transport.fetch(CREDITS_DEFAULT):
+                for m in batch:
+                    yield _msg_to_row(m)
+                transport.settle(len(batch))
+        finally:  # pragma: no cover
+            transport.close()
+
+
 class AMQPDataSource(DataSource):
-    """``spark.readStream.format("amqp")`` — envelope-schema AMQP source."""
+    """``spark.read[Stream].format("amqp")`` — envelope-schema AMQP source."""
 
     @classmethod
     def name(cls) -> str:
@@ -347,6 +425,9 @@ class AMQPDataSource(DataSource):
 
     def schema(self) -> StructType:
         return ENVELOPE_SCHEMA
+
+    def reader(self, schema: StructType) -> AMQPBatchReader:
+        return AMQPBatchReader(dict(self.options))
 
     def simpleStreamReader(self, schema: StructType) -> AMQPStreamReader:
         return AMQPStreamReader(dict(self.options))
