@@ -25,11 +25,13 @@ from streaming_amqp_spark.plans import collect_registries  # noqa: E402
 from streaming_amqp_spark.plans import events as _events  # noqa: E402
 from streaming_amqp_spark.plans import relational as _relational  # noqa: E402
 from streaming_amqp_spark.plans import scalars as _scalars  # noqa: E402
+from streaming_amqp_spark.plans import statistics as _statistics  # noqa: E402
 from streaming_amqp_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
 
 _MODULES = (
     _relational,
     _tpch_extra,
+    _statistics,
     _events,
     _scalars,
     _textstats,

@@ -27,7 +27,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "window_topk_orders_per_customer",
+    "agg_percentiles",
+    "split_train_val_test",
+    "text_doc_frequency",
     "events_window_5s_max",
     "events_sessionize_30m",
     "events_json_props",

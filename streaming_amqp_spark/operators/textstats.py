@@ -250,7 +250,58 @@ GROUP BY doc_id
 """
 
 
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building with document frequency + smoothed IDF — the
+    TF-IDF backbone of a corpus pipeline.  Top 50 terms by df (term as
+    tie-break) keeps the result bounded at any corpus size.
+
+    Scale: explode(distinct tokens) is a flatMap projection; the only
+    shuffle is the term-count agg (map-side partial combine applies), and
+    the corpus size joins in as a broadcast 1-row literal.  IDF is rounded
+    to 4 decimals (the irrational-output convention, plans.relational
+    RATIO)."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    df_ = (
+        d.select(F.explode(F.array_distinct(tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        df_.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                4,
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+
+
+_DOC_FREQ_SQL = """
+WITH df AS (
+  SELECT t AS term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents)
+  GROUP BY t
+)
+SELECT term, df,
+       round(ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)), 4)
+         AS idf
+FROM df
+ORDER BY df DESC, term
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "text_doc_frequency": text_doc_frequency,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -260,6 +311,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_doc_frequency": _DOC_FREQ_SQL,
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_score": _QUALITY_SQL,

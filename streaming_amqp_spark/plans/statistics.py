@@ -1,0 +1,169 @@
+"""Distribution statistics + deterministic sampling/splitting — the
+dataset-curation surface a 100 TB training pipeline needs beyond plain
+aggregates.
+
+Scale design:
+- Sampling and train/val/test splits are **hash-based** (md5 hex-digit
+  buckets), not RNG-based: deterministic across engines, retries, and
+  cluster sizes, embarrassingly parallel (a pure per-row predicate that
+  pushes into the scan stage — no shuffle, no state), and stable under
+  re-partitioning — the only sampling strategy that is reproducible at
+  100 TB.  RNG-style ``df.sample``/TABLESAMPLE cannot be oracle-matched
+  across engines and is not replayable after a lost executor.
+- Exact percentiles shuffle once on the group key; at extreme cardinality
+  swap ``percentile`` for ``approx_percentile`` (KLL) — the approx variant
+  is covered by ``agg_approx_stats`` (rows-only by design).
+- Histograms are floor-division binning: a map-side projection + one agg
+  shuffle, the canonical scalable distribution sketch.
+
+Reference provenance: no analogue in radanalyticsio/streaming-amqp (its
+only aggregate is a windowed max, AMQPTemperature.scala:97); this module is
+part of the BASELINE.json north star ("design every operator for 100 TB").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_amqp_spark.functions.numeric import dsum
+from streaming_amqp_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# md5's first hex digit = 16 uniform deterministic buckets.
+def _bucket() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+
+
+_BUCKET_SQL = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/16 deterministic document sample: rows whose md5 bucket is '0'.
+
+    The predicate is a pure function of doc_id — any engine, any run, any
+    partitioning selects the identical sample."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(_bucket() == "0").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+FROM documents
+WHERE {_BUCKET_SQL} = '0'
+"""
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the corpus 75/12.5/12.5 (hex digits 0-b / c-d / e-f) and
+    report per-split volume — the reproducible train/val/test assignment."""
+    d = _t(spark, sf_dir, "documents")
+    split = (
+        F.when(_bucket().isin(*list("0123456789ab")), "train")
+        .when(_bucket().isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"), F.size(F.split("text", " ")).alias("n_tok"), "doc_id"
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN {_BUCKET_SQL} IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+            THEN 'train'
+            WHEN {_BUCKET_SQL} IN ('c','d') THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY split
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/p50/p75/p90/p99) of extended price.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    (p·(n−1)) linear-interpolation definition, so the doubles match
+    bit-for-bit (verified empirically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.9, 0.99]))
+    return li.groupBy("l_returnflag").agg(
+        pct.getItem(0).alias("p25"),
+        pct.getItem(1).alias("p50"),
+        pct.getItem(2).alias("p75"),
+        pct.getItem(3).alias("p90"),
+        pct.getItem(4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+_PCTL_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.50) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.90) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def hist_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram: 25k-wide floor-division bins with per-bin
+    count and exact-decimal mass."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "total_value"),
+        )
+        .withColumn("bucket_lo", F.col("bucket").cast("double") * 25000.0)
+    )
+
+
+_HIST_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS DOUBLE) * 25000.0
+         AS bucket_lo
+FROM orders
+GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "sample_deterministic": sample_deterministic,
+    "split_train_val_test": split_train_val_test,
+    "agg_percentiles": agg_percentiles,
+    "hist_order_totalprice": hist_order_totalprice,
+}
+
+ORACLES = {
+    "sample_deterministic": _SAMPLE_SQL,
+    "split_train_val_test": _SPLIT_SQL,
+    "agg_percentiles": _PCTL_SQL,
+    "hist_order_totalprice": _HIST_SQL,
+}

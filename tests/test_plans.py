@@ -80,3 +80,42 @@ def test_whole_stage_codegen_on_scan_heavy_query(spark, sf_dir):
     assert "isFinalPlan=true" in final
     # '*(n)' prefixes mark WholeStageCodegen stages in simple explain mode
     assert "*(1)" in final, "scan/filter/partial-agg stage not codegen'd"
+
+
+def test_q9_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    # part, supplier, nation all broadcast; the name filter reaches the scan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
+    assert "StringContains(p_name,widget)" in plan.replace(" ", "")
+
+
+def test_q21_self_joins_stay_equi_hash(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    # EXISTS/NOT EXISTS self-joins must plan as equi semi/anti joins on
+    # l_orderkey (hashable), never nested-loop over the fact table
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_decorrelated_avg_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_quantity")
+    # the correlated AVG is decorrelated into one grouped subquery joined
+    # back broadcast — lineitem is scanned at most twice, never per-part
+    # (formatted explain prints every scan node twice: tree + detail)
+    assert plan.count("Scan parquet") <= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_predicate_is_scan_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_deterministic")
+    # hash-sampling must be a pure filter projection: no shuffle at all
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_percentiles_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_percentiles")
+    # one hash-partitioning exchange on the group key, nothing else
+    assert plan.count("Exchange hashpartitioning") <= 1
