@@ -138,12 +138,163 @@ FROM b
 """
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+RESIZE_BOX = 224  # aspect-fit target (the standard vision-model input box)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize plumbing over Arrow batches: per-image target
+    dimensions (fit the RESIZE_BOX, preserve ratio) + the 'resized' payload
+    hash.  The pixel resample itself is stubbed (prefix-truncate) — no
+    codec libs in this container — but the batch shape, schema, and the
+    vectorized-Python execution path are the real thing.
+
+    Scale: ``mapInPandas`` keeps one Python worker per partition fed by
+    Arrow batches; dimension math is plain doubles, identical in the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.col("text").cast("binary").alias("blob"))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                w, h = (n % 640 or 1), (n % 480 or 1)  # ≡ decode_image_stub dims
+                scale = float(RESIZE_BOX) / float(max(w, h))
+                nw = max(1, int(w * scale))
+                nh = max(1, int(h * scale))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        nw,
+                        nh,
+                        hashlib.md5(bytes(blob)[: nw * nh % max(n, 1)]).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "new_width",
+                    "new_height",
+                    "resized_md5",
+                ],
+            )
+
+    return src.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+# int(w*scale) truncates toward zero = floor for the positive values here;
+# blob[:k] on ASCII ≡ substring(text, 1, k).
+_RESIZE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) % 640 = 0 THEN 1
+              ELSE octet_length(encode(text)) % 640 END AS w,
+         CASE WHEN octet_length(encode(text)) % 480 = 0 THEN 1
+              ELSE octet_length(encode(text)) % 480 END AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+            AS INTEGER) AS new_width,
+       CAST(greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+            AS INTEGER) AS new_height,
+       md5(substring(text, 1,
+           (greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+            * greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT)))
+           % greatest(n, 1))) AS resized_md5
+FROM b
+"""
+
+
+FRAME_BYTES = 100  # stub "frame" granularity
+FRAME_STRIDE = 5  # keep every 5th frame
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: chunk the binary column into
+    fixed-size frames, keep every FRAME_STRIDE-th, fingerprint each.
+
+    All JVM-side (sequence → explode → substring → md5): at 100 TB the
+    frame index never touches Python, and the explode is a flatMap — no
+    shuffle until a downstream agg.  A real deployment swaps the substring
+    for a keyframe extractor in mapInPandas; schema and lineage stay."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.octet_length(F.col("text").cast("binary"))
+    n_frames = F.floor(n / F.lit(FRAME_BYTES)).cast("int")
+    return (
+        d.select("doc_id", "text", n_frames.alias("n_frames"))
+        .where(F.col("n_frames") >= 1)
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+            "text",
+        )
+        .where(F.col("frame_idx") % FRAME_STRIDE == 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            "n_frames",
+            F.md5(
+                F.expr(
+                    f"substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+                )
+            ).alias("frame_md5"),
+        )
+    )
+
+
+_FRAME_SQL = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INTEGER)
+           AS n_frames
+  FROM documents
+  WHERE octet_length(encode(text)) >= {FRAME_BYTES}
+)
+SELECT doc_id, frame_idx, n_frames,
+       md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_md5
+FROM (SELECT doc_id, text, n_frames,
+             CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+      FROM b)
+WHERE frame_idx % {FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_meta": _META_SQL,
     "multimodal_decode_features": _DECODE_SQL,
+    "multimodal_resize": _RESIZE_SQL,
+    "multimodal_frame_sample": _FRAME_SQL,
 }
