@@ -244,7 +244,131 @@ GROUP BY event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence funnel view → click → purchase: each stage must
+    happen after the user's previous stage timestamp and within a 24 h
+    conversion window of it.
+
+    Scale: three equi-joins on user_id — all shuffles share the same key,
+    so a cluster plans one exchange reused across stages (and bucketing
+    events by user_id makes them exchange-free).  Stage tables are
+    min-aggregates, orders of magnitude smaller than the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count("*").alias("n_view"))
+        .crossJoin(clicks.agg(F.count("*").alias("n_click")))
+        .crossJoin(purchases.agg(F.count("*").alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias(
+                "view_to_click"
+            ),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+  JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+  JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM views) AS n_view,
+       (SELECT count(*) FROM clicks) AS n_click,
+       (SELECT count(*) FROM purchases) AS n_purchase,
+       CAST((SELECT count(*) FROM clicks) AS DOUBLE)
+         / (SELECT count(*) FROM views) AS view_to_click,
+       CAST((SELECT count(*) FROM purchases) AS DOUBLE)
+         / (SELECT count(*) FROM clicks) AS click_to_purchase
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted per
+    day-offset they return on.  Two shuffles (first-activity agg on
+    user_id, cohort-cell agg) — the canonical retention matrix, scalable
+    because both aggregate user-day granularity, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .where(F.col("day_offset").isin(0, 1, 7, 14, 28))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day, day_offset, count(DISTINCT e.user_id) AS n_active
+FROM (SELECT user_id, ts FROM events) e
+JOIN first USING (user_id)
+JOIN LATERAL (
+  SELECT datediff('day', cohort_day, date_trunc('day', e.ts)) AS day_offset
+) d ON true
+WHERE day_offset IN (0, 1, 7, 14, 28)
+GROUP BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "events_window_5s_max": events_window_5s_max,
     "envelope_map_functions": envelope_map_functions,
     "events_window_hourly_by_type": events_window_hourly_by_type,
@@ -255,6 +379,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": _FUNNEL_SQL,
+    "events_retention": _RETENTION_SQL,
     "events_window_5s_max": _W5S_SQL,
     "envelope_map_functions": _MAP_FUNCS_SQL,
     "events_window_hourly_by_type": _WHOUR_SQL,
