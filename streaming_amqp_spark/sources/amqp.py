@@ -140,17 +140,34 @@ class SpoolTransport(Transport):
     def __init__(self, spool_dir: str):
         self.spool_dir = spool_dir
         self.consumed = 0
+        # Converter-crash semantics (SURVEY §7.4.2): the reference's
+        # unreliable path throws on an unconvertible message
+        # (AMQPReceiver.scala:161) while the reliable path silently drops
+        # (ReliableAMQPReceiver.scala:127).  The resolved semantic here:
+        # drop AND count — the stream never dies, the loss is observable.
+        self.malformed = 0
 
     def _all_messages(self) -> list[dict]:
         out: list[dict] = []
+        malformed = 0
         for fname in sorted(os.listdir(self.spool_dir)):
             if not fname.endswith(".jsonl"):
                 continue
             with open(os.path.join(self.spool_dir, fname)) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
-                        out.append(json.loads(line))
+                    if not line:
+                        continue
+                    try:
+                        msg = json.loads(line)
+                    except ValueError:
+                        malformed += 1
+                        continue
+                    if not isinstance(msg, dict):
+                        malformed += 1
+                        continue
+                    out.append(msg)
+        self.malformed = malformed
         return out
 
     def fetch(self, max_n: int) -> list[dict]:

@@ -391,3 +391,31 @@ def test_stateful_tws_running_stats(amqp, tmp_path):
     out = _run_stream_to_memory(amqp, stats, "tws_out", output_mode="update")
     final = out.collect()[-1]
     assert final.n_messages == 5 and final.max_value == 24.0
+
+
+def test_malformed_messages_dropped_and_counted(amqp, tmp_path):
+    """Converter-crash semantics resolved per SURVEY §7.4.2: a message the
+    converter can't parse is dropped (stream survives) and counted — never
+    the unreliable-receiver crash of AMQPReceiver.scala:161."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with open(spool / "000.jsonl", "w") as f:
+        f.write('{"message_id": "ok1", "body": "1"}\n')
+        f.write("{not json at all\n")
+        f.write('"a bare string, not an envelope"\n')
+        f.write('{"message_id": "ok2", "body": "2"}\n')
+    df = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", str(spool))
+        .load()
+    )
+    out = _run_stream_to_memory(amqp, df, "malformed_out")
+    ids = sorted(r.message_id for r in out.collect())
+    assert ids == ["ok1", "ok2"]
+
+    from streaming_amqp_spark.sources.amqp import SpoolTransport
+
+    t = SpoolTransport(str(spool))
+    t.fetch(10)
+    assert t.malformed == 2
