@@ -312,7 +312,81 @@ JOIN per_doc b ON b.doc_id = c.id2
 """
 
 
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the verified
+    MinHash-LSH near-dup pairs via iterative min-label propagation
+    (cluster_id = smallest doc_id reachable).
+
+    This is the step that turns pairwise near-dups into the keep-one-per-
+    cluster decision a curation pipeline actually applies.  Scale shape:
+    each iteration is one equi-join + min-agg on doc_id (same key ⇒ one
+    reused exchange); iterations needed = component diameter, which for
+    near-dup clusters is tiny.  ``localCheckpoint`` truncates the lineage
+    each round — the standard iterative-algorithm pattern on Spark (the
+    oracle computes the same fixpoint with a recursive CTE)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id1", "id2")
+    edges = pairs.union(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("id1").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges.id2 == labels.doc_id)
+            .groupBy("id1")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.id1, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+edges AS (
+  SELECT id1, id2 FROM pairs
+  UNION ALL
+  SELECT id2 AS id1, id1 AS id2 FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT DISTINCT id1, id1 FROM edges
+  UNION
+  SELECT e.id2, r.label FROM reach r JOIN edges e ON e.id1 = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id
+FROM reach
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
     "dedup_simhash_hamming1": dedup_simhash_hamming1,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -321,6 +395,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_clusters": _CLUSTERS_SQL,
     "dedup_exact": _EXACT_SQL,
     "dedup_simhash_hamming1": _simhash_hamming1_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,

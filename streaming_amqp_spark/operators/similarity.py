@@ -316,7 +316,42 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path against the exact brute-force baseline —
+    the measurement every ANN deployment needs before trading exactness
+    for the K× scan reduction.  Both inputs are deterministic, so recall
+    itself is oracle-checkable (rare for ANN evaluation)."""
+    exact = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(float(KNN_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+SELECT e.query_id,
+       count(a.neighbor_id) AS n_hit,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {float(KNN_K)} AS recall_at_k
+FROM ({_KNN_SQL}) e
+LEFT JOIN ({_ivf_oracle()}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
+    "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_centroids": embedding_centroids,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -326,6 +361,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
     "knn_cosine_topk": _KNN_SQL,
     "embedding_centroids": _CENTROID_SQL,
