@@ -93,6 +93,34 @@ def create_json_stream(
     return env.select(json_envelope_column().alias("value"))
 
 
+def publish(
+    df,
+    spooldir: str,
+    streaming: bool | None = None,
+    **options,
+):
+    """Publish envelope rows via the AMQP sink (two-phase commit onto a
+    spool directory offline; a live sender when the AMQP stack exists).
+
+    Batch DataFrames are written immediately; streaming DataFrames return
+    the started query (caller manages lifecycle)."""
+    _ensure_registered(df.sparkSession)
+    is_stream = df.isStreaming if streaming is None else streaming
+    if is_stream:
+        return (
+            df.writeStream.format("amqp")
+            .options(transport="spool", spooldir=spooldir, **options)
+            .start()
+        )
+    (
+        df.write.format("amqp")
+        .mode("append")
+        .options(transport="spool", spooldir=spooldir, **options)
+        .save()
+    )
+    return None
+
+
 def read_batch(
     spark: SparkSession,
     host: str | None = None,

@@ -53,8 +53,11 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -433,6 +436,105 @@ class AMQPBatchReader(DataSourceReader):
             transport.close()
 
 
+def _row_to_msg(row) -> dict:
+    """One envelope(-ish) row → one spool/transport message dict (the
+    inverse of ``_msg_to_row``; missing columns become absent keys)."""
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    msg: dict = {}
+    for k in (
+        "message_id",
+        "to_address",
+        "subject",
+        "reply_to",
+        "correlation_id",
+        "application_properties",
+        "message_annotations",
+    ):
+        if d.get(k) is not None:
+            v = d[k]
+            msg[k] = dict(v) if hasattr(v, "items") else v
+    if d.get("body_type") == "data" and d.get("body_binary") is not None:
+        msg["body_b64"] = base64.b64encode(bytes(d["body_binary"])).decode()
+    elif d.get("body") is not None:
+        msg["body"] = d["body"]
+    if d.get("ingest_ts") is not None:
+        msg["ingest_ts"] = d["ingest_ts"].isoformat()
+    return msg
+
+
+class _SpoolCommit(WriterCommitMessage):
+    """Commit message: the task's temp file + its partition id."""
+
+    def __init__(self, tmp_path: str, partition_id: int, n_rows: int):
+        self.tmp_path = tmp_path
+        self.partition_id = partition_id
+        self.n_rows = n_rows
+
+
+class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
+    """``df.write[Stream].format("amqp")`` — publish envelope rows.
+
+    Offline (``transport=spool``): two-phase commit onto the spool
+    directory in the exact format ``SpoolTransport`` reads (write→read
+    round-trips).  Tasks write temp files and report them in their commit
+    message; the driver's ``commit`` renames them to their final
+    ``<epoch>-<partition>.jsonl`` names (atomic per file), ``abort``
+    deletes them.  A replayed streaming epoch re-renames onto the same
+    names instead of duplicating — the sink half of the at-least-once
+    contract.  The mechanism assumes the spool dir is shared storage, the
+    same assumption Spark's own file sinks make.
+
+    Live mode would open a per-partition ``QpidTransport`` sender; the
+    reference has no sink at all (ingestion-only connector), so this is an
+    engine-completeness upgrade, not a parity port.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        if options.get("transport", "qpid") != "spool":  # pragma: no cover
+            raise ImportError(
+                "AMQP publish needs python-qpid-proton (absent in this "
+                "container); use transport=spool"
+            )
+        self.spool_dir = options["spooldir"]
+
+    def write(self, iterator) -> _SpoolCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.spool_dir, exist_ok=True)
+        tmp = os.path.join(self.spool_dir, f".inprogress-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(_row_to_msg(row), separators=(",", ":")) + "\n")
+                n += 1
+        return _SpoolCommit(tmp, pid, n)
+
+    def _finalize(self, messages, epoch: str) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(
+                self.spool_dir, f"{epoch}-{m.partition_id:05d}.jsonl"
+            )
+            os.replace(m.tmp_path, final)
+
+    # batch path: DataSourceWriter.commit(messages)
+    # stream path: DataSourceStreamWriter.commit(messages, batchId)
+    def commit(self, messages, batchId=None) -> None:
+        epoch = "batch" if batchId is None else f"e{batchId}"
+        self._finalize(messages, epoch)
+
+    def abort(self, messages, batchId=None) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class AMQPDataSource(DataSource):
     """``spark.read[Stream].format("amqp")`` — envelope-schema AMQP source."""
 
@@ -448,6 +550,12 @@ class AMQPDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> AMQPStreamReader:
         return AMQPStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> AMQPWriter:
+        return AMQPWriter(dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> AMQPWriter:
+        return AMQPWriter(dict(self.options))
 
 
 def register_amqp_source(spark) -> None:
