@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data curation over the engine's operators.
+
+Walks the full pipeline a data-curation job runs at 100 TB, on the
+sf0.001 test tables::
+
+    python examples/llm_curation_pipeline.py [--sf-dir /root/testdata/sf0.001]
+
+Stages (each is an oracle-checked operator from __spark_entry__):
+  1. exact dedup           (hash-groupBy content hash)
+  2. near-dup clustering   (MinHash-LSH pairs → connected components,
+                            keep the min-doc_id representative per cluster)
+  3. quality filtering     (stopword/type-token/length scoring)
+  4. language + token stats of the surviving corpus
+  5. deterministic train/val/test split (md5 hash buckets)
+  6. similarity spot-check (exact cosine top-k on the embeddings table)
+
+No stage collects to the driver except the final small summaries — the
+same code runs unchanged on a cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streaming_amqp_spark.operators.dedup import dedup_clusters, dedup_exact  # noqa: E402
+from streaming_amqp_spark.operators.similarity import knn_cosine_topk  # noqa: E402
+from streaming_amqp_spark.operators.textstats import text_quality_score  # noqa: E402
+from streaming_amqp_spark.plans.statistics import split_train_val_test  # noqa: E402
+from streaming_amqp_spark.session import get_spark  # noqa: E402
+from streaming_amqp_spark.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+    sf = args.sf_dir
+
+    spark = get_spark("llm-curation-example", master="local[4]")
+    docs = load_table(spark, sf, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep the lowest doc_id per content hash
+    kept_exact = dedup_exact(spark, sf).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    n1 = kept_exact.count()
+
+    # 2. near-dup clusters: drop everything but each cluster's representative
+    clusters = dedup_clusters(spark, sf)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = kept_exact.join(losers, "doc_id", "left_anti")
+    n2 = survivors.count()
+
+    # 3. quality floor
+    quality = text_quality_score(spark, sf).select("doc_id", "quality_score")
+    curated = survivors.join(quality, "doc_id").where(
+        F.col("quality_score") >= 0.62
+    )
+    n3 = curated.count()
+
+    # 4. per-language stats of the curated corpus
+    stats = (
+        docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc())
+    )
+
+    # 5. deterministic split of the full corpus
+    split = split_train_val_test(spark, sf)
+
+    # 6. similarity spot-check
+    knn = knn_cosine_topk(spark, sf)
+
+    print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
+    print("per-language curated counts:")
+    for r in stats.collect():
+        print(f"  {r.lang}: {r.n_docs}")
+    print("train/val/test:")
+    for r in split.orderBy("split").collect():
+        print(f"  {r.split}: {r.n_docs} docs, {r.total_tokens} tokens")
+    print(f"knn spot-check rows: {knn.count()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
