@@ -704,6 +704,73 @@ FROM events
 """
 
 
+def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer revenue over the trailing 7 days
+    (value-based frame, peers included — vs the ROWS frames above).
+    Ordering key is epoch seconds so Spark's numeric rangeBetween and the
+    oracle's RANGE ... PRECEDING agree exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_7d"),
+        F.count("*").over(w).alias("n_orders_7d"),
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_7d,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         AS n_orders_7d
+FROM orders
+"""
+
+
+def full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-nation premium-customer counts vs premium-
+    supplier counts — either side may be absent for a nation, and the
+    unmatched rows survive with nulls.  Shuffles both (tiny) aggregates on
+    the join key; at scale a full outer of two pre-aggregated sides is the
+    cheap formulation (never full-outer the raw facts)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return cust.join(sup, "nationkey", "full_outer").select(
+        "nationkey", "n_rich_customers", "n_rich_suppliers"
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       n_rich_customers, n_rich_suppliers
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+  USING (nationkey)
+"""
+
+
 def sort_limit_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
@@ -850,6 +917,8 @@ QUERIES = {
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "window_running_revenue": window_running_revenue,
     "window_lag_event_delta": window_lag_event_delta,
+    "window_range_frame_7d": window_range_frame_7d,
+    "full_outer_nation_profile": full_outer_nation_profile,
     "sort_limit_top_lineitems": sort_limit_top_lineitems,
     "set_ops_nation_presence": set_ops_nation_presence,
     "priciest_part_per_brand": priciest_part_per_brand,
@@ -879,6 +948,8 @@ ORACLES = {
     "window_topk_orders_per_customer": _TOPK_SQL,
     "window_running_revenue": _RUNNING_SQL,
     "window_lag_event_delta": _LAG_SQL,
+    "window_range_frame_7d": _RANGE_FRAME_SQL,
+    "full_outer_nation_profile": _FULL_OUTER_SQL,
     "sort_limit_top_lineitems": _SORT_LIMIT_SQL,
     "set_ops_nation_presence": _SET_OPS_SQL,
     "priciest_part_per_brand": _PRICIEST_SQL,
