@@ -138,6 +138,81 @@ def running_device_stats_tws(envelope: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", StringType()),
+        StructField("t_view", DoubleType()),
+        StructField("t_click", DoubleType()),
+        StructField("t_purchase", DoubleType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", DoubleType()),
+        StructField("t_click", DoubleType()),
+        StructField("t_purchase", DoubleType()),
+    ]
+)
+
+_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_update(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    tv, tc, tp = state.get if state.exists else (None, None, None)
+    rows: list[tuple[float, str]] = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts"].astype("int64") / 1e9, pdf["event_type"]))
+    # event-time order within the batch; state enforces order across batches
+    for ts, etype in sorted(rows):
+        if etype == "view" and tv is None:
+            tv = ts
+        elif etype == "click" and tv is not None and tc is None and ts > tv:
+            tc = ts
+        elif etype == "purchase" and tc is not None and tp is None and ts > tc:
+            tp = ts
+    state.update((tv, tc, tp))
+    stage = "none"
+    if tp is not None:
+        stage = "purchase"
+    elif tc is not None:
+        stage = "click"
+    elif tv is not None:
+        stage = "view"
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage": [stage],
+            "t_view": [tv],
+            "t_click": [tc],
+            "t_purchase": [tp],
+        }
+    )
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Per-user strict-sequence funnel as a stateful streaming operator:
+    state = the three stage timestamps, advanced only in order
+    (view → click → purchase), carried across micro-batches.
+
+    The incremental twin of ``plans.events.events_funnel``: the batch
+    version recomputes stage tables per run; this one holds O(users)
+    state and emits each user's current stage every batch.  Input needs
+    columns (user_id long, event_type string, ts timestamp)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_device_stats(envelope: DataFrame) -> DataFrame:
     """Per-device running (count, max) over the AMQP envelope stream:
     body cast to double, grouped by to_address, state carried across

@@ -419,3 +419,64 @@ def test_malformed_messages_dropped_and_counted(amqp, tmp_path):
     t = SpoolTransport(str(spool))
     t.fetch(10)
     assert t.malformed == 2
+
+
+def test_stateful_streaming_funnel(amqp, tmp_path):
+    """Stateful funnel: stage advances only in order, across micro-batches
+    (the incremental twin of plans.events.events_funnel)."""
+    from streaming_amqp_spark.streaming.stateful import streaming_funnel
+
+    def msgs(batch):
+        # user 1 completes the funnel across two batches; user 2 clicks
+        # before viewing (click must NOT advance); purchase before click
+        # for user 2 is also ignored.
+        b1 = [
+            {"message_id": "a", "application_properties": {"user": "1", "type": "view"},
+             "ingest_ts": "2024-01-01T00:00:01"},
+            {"message_id": "b", "application_properties": {"user": "2", "type": "click"},
+             "ingest_ts": "2024-01-01T00:00:02"},
+            {"message_id": "c", "application_properties": {"user": "1", "type": "click"},
+             "ingest_ts": "2024-01-01T00:00:03"},
+        ]
+        b2 = [
+            {"message_id": "d", "application_properties": {"user": "1", "type": "purchase"},
+             "ingest_ts": "2024-01-01T00:00:04"},
+            {"message_id": "e", "application_properties": {"user": "2", "type": "purchase"},
+             "ingest_ts": "2024-01-01T00:00:05"},
+            {"message_id": "f", "application_properties": {"user": "2", "type": "view"},
+             "ingest_ts": "2024-01-01T00:00:06"},
+        ]
+        return b1 if batch == 1 else b2
+
+    spool = _write_spool(tmp_path, msgs(1))
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    events = env.select(
+        F.col("application_properties")["user"].cast("long").alias("user_id"),
+        F.col("application_properties")["type"].alias("event_type"),
+        F.col("ingest_ts").alias("ts"),
+    )
+    out = streaming_funnel(events)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    _write_spool(tmp_path, msgs(2), fname="001.jsonl")
+    q.processAllAvailable()
+    q.stop()
+    rows = amqp.sql("SELECT * FROM funnel_state").collect()
+    last = {}
+    for r in rows:  # memory sink appends per batch; keep the latest per user
+        last[r.user_id] = r
+    assert last[1].stage == "purchase"
+    assert last[1].t_view < last[1].t_click < last[1].t_purchase
+    # user 2: early click/purchase ignored; only the late view counts
+    assert last[2].stage == "view"
+    assert last[2].t_click is None and last[2].t_purchase is None
