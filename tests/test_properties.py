@@ -63,3 +63,57 @@ def test_string_bodies_pass_through_verbatim(body):
     (AMQPJsonFunction.scala:115-117 semantics)."""
     body_type, body_json, _ = _json_encode_body(body)
     assert body_type == "amqpValue" and body_json == body
+
+
+# --- deterministic hash-split invariants (plans.statistics) ---------------
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_hash_split_is_deterministic_partition_and_total(ids):
+    """The md5 hex-digit split is a pure per-row function: (a) every id
+    lands in exactly one split, (b) assignment is independent of input
+    order/grouping — the property that makes it safe at any partitioning."""
+    import hashlib
+
+    def bucket(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[0]
+
+    def split(i):
+        b = bucket(i)
+        if b in "0123456789ab":
+            return "train"
+        return "val" if b in "cd" else "test"
+
+    assigned = {i: split(i) for i in ids}
+    # total: every id assigned exactly once
+    assert set(assigned) == set(ids)
+    # order-independence: shuffling the iteration order changes nothing
+    for i in sorted(ids, reverse=True):
+        assert split(i) == assigned[i]
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_percentile_interpolation_definition(values):
+    """The (p·(n−1)) linear-interpolation definition both engines share,
+    checked against a direct reference implementation."""
+    import math
+
+    xs = sorted(values)
+    n = len(xs)
+    for p in (0.25, 0.5, 0.75, 0.9, 0.99):
+        pos = p * (n - 1)
+        lo = math.floor(pos)
+        hi = min(lo + 1, n - 1)
+        frac = pos - lo
+        expected = xs[lo] + (xs[hi] - xs[lo]) * frac
+        import numpy as np
+
+        got = float(np.percentile(np.array(xs, dtype="float64"), p * 100))
+        assert got == expected or abs(got - expected) < 1e-9
