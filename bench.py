@@ -35,6 +35,7 @@ HEADLINE = [
     "text_doc_frequency",
     "events_window_5s_max",
     "events_sessionize_30m",
+    "events_funnel",
     "events_json_props",
     "asof_join_error_purchase",
     "dedup_minhash_lsh",
@@ -42,7 +43,9 @@ HEADLINE = [
     "knn_cosine_topk",
     "ann_ivf_topk",
     "text_quality_score",
+    "text_bigram_counts",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
     "agg_variance_corr",
     "curate_documents",
 ]

@@ -300,7 +300,44 @@ LIMIT 50
 """
 
 
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (top 40) — the n-gram language-model
+    count table.  Raw (non-distinct) counts, unlike document frequency:
+    the same explode → count shape, one agg shuffle with map-side
+    combine; bounded output via top-k."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        d.where(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(40)
+    )
+
+
+_BIGRAM_SQL = """
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 40
+"""
+
+
 QUERIES = {
+    "text_bigram_counts": text_bigram_counts,
     "text_doc_frequency": text_doc_frequency,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -311,6 +348,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_counts": _BIGRAM_SQL,
     "text_doc_frequency": _DOC_FREQ_SQL,
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
