@@ -186,6 +186,40 @@ GROUP BY event_type
 """
 
 
+def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with a declared schema — the typed counterpart of
+    ``events_json_props``'s ``get_json_object`` path walks (SURVEY §2B maps
+    the reference's JSON tree navigation, AMQPTemperature.scala:121-122, to
+    exactly this).  Parsing happens once into a struct column; downstream
+    references are struct field reads, not repeated JSON scans."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.where(F.col("p.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+_FROM_JSON_SQL = """
+SELECT event_type,
+       min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def envelope_body_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → AMQP envelope → AMQPBodyFunction-style body cast → agg.
     Exercises the envelope construction + body converter (envelope.py ≡
@@ -375,6 +409,7 @@ QUERIES = {
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionize_30m": events_sessionize_30m,
     "events_json_props": events_json_props,
+    "events_from_json_typed": events_from_json_typed,
     "envelope_body_roundtrip": envelope_body_roundtrip,
 }
 
@@ -387,5 +422,6 @@ ORACLES = {
     "events_sliding_10m_5m": _WSLIDE_SQL,
     "events_sessionize_30m": _SESSION_SQL,
     "events_json_props": _JSON_SQL,
+    "events_from_json_typed": _FROM_JSON_SQL,
     "envelope_body_roundtrip": _ENVELOPE_SQL,
 }
