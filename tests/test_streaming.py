@@ -480,3 +480,37 @@ def test_stateful_streaming_funnel(amqp, tmp_path):
     # user 2: early click/purchase ignored; only the late view counts
     assert last[2].stage == "view"
     assert last[2].t_click is None and last[2].t_purchase is None
+
+
+def test_unreliable_mode_settles_on_receive(amqp, tmp_path):
+    """A5 parity: reliable=false ≡ the unreliable receiver's store-as-you-go
+    (AMQPReceiver.scala:159-162) — messages settle on receive, nothing is
+    retained for commit-time replay (at-most-once on failure)."""
+    spool = _write_spool(tmp_path, _temperature_messages())
+    df = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .option("reliable", "false")
+        .load()
+    )
+    out = _run_stream_to_memory(amqp, df, "unreliable_out")
+    assert out.count() == 5  # ingestion itself is identical
+
+    from streaming_amqp_spark.sources.amqp import AMQPStreamReader
+
+    r = AMQPStreamReader(
+        {"transport": "spool", "spooldir": spool, "reliable": "false"}
+    )
+    rows, end = r.read(r.initialOffset())
+    assert len(list(rows)) == 5 and end == {"seq": 5}
+    assert r._retained == []  # settled on receive — no replay buffer
+
+    r2 = AMQPStreamReader(
+        {"transport": "spool", "spooldir": spool, "reliable": "true"}
+    )
+    rows2, end2 = r2.read(r2.initialOffset())
+    assert len(list(rows2)) == 5
+    assert len(r2._retained) == 5  # reliable mode retains until commit
+    r2.commit(end2)
+    assert r2._retained == []
