@@ -43,7 +43,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     # partsupp stand-in: min unit price per (part, supplier) pair.
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Semi-join the part filter BELOW the aggregation: only the ~3% of
+    # lineitem touching qualifying parts shuffles into the groupBy — the
+    # pushdown Catalyst can't infer across an agg on the join key.
+    li_scoped = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = li_scoped.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
     )
     ps = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
