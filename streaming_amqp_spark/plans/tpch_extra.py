@@ -381,10 +381,21 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
     )
-    # Decorrelated: per-part deterministic avg (exact decimal sum ÷ count).
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
-            "avg_qty"
+    # Decorrelated: per-part deterministic avg (exact decimal sum ÷ count),
+    # computed only for qualifying parts — the semi-join below the agg keeps
+    # every lineitem of those parts, so per-part avgs are unchanged while
+    # the agg shuffle shrinks to the filtered selectivity.
+    avg_qty = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ak"))
+        .agg(
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
+                "avg_qty"
+            )
         )
     )
     return (
