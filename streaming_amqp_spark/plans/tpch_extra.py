@@ -167,11 +167,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,2)")
     vol = _revenue_term()
+    # Region-filter orders via broadcast dims BEFORE the orderkey shuffle:
+    # both fact sides arrive at the join pre-filtered (li to PROMO parts,
+    # orders to AFRICA customers) — the only big exchange carries ~1/30 of
+    # the raw rows.
+    orders_scoped = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(cnation), cust.c_nationkey == F.col("c_nk"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(cnation), cust.c_nationkey == F.col("c_nk"))
+        .join(orders_scoped, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(snation), sup.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
