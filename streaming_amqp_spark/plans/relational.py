@@ -96,11 +96,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
+    # Broadcast the segment-filtered customers onto orders BEFORE the
+    # orderkey shuffle (map-side): only BUILDING-segment orders (~1/5)
+    # reach the fact-fact exchange.
+    orders_scoped = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
         li.join(
-            orders, li.l_orderkey == orders.o_orderkey
+            orders_scoped, li.l_orderkey == orders.o_orderkey
         )  # fact-fact equi-join: sort-merge/shuffle-hash, AQE-planned
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_revenue_term(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
