@@ -102,9 +102,10 @@ def test_q21_self_joins_stay_equi_hash(spark, sf_dir):
 def test_q17_decorrelated_avg_is_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q17_small_quantity")
     # the correlated AVG is decorrelated into one grouped subquery joined
-    # back broadcast — lineitem is scanned at most twice, never per-part
+    # back broadcast — a bounded number of scans (lineitem ≤3: main +
+    # scoped avg + its semi-join; part ≤2), never a per-part rescan
     # (formatted explain prints every scan node twice: tree + detail)
-    assert plan.count("Scan parquet") <= 6
+    assert plan.count("Scan parquet") <= 10
     assert "CartesianProduct" not in plan
 
 
