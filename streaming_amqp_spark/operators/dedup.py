@@ -312,6 +312,35 @@ JOIN per_doc b ON b.doc_id = c.id2
 """
 
 
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH path against the exact all-pairs Jaccard
+    ground truth — one row: how many true near-dup pairs the banded
+    signatures surfaced.  Deterministic on both sides, so the approximation
+    quality itself is oracle-checked (the 4×4 banding predicts ≥ ~97%
+    recall at jaccard 0.8: 1-(1-s^4)^4)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    found = dedup_minhash_lsh(spark, sf_dir).select(
+        "id1", "id2", F.lit(1).alias("hit")
+    )
+    return truth.join(found, ["id1", "id2"], "left").agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
+        ).alias("recall"),
+    )
+
+
+def _minhash_recall_oracle() -> str:
+    return f"""
+SELECT count(*) AS n_true_pairs,
+       count(f.id1) AS n_found,
+       CAST(count(f.id1) AS DOUBLE) / count(*) AS recall
+FROM ({_JACCARD_SQL}) t
+LEFT JOIN ({_MINHASH_SQL}) f ON f.id1 = t.id1 AND f.id2 = t.id2
+"""
+
+
 CC_MAX_ITERS = 20
 
 
@@ -387,6 +416,7 @@ GROUP BY doc_id
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_exact": dedup_exact,
     "dedup_simhash_hamming1": dedup_simhash_hamming1,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -396,6 +426,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_minhash_recall": _minhash_recall_oracle(),
     "dedup_exact": _EXACT_SQL,
     "dedup_simhash_hamming1": _simhash_hamming1_oracle(),
     "dedup_ngram_jaccard": _JACCARD_SQL,

@@ -514,3 +514,47 @@ def test_unreliable_mode_settles_on_receive(amqp, tmp_path):
     assert len(r2._retained) == 5  # reliable mode retains until commit
     r2.commit(end2)
     assert r2._retained == []
+
+
+def test_watermark_drops_late_data(amqp, tmp_path):
+    """The event-time upgrade over the reference (SURVEY §2C/§7.4.4):
+    DStreams window by arrival and would count a late record in whatever
+    window is current; here a record older than the watermark is dropped
+    once its window's state is evicted."""
+    from streaming_amqp_spark.streaming.windows import temperature_max_per_window
+
+    batch1 = [
+        {"message_id": "a", "body": "21", "ingest_ts": "2024-01-01T00:00:01"},
+        {"message_id": "b", "body": "23", "ingest_ts": "2024-01-01T00:00:03"},
+        # advances the watermark (5 s delay) past the 00:00:00-05 window
+        {"message_id": "c", "body": "30", "ingest_ts": "2024-01-01T00:00:20"},
+    ]
+    late = [
+        # 99 would be the new max of window 0-5 — but that state is evicted
+        {"message_id": "z", "body": "99", "ingest_ts": "2024-01-01T00:00:02"},
+    ]
+    spool = _write_spool(tmp_path, batch1)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    agg = temperature_max_per_window(env, window="5 seconds", watermark="5 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_data")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    _write_spool(tmp_path, late, fname="001.jsonl")
+    q.processAllAvailable()
+    q.stop()
+    rows = amqp.sql(
+        "SELECT max_temperature FROM late_data "
+        "WHERE window_start = TIMESTAMP '2024-01-01 00:00:00'"
+    ).collect()
+    maxes = [r.max_temperature for r in rows]
+    assert 23 in maxes, maxes   # the on-time result
+    assert 99 not in maxes, maxes  # the late record was dropped
