@@ -400,9 +400,57 @@ GROUP BY cohort_day, day_offset
 """
 
 
+EWMA_ALPHA = 0.25
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the sequential-recurrence analytic SQL windows can't express directly,
+    done as an ordered array fold (collect → sort → F.aggregate), fully
+    JVM-side.
+
+    Scale: one shuffle on user_id; per-user state is the value array
+    (bounded by events-per-user, not stream length — cap with a trailing
+    window slice when keys are unbounded).  The left fold's double ops run
+    in identical order in both engines → bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.lit(EWMA_ALPHA)
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").alias("n_events"),
+            F.aggregate(
+                F.expr("slice(vals, 2, size(vals) - 1)"),
+                F.element_at("vals", 1),
+                lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+            ).alias("ewma"),
+            F.element_at("vals", -1).alias("last_value"),
+        )
+    )
+
+
+_EWMA_SQL = f"""
+SELECT user_id,
+       len(vals) AS n_events,
+       list_reduce(vals, (acc, x) -> CAST({EWMA_ALPHA} AS DOUBLE) * x
+                                     + (1.0 - CAST({EWMA_ALPHA} AS DOUBLE)) * acc)
+         AS ewma,
+       vals[-1] AS last_value
+FROM (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_ewma": events_ewma,
     "events_window_5s_max": events_window_5s_max,
     "envelope_map_functions": envelope_map_functions,
     "events_window_hourly_by_type": events_window_hourly_by_type,
@@ -416,6 +464,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_retention": _RETENTION_SQL,
+    "events_ewma": _EWMA_SQL,
     "events_window_5s_max": _W5S_SQL,
     "envelope_map_functions": _MAP_FUNCS_SQL,
     "events_window_hourly_by_type": _WHOUR_SQL,
