@@ -400,6 +400,93 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join, binned: purchases that occurred during any
+    global error burst (≥3 errors with <5 min gaps — no shared key with
+    the probe side).
+
+    Naively this is a nested-loop theta join (quadratic at scale).  The
+    scalable formulation: explode each interval into the 1-hour buckets it
+    overlaps, bucket the probe side once, equi-join on bucket, then apply
+    the exact range filter.  Each (purchase, burst) pair meets in exactly
+    one bucket (the probe row has one bucket), so no dedup is needed and
+    the only shuffle is a keyed hash join on bucket.
+
+    The burst detection's global cumulative window runs single-partition —
+    fine for an error sub-stream; at 100 TB shard it by day first."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    errors = ev.where(F.col("event_type") == "error").select("ts", "event_id")
+    bursts = (
+        errors.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_burst",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 300.0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("burst_id", F.sum("new_burst").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("burst_id")
+        .agg(
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count("*").alias("n_errors"),
+        )
+        .where(F.col("n_errors") >= 3)
+    )
+    binned_bursts = bursts.select(
+        "burst_id",
+        "burst_start",
+        "burst_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "burst_start"),
+                F.date_trunc("hour", "burst_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    hits = purchases.join(binned_bursts, "bucket").where(
+        (F.col("ts") >= F.col("burst_start")) & (F.col("ts") <= F.col("burst_end"))
+    )
+    return hits.agg(
+        F.count("*").alias("n_purchases_in_bursts"),
+        F.countDistinct("burst_id").alias("n_bursts_hit"),
+        dsum("value", "value_at_risk"),
+    )
+
+
+_INTERVAL_BINNED_SQL = """
+WITH e AS (
+  SELECT ts, event_id,
+         lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'error'
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300.0
+                 THEN 1 ELSE 0 END AS new_burst
+  FROM e
+), bursts AS (
+  SELECT burst_id, min(ts) AS burst_start, max(ts) AS burst_end,
+         count(*) AS n_errors
+  FROM (SELECT *, sum(new_burst) OVER (ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM marked)
+  GROUP BY burst_id
+  HAVING count(*) >= 3
+)
+SELECT count(*) AS n_purchases_in_bursts,
+       count(DISTINCT burst_id) AS n_bursts_hit,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS value_at_risk
+FROM (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase') p
+JOIN bursts b ON p.ts >= b.burst_start AND p.ts <= b.burst_end
+"""
+
+
 EWMA_ALPHA = 0.25
 
 
@@ -451,6 +538,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
+    "events_interval_join_binned": events_interval_join_binned,
     "events_window_5s_max": events_window_5s_max,
     "envelope_map_functions": envelope_map_functions,
     "events_window_hourly_by_type": events_window_hourly_by_type,
@@ -465,6 +553,7 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,
+    "events_interval_join_binned": _INTERVAL_BINNED_SQL,
     "events_window_5s_max": _W5S_SQL,
     "envelope_map_functions": _MAP_FUNCS_SQL,
     "events_window_hourly_by_type": _WHOUR_SQL,
