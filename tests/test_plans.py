@@ -120,3 +120,12 @@ def test_percentiles_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_percentiles")
     # one hash-partitioning exchange on the group key, nothing else
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_interval_join_binned")
+    # the binned rewrite must produce a keyed equi-join on bucket — never
+    # the nested-loop theta join Spark would plan for the raw interval
+    # predicate
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
