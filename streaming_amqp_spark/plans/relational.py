@@ -505,6 +505,51 @@ WHERE e.event_type = 'error'
 """
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each 'error' event, the first 'purchase' of the
+    same user at or after it — the mirror of ``asof_join_error_purchase``
+    (same union+window pattern, forward frame).  Purchases sort after
+    errors at equal ts so a same-instant purchase is included."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    return (
+        errors.unionByName(purchases)
+        .withColumn("next_purchase_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id", "user_id", F.col("ts").alias("error_ts"), "next_purchase_ts"
+        )
+    )
+
+
+_ASOF_FWD_SQL = """
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       (SELECT min(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts >= e.ts) AS next_purchase_ts
+FROM events e
+WHERE e.event_type = 'error'
+"""
+
+
 # --------------------------------------------------------------------------
 # Aggregation forms: rollup / cube / grouping sets / distinct / pivot
 # --------------------------------------------------------------------------
@@ -912,6 +957,7 @@ QUERIES = {
     "anti_join_idle_customers": anti_join_idle_customers,
     "range_join_signup_clicks": range_join_signup_clicks,
     "asof_join_error_purchase": asof_join_error_purchase,
+    "asof_join_forward": asof_join_forward,
     "agg_rollup_region_nation": agg_rollup_region_nation,
     "agg_cube_lineitem": agg_cube_lineitem,
     "agg_grouping_sets_orders": agg_grouping_sets_orders,
@@ -943,6 +989,7 @@ ORACLES = {
     "anti_join_idle_customers": _ANTI_SQL,
     "range_join_signup_clicks": _RANGE_SQL,
     "asof_join_error_purchase": _ASOF_SQL,
+    "asof_join_forward": _ASOF_FWD_SQL,
     "agg_rollup_region_nation": _ROLLUP_SQL,
     "agg_cube_lineitem": _CUBE_SQL,
     "agg_grouping_sets_orders": _GROUPING_SETS_SQL,
