@@ -129,3 +129,21 @@ def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     # predicate
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_driver_side_collects_in_engine_code():
+    """Distributed discipline: no operator/plan module may materialize to
+    the driver (.collect/.toPandas/.toLocalIterator) — results stay
+    DataFrames for the caller.  Iterative algorithms may use counting
+    actions (dedup_clusters' convergence check) but never row transfer."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "streaming_amqp_spark"
+    banned = (".collect()", ".toPandas()", ".toLocalIterator()")
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for b in banned:
+            if b in text:
+                offenders.append(f"{py.name}: {b}")
+    assert not offenders, offenders
