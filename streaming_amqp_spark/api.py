@@ -93,6 +93,40 @@ def create_json_stream(
     return env.select(json_envelope_column().alias("value"))
 
 
+def create_union_stream(
+    spark: SparkSession,
+    addresses: list[str],
+    host: str | None = None,
+    port: int | None = None,
+    username: str | None = None,
+    password: str | None = None,
+    **options,
+) -> DataFrame:
+    """Scale-out ingestion: one AMQP source per address, unioned into a
+    single envelope stream.  Each source is its own reader with its own
+    credit window and offsets; Spark plans them as independent partitions —
+    the horizontal path past one link's ~10k msg/s ceiling
+    (AMQPFlowController.scala:271)."""
+    if not addresses:
+        raise ValueError("addresses must be non-empty")
+    # offline testing: one spool directory per address (parallel lists)
+    spooldirs = options.pop("spooldirs", None)
+    per_source = [dict(options) for _ in addresses]
+    if spooldirs is not None:
+        if len(spooldirs) != len(addresses):
+            raise ValueError("spooldirs must parallel addresses")
+        for opts, d in zip(per_source, spooldirs):
+            opts["spooldir"] = d
+    streams = [
+        create_stream(spark, host, port, a, username, password, **opts)
+        for a, opts in zip(addresses, per_source)
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def publish(
     df,
     spooldir: str,

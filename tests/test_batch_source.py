@@ -17,7 +17,7 @@ from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
 
 def _write_spool(tmp_path, files: dict[str, list[dict]]) -> str:
     spool = tmp_path / "spool"
-    spool.mkdir(exist_ok=True)
+    spool.mkdir(parents=True, exist_ok=True)
     for fname, messages in files.items():
         with open(spool / fname, "w") as f:
             for m in messages:
@@ -166,3 +166,32 @@ def test_binary_body_roundtrip_through_sink(spark, tmp_path):
     [row] = api.read_batch(spark, transport="spool", spooldir=out_dir).collect()
     assert row.body_type == "data"
     assert bytes(row.body_binary) == b"\x00\x01binary!"
+
+
+def test_union_stream_facade(spark, tmp_path):
+    """create_union_stream: one source per address, one unioned envelope
+    stream (the horizontal scale-out path)."""
+    dirs = []
+    for i in range(2):
+        d = _write_spool(
+            tmp_path / f"a{i}",
+            {"000.jsonl": [{"message_id": f"s{i}", "to_address": f"addr{i}",
+                            "body": str(i)}]},
+        )
+        dirs.append(d)
+    df = api.create_union_stream(
+        spark, addresses=["addr0", "addr1"], transport="spool", spooldirs=dirs
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("union_facade")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT message_id, to_address FROM union_facade").collect()
+    assert sorted((r.message_id, r.to_address) for r in rows) == [
+        ("s0", "addr0"),
+        ("s1", "addr1"),
+    ]
