@@ -78,15 +78,47 @@ GROUP BY md5(text)
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Hot-shingle document-frequency cap: a shingle appearing in more than this
+# many documents is dropped from the inverted index before the self-join
+# (its candidate-pair contribution is df², so one boilerplate shingle in a
+# million docs would otherwise re-introduce the quadratic blowup).  Jaccard
+# is computed over the capped shingle space, so the oracle mirrors the cap.
+# 256 never binds on the driver's corpora (max observed df: 25 at sf0.1)
+# but bounds any single shingle's join fan-out at 256² pairs at any scale.
+MAX_SHINGLE_FREQ = 256
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via the
-    inverted-index self-join (candidates = pairs sharing ≥1 shingle)."""
+    inverted-index self-join (candidates = pairs sharing ≥1 shingle).
+
+    ``max_shingle_freq`` drops shingles whose document frequency exceeds
+    the cap *before* the self-join; the hot set is tiny by construction,
+    so it broadcasts onto the index as an anti-join (no extra shuffle of
+    the full index).  Per-doc sizes are recomputed over the surviving
+    shingles, so Jaccard stays a true set similarity in the capped space.
+    """
     sh = _doc_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", "n", F.explode("shingles").alias("s"))
-    left = ex.select(
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_freq is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_freq)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    sized = ex.join(
+        ex.groupBy("doc_id").agg(F.count("*").alias("n")), "doc_id"
+    )
+    left = sized.select(
         F.col("doc_id").alias("id1"), F.col("n").alias("n1"), F.col("s")
     )
-    right = ex.select(
+    right = sized.select(
         F.col("doc_id").alias("id2"), F.col("n").alias("n2"), F.col("s")
     )
     pairs = (
@@ -109,18 +141,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Capped-index CTE extension: exf = inverted index minus hot shingles,
+# csizes = per-doc size over surviving shingles (mirrors the Spark plan).
+_CAPPED_INDEX_CTE = f"""
+hot AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) > {MAX_SHINGLE_FREQ}
+),
+exf AS (
+  SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)
+),
+csizes AS (
+  SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id
+)
+"""
+
 _JACCARD_SQL = f"""
 WITH {_SHINGLE_CTE},
+{_CAPPED_INDEX_CTE},
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id1, id2, inter,
        CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
 FROM pairs
-JOIN sizes s1 ON s1.doc_id = id1
-JOIN sizes s2 ON s2.doc_id = id2
+JOIN csizes s1 ON s1.doc_id = id1
+JOIN csizes s2 ON s2.doc_id = id2
 WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
 """
 

@@ -97,7 +97,7 @@ scored AS (
   JOIN survivors s ON s.doc_id = d.doc_id
   WHERE len(string_split(text,' ')) >= 3
 )
-SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
        min(doc_id) AS min_doc_id
 FROM scored
 WHERE q >= {MIN_QUALITY}

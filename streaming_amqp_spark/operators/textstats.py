@@ -131,7 +131,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(en_markers) AS total_en_markers,
+       CAST(sum(en_markers) AS BIGINT) AS total_en_markers,
        count(CASE WHEN (CASE WHEN en_markers > 0 THEN 'en' ELSE 'unknown' END) = lang
                   THEN 1 END) AS n_pred_match
 FROM scored

@@ -146,8 +146,9 @@ WITH gaps AS (
                  THEN 1 ELSE 0 END AS new_sess
   FROM gaps
 ), sessions AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
   FROM marked
 )
 SELECT user_id, session_id,
@@ -176,7 +177,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
        count(CASE WHEN k > 50 THEN 1 END) AS n_k_gt_50
 FROM (SELECT event_type,
@@ -211,7 +212,7 @@ def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FROM_JSON_SQL = """
 SELECT event_type,
-       min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+       min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type,
              CAST(json_extract(props, '$.k') AS INTEGER) AS k
       FROM events)

@@ -89,7 +89,7 @@ SELECT CASE WHEN {_BUCKET_SQL} IN ('0','1','2','3','4','5','6','7','8','9','a','
             WHEN {_BUCKET_SQL} IN ('c','d') THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM documents

@@ -13,16 +13,27 @@ from streaming_amqp_spark.tables import TABLE_NAMES
 
 
 def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    cols, rows, _ = run_oracle_typed(sql, sf_dir)
+    return cols, rows
+
+
+def run_oracle_typed(
+    sql: str, sf_dir: str
+) -> tuple[list[str], list[tuple], dict[str, str]]:
+    """Like run_oracle but also returns per-column DuckDB type names
+    (e.g. HUGEINT) so the dtype-kind gate below can mirror the driver's
+    hash canonicalization, which distinguishes int64 from HUGEINT/float."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    type_names = dict(zip(cols, (str(t) for t in rel.types)))
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, type_names
 
 
 def _norm(v):
@@ -53,10 +64,52 @@ def canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(normed, key=lambda row: tuple((x is None, str(x)) for x in row))
 
 
+_INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _duck_kind(t: str) -> str | None:
+    if t in _INT_TYPES:
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT"):
+        # pandas/arrow canonicalization turns int128 into float64 — the
+        # driver's value hash then disagrees with Spark's int64 even when
+        # every value is equal.  Surface it as its own kind so the local
+        # gate fails exactly where the driver would.
+        return "hugeint"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return None
+
+
+def _spark_kind(t: str) -> str | None:
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    return None
+
+
 def compare_query(spark_df, oracle_sql: str, sf_dir: str) -> None:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    o_cols, o_rows, o_types = run_oracle_typed(oracle_sql, sf_dir)
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for c in s_cols:
+        if c not in o_types:
+            continue
+        sk, ok = _spark_kind(s_types[c]), _duck_kind(o_types[c])
+        if sk is not None or ok is not None:
+            assert sk == ok, (
+                f"numeric dtype-kind mismatch on {c!r}: spark {s_types[c]} "
+                f"({sk}) vs oracle {o_types[c]} ({ok}) — the driver's hash "
+                f"canonicalization will flag this even if values match "
+                f"(CAST the oracle aggregate, e.g. sum(int) AS BIGINT)"
+            )
     assert sorted(s_cols) == sorted(o_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
