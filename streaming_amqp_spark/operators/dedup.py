@@ -92,6 +92,7 @@ def dedup_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via the
     inverted-index self-join (candidates = pairs sharing ≥1 shingle).
@@ -102,7 +103,8 @@ def dedup_ngram_jaccard(
     the full index).  Per-doc sizes are recomputed over the surviving
     shingles, so Jaccard stays a true set similarity in the capped space.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    if sh is None:
+        sh = _doc_shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         hot = (
@@ -172,14 +174,17 @@ WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 min-hashes → 4 bands of 4 → bucket
     join on (band_index, band_hash) → exact Jaccard verification ≥ 0.8.
 
     Only band keys shuffle in the candidate phase; verification re-joins
     the (small) candidate set against the shingle index.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
+    if sh is None:
+        sh = _doc_shingles(spark, sf_dir).cache()
     sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), 16))
     banded = sig.select("doc_id", *lsh_bands(16, 4))
     band_rows = banded.selectExpr(
@@ -364,9 +369,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth — one row: how many true near-dup pairs the banded
     signatures surfaced.  Deterministic on both sides, so the approximation
     quality itself is oracle-checked (the 4×4 banding predicts ≥ ~97%
-    recall at jaccard 0.8: 1-(1-s^4)^4)."""
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    found = dedup_minhash_lsh(spark, sf_dir).select(
+    recall at jaccard 0.8: 1-(1-s^4)^4).
+
+    The shingle index is built once, cached, and shared by the exact and
+    LSH paths — recall would otherwise recompute the most expensive input
+    twice."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    truth = dedup_ngram_jaccard(spark, sf_dir, sh=sh).select("id1", "id2")
+    found = dedup_minhash_lsh(spark, sf_dir, sh=sh).select(
         "id1", "id2", F.lit(1).alias("hit")
     )
     return truth.join(found, ["id1", "id2"], "left").agg(

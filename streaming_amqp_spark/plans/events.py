@@ -413,13 +413,34 @@ def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket (the probe row has one bucket), so no dedup is needed and
     the only shuffle is a keyed hash join on bucket.
 
-    The burst detection's global cumulative window runs single-partition —
-    fine for an error sub-stream; at 100 TB shard it by day first."""
+    Burst detection is day-sharded: the lag and the cumulative burst count
+    run in windows PARTITIONED BY day (parallel at any scale); day
+    boundaries are fixed up from a per-day summary that is aggregate-small
+    (one row per calendar day — thousands of rows for years of data):
+    - a day's first row takes prev_ts from the previous day's last ts
+      (broadcast equi-join on day), so a burst spanning midnight is not
+      split;
+    - the global burst_id = per-day offset + within-day cumulative count,
+      where offsets are a running sum over the day summary (the only
+      unpartitioned window, over #days rows, not #errors rows).
+    Result is row-identical to a single global cumulative window."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id")
-    errors = ev.where(F.col("event_type") == "error").select("ts", "event_id")
-    bursts = (
-        errors.withColumn("prev_ts", F.lag("ts").over(w))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    w_day = W.partitionBy("day").orderBy("ts", "event_id")
+
+    # previous day's last error ts, keyed by the day it precedes
+    day_last = errors.groupBy("day").agg(F.max("ts").alias("boundary_prev_ts"))
+    boundary = day_last.select(
+        F.date_add("day", 1).alias("day"), "boundary_prev_ts"
+    )
+    marked = (
+        errors.withColumn("prev_in_day", F.lag("ts").over(w_day))
+        .join(F.broadcast(boundary), "day", "left")
+        .withColumn(
+            "prev_ts", F.coalesce("prev_in_day", "boundary_prev_ts")
+        )
         .withColumn(
             "new_burst",
             F.when(
@@ -428,7 +449,20 @@ def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0),
         )
-        .withColumn("burst_id", F.sum("new_burst").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn(
+            "local_id",
+            F.sum("new_burst").over(w_day.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    # per-day burst-count prefix sums (runs over the tiny day summary)
+    day_tot = marked.groupBy("day").agg(F.sum("new_burst").alias("nb"))
+    w_days = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("nb").over(w_days), F.lit(0)).alias("off")
+    )
+    bursts = (
+        marked.join(F.broadcast(offsets), "day")
+        .withColumn("burst_id", F.col("off") + F.col("local_id"))
         .groupBy("burst_id")
         .agg(
             F.min("ts").alias("burst_start"),

@@ -131,6 +131,23 @@ def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_burst_detection_windows_are_day_sharded(spark, sf_dir):
+    """No events-scale single-partition stage: the lag and cumulative-count
+    windows over the error stream must be PARTITIONED BY day; the only
+    unpartitioned window allowed is the day-offset prefix sum, which runs
+    over the per-day aggregate (#days rows, not #errors rows)."""
+    df = _QUERIES["events_interval_join_binned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window ["):
+            continue
+        if "windowspecdefinition(day#" in s:
+            continue  # day-partitioned: scales out
+        # unpartitioned window — must be the prefix sum over per-day totals
+        assert "sum(nb#" in s, f"unpartitioned events-scale window: {s[:200]}"
+
+
 def test_no_driver_side_collects_in_engine_code():
     """Distributed discipline: no operator/plan module may materialize to
     the driver (.collect/.toPandas/.toLocalIterator) — results stay
