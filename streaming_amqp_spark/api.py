@@ -25,14 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from streaming_amqp_spark.envelope import json_envelope_column
 from streaming_amqp_spark.sources.amqp import register_amqp_source
 
-_REGISTERED: set[int] = set()
-
-
 def _ensure_registered(spark: SparkSession) -> None:
-    key = id(spark)
-    if key not in _REGISTERED:
-        register_amqp_source(spark)
-        _REGISTERED.add(key)
+    # Registration is idempotent, so register unconditionally: caching by
+    # id(spark) can silently skip a NEW session allocated at a recycled id
+    # after the old one was garbage-collected.
+    register_amqp_source(spark)
 
 
 def _options(
@@ -139,17 +136,20 @@ def publish(
     Batch DataFrames are written immediately; streaming DataFrames return
     the started query (caller manages lifecycle)."""
     _ensure_registered(df.sparkSession)
+    # caller may override transport (e.g. a live sender once the AMQP
+    # stack exists) without hitting a duplicate-keyword TypeError
+    options.setdefault("transport", "spool")
     is_stream = df.isStreaming if streaming is None else streaming
     if is_stream:
         return (
             df.writeStream.format("amqp")
-            .options(transport="spool", spooldir=spooldir, **options)
+            .options(spooldir=spooldir, **options)
             .start()
         )
     (
         df.write.format("amqp")
         .mode("append")
-        .options(transport="spool", spooldir=spooldir, **options)
+        .options(spooldir=spooldir, **options)
         .save()
     )
     return None

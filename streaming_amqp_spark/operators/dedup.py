@@ -450,6 +450,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # convergence check never fired: a component with diameter >
+        # CC_MAX_ITERS would get labels that disagree with the
+        # recursive-CTE oracle — make that loud, not silent.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{CC_MAX_ITERS} iterations; cluster labels may be unmerged "
+            f"for components with diameter > {CC_MAX_ITERS}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -66,6 +66,17 @@ from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
 CREDITS_DEFAULT = 1000  # AMQPFlowController.scala:55
 CREDITS_THRESHOLD = 500  # AMQPFlowController.scala:56
 
+# Receiver restart on connection close/disconnect (AMQPReceiver.scala:121-151
+# calls Receiver.restart, which re-runs onStop/onStart).  Here the reader
+# retries transport.fetch with exponential backoff after reconnect().
+RECONNECT_MAX_ATTEMPTS = 5
+RECONNECT_BASE_DELAY_S = 0.05
+
+
+class TransportDisconnected(Exception):
+    """Transport-level connection loss — the reader reconnects and retries
+    (≡ the close/disconnect handlers at AMQPReceiver.scala:121-143)."""
+
 
 def _json_encode_body(body: Any) -> tuple[str | None, str | None, bytes | None]:
     """Total mapping of an AMQP body to (body_type, body_json, body_binary).
@@ -129,6 +140,11 @@ class Transport:
 
     def settle(self, n: int) -> None:
         pass
+
+    def reconnect(self) -> None:
+        """Re-establish the underlying connection after a
+        ``TransportDisconnected`` from ``fetch``.  Stateless transports
+        (spool) need nothing; ``QpidTransport`` rebuilds the link."""
 
     def close(self) -> None:
         pass
@@ -213,29 +229,54 @@ class QpidTransport(Transport):
                 "QpidTransport needs python-qpid-proton; use "
                 "transport=spool for offline testing"
             ) from e
-        from proton.utils import BlockingConnection
-
-        url = f"amqp://{host}:{port}"
-        self._conn = BlockingConnection(
-            url, allowed_mechs="PLAIN" if username else None,
-            user=username, password=password,
-        )
-        # prefetch=0 ≡ setPrefetch(0) + manual flow (AMQPFlowController.scala:92-94)
-        self._recv = self._conn.create_receiver(address, credit=0)
-        self._recv.receiver.flow(credit_window)
+        self._host, self._port, self._address = host, port, address
+        self._username, self._password = username, password
         self._credit_window = credit_window
         self._credit_threshold = credit_threshold
-        self._since_replenish = 0
         self._reliable = reliable
+        self._since_replenish = 0
         self._unsettled: list[Any] = []
+        self._connect()
+
+    def _connect(self) -> None:  # pragma: no cover
+        from proton.utils import BlockingConnection
+
+        url = f"amqp://{self._host}:{self._port}"
+        self._conn = BlockingConnection(
+            url, allowed_mechs="PLAIN" if self._username else None,
+            user=self._username, password=self._password,
+        )
+        # prefetch=0 ≡ setPrefetch(0) + manual flow (AMQPFlowController.scala:92-94)
+        self._recv = self._conn.create_receiver(self._address, credit=0)
+        self._recv.receiver.flow(self._credit_window)
+        self._since_replenish = 0
+
+    def reconnect(self) -> None:  # pragma: no cover
+        """Rebuild connection + link after a drop (≡ Receiver.restart at
+        AMQPReceiver.scala:129-131).  Unsettled deliveries of the dead
+        connection are forgotten — the broker redelivers them on the new
+        link (at-least-once, same as the reference's WAL replay)."""
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+        self._unsettled = []
+        self._connect()
 
     def fetch(self, max_n: int) -> list[dict]:  # pragma: no cover
+        from proton import Timeout
+
         out: list[dict] = []
         while len(out) < max_n:
             try:
                 delivery = self._recv.receive(timeout=0.1)
-            except Exception:
-                break
+            except Timeout:
+                break  # queue drained — a normal end of batch
+            except Exception as e:
+                # connection/link failure mid-fetch: surface as a typed
+                # disconnect so the reader can reconnect-and-retry
+                # (already-fetched messages stay buffered in the reader)
+                raise TransportDisconnected(str(e)) from e
             msg = delivery.message if hasattr(delivery, "message") else delivery
             out.append(
                 {
@@ -250,6 +291,12 @@ class QpidTransport(Transport):
                     ),
                     "application_properties": {
                         str(k): str(v) for k, v in (msg.properties or {}).items()
+                    },
+                    # Symbol→Any map, both sides stringified
+                    # (AMQPJsonFunction.scala:91-100)
+                    "message_annotations": {
+                        str(k): str(v)
+                        for k, v in (msg.annotations or {}).items()
                     },
                     "body": msg.body,
                 }
@@ -297,6 +344,19 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         # SURVEY §4.2).
         self.max_rate = float(options.get("maxratepersecond", 0)) or None
         self._last_read_t: float | None = None
+        # Adaptive admission (full A10/A11 parity: the latent controllers
+        # track Spark's PID-driven blockGenerator.getCurrentLimit,
+        # AMQPRateController.scala:56,214-215).  Structured Streaming has no
+        # push-side PID, so the reader closes the loop itself: when the
+        # observed inter-batch duration (≈ previous batch's processing time)
+        # exceeds targetBatchSeconds, the per-batch cap shrinks
+        # proportionally; when it runs under half the target, the cap grows
+        # back geometrically toward maxMessagesPerBatch.
+        self.target_batch_s = (
+            float(options.get("targetbatchseconds", 0)) or None
+        )
+        self._adaptive_cap = self.max_per_batch
+        self._last_admitted = 0
         self.reliable = options.get("reliable", "true").lower() == "true"
         transport_kind = options.get("transport", "qpid")
         if transport_kind == "spool":
@@ -317,6 +377,25 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
+    def _fetch_with_reconnect(self, max_n: int) -> list[dict]:
+        """transport.fetch with restart-on-disconnect (≡ the reference's
+        Receiver.restart on close/disconnect, AMQPReceiver.scala:121-151):
+        exponential backoff, then transport.reconnect() and retry.  Rows
+        already retained from earlier batches are untouched; a broker that
+        redelivers the in-flight tail yields duplicates, the same
+        at-least-once guarantee as the reference's WAL path."""
+        delay = RECONNECT_BASE_DELAY_S
+        for attempt in range(RECONNECT_MAX_ATTEMPTS + 1):
+            try:
+                return self.transport.fetch(max_n)
+            except TransportDisconnected:
+                if attempt == RECONNECT_MAX_ATTEMPTS:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+                self.transport.reconnect()
+        raise AssertionError("unreachable")
+
     def _to_row(self, msg: dict) -> tuple:
         return _msg_to_row(msg)
 
@@ -331,15 +410,30 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
             skip = start["seq"] - self._seq
             self.transport.consumed += skip
             self._seq = start["seq"]
+        now = time.monotonic()
+        elapsed = (
+            now - self._last_read_t if self._last_read_t is not None else 1.0
+        )
+        self._last_read_t = now
         admit = self.max_per_batch
         if self.max_rate:
-            now = time.monotonic()
-            elapsed = (
-                now - self._last_read_t if self._last_read_t is not None else 1.0
-            )
-            self._last_read_t = now
             admit = min(admit, max(1, int(self.max_rate * elapsed)))
-        msgs = self.transport.fetch(admit)
+        if self.target_batch_s and self._last_admitted > 0:
+            if elapsed > self.target_batch_s:
+                # previous batch overran: scale the cap to what that batch
+                # rate would have processed within the target
+                self._adaptive_cap = max(
+                    1,
+                    int(self._last_admitted * self.target_batch_s / elapsed),
+                )
+            elif elapsed < 0.5 * self.target_batch_s:
+                self._adaptive_cap = min(
+                    self.max_per_batch, max(self._adaptive_cap * 2, 1)
+                )
+        if self.target_batch_s:
+            admit = min(admit, self._adaptive_cap)
+        msgs = self._fetch_with_reconnect(admit)
+        self._last_admitted = len(msgs)
         rows = [self._to_row(m) for m in msgs]
         base = self._seq
         self._retained.extend((base + i, r) for i, r in enumerate(rows))
@@ -413,10 +507,20 @@ class AMQPBatchReader(DataSourceReader):
         if isinstance(partition, _SpoolFilePartition):
             if not partition.path:
                 return
+            # same drop-and-count semantics as the streaming SpoolTransport
+            # (SURVEY §7.4.2): a malformed or non-object line never fails
+            # the task
             with open(partition.path) as f:
                 for line in f:
-                    if line := line.strip():
-                        yield _msg_to_row(json.loads(line))
+                    if not (line := line.strip()):
+                        continue
+                    try:
+                        msg = json.loads(line)
+                    except ValueError:
+                        continue
+                    if not isinstance(msg, dict):
+                        continue
+                    yield _msg_to_row(msg)
             return
         # live link: per-partition connection, drain until empty, settle all
         transport = QpidTransport(  # pragma: no cover - no AMQP stack in image
@@ -490,6 +594,8 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
     """
 
     def __init__(self, options: dict):
+        import uuid
+
         self.options = options
         if options.get("transport", "qpid") != "spool":  # pragma: no cover
             raise ImportError(
@@ -497,6 +603,14 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
                 "container); use transport=spool"
             )
         self.spool_dir = options["spooldir"]
+        # Batch publishes must not collide: each .save() finalizes under a
+        # unique job epoch (override with option epoch=… for deterministic
+        # names).  Streaming epochs are e<batchId>, stable across restarts
+        # so a replayed epoch re-renames onto the same files (idempotent);
+        # two streaming queries sharing one spooldir must therefore pass
+        # distinct queryName=… options to namespace their epochs.
+        self.batch_epoch = options.get("epoch") or f"b{uuid.uuid4().hex[:12]}"
+        self.query_prefix = options.get("queryname", "")
 
     def write(self, iterator) -> _SpoolCommit:
         import uuid
@@ -526,7 +640,11 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
     # batch path: DataSourceWriter.commit(messages)
     # stream path: DataSourceStreamWriter.commit(messages, batchId)
     def commit(self, messages, batchId=None) -> None:
-        epoch = "batch" if batchId is None else f"e{batchId}"
+        if batchId is None:
+            epoch = self.batch_epoch
+        else:
+            prefix = f"{self.query_prefix}-" if self.query_prefix else ""
+            epoch = f"{prefix}e{batchId}"
         self._finalize(messages, epoch)
 
     def abort(self, messages, batchId=None) -> None:

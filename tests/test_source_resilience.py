@@ -1,0 +1,145 @@
+"""Source resilience: reconnect-on-disconnect (≡ Receiver.restart on
+connection close/disconnect, AMQPReceiver.scala:121-151), adaptive
+admission (A10/A11 backpressure parity), writer epoch collision safety,
+and batch-read drop-and-count."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from streaming_amqp_spark.sources.amqp import (
+    AMQPStreamReader,
+    RECONNECT_MAX_ATTEMPTS,
+    SpoolTransport,
+    TransportDisconnected,
+    register_amqp_source,
+)
+
+
+def _write_spool(tmp_path, messages, fname="000.jsonl"):
+    spool = tmp_path / "spool"
+    spool.mkdir(exist_ok=True)
+    with open(spool / fname, "w") as f:
+        for m in messages:
+            f.write(json.dumps(m) + "\n")
+    return str(spool)
+
+
+def _msgs(n, start=0):
+    return [{"message_id": f"m{i}", "body": str(i)} for i in range(start, start + n)]
+
+
+class FlakyTransport(SpoolTransport):
+    """Throws TransportDisconnected on the first ``fail_times`` fetches —
+    the spool twin of a broker bouncing mid-fetch."""
+
+    def __init__(self, spool_dir: str, fail_times: int):
+        super().__init__(spool_dir)
+        self.fail_times = fail_times
+        self.reconnects = 0
+
+    def fetch(self, max_n):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise TransportDisconnected("simulated connection drop")
+        return super().fetch(max_n)
+
+    def reconnect(self):
+        self.reconnects += 1
+
+
+def _reader(spool, **opts):
+    options = {"transport": "spool", "spooldir": spool}
+    options.update(opts)
+    return AMQPStreamReader(options)
+
+
+def test_reconnect_survives_transient_disconnect(tmp_path):
+    spool = _write_spool(tmp_path, _msgs(5))
+    r = _reader(spool)
+    r.transport = FlakyTransport(spool, fail_times=2)
+    rows, off = r.read(r.initialOffset())
+    assert len(list(rows)) == 5
+    assert off == {"seq": 5}
+    assert r.transport.reconnects == 2
+
+
+def test_reconnect_preserves_unsettled_buffer(tmp_path):
+    spool = _write_spool(tmp_path, _msgs(3))
+    r = _reader(spool)
+    r.transport = FlakyTransport(spool, fail_times=0)
+    list(r.read(r.initialOffset())[0])  # batch 1 retained (uncommitted)
+    assert len(r._retained) == 3
+    _write_spool(tmp_path, _msgs(2, start=3), fname="001.jsonl")
+    r.transport.fail_times = 1  # drop mid-stream before batch 2
+    rows, off = r.read({"seq": 3})
+    assert len(list(rows)) == 2 and off == {"seq": 5}
+    # batch-1 rows still replayable after the reconnect
+    assert len(r._retained) == 5
+    assert len(list(r.readBetweenOffsets({"seq": 0}, {"seq": 3}))) == 3
+
+
+def test_reconnect_gives_up_after_max_attempts(tmp_path):
+    spool = _write_spool(tmp_path, _msgs(1))
+    r = _reader(spool)
+    r.transport = FlakyTransport(spool, fail_times=10**9)
+    with pytest.raises(TransportDisconnected):
+        r.read(r.initialOffset())
+    assert r.transport.reconnects == RECONNECT_MAX_ATTEMPTS
+
+
+def test_adaptive_admission_shrinks_then_regrows(tmp_path):
+    spool = _write_spool(tmp_path, _msgs(300))
+    r = _reader(spool, maxmessagesperbatch="100", targetbatchseconds="0.2")
+    n1 = len(list(r.read(r.initialOffset())[0]))
+    assert n1 == 100  # no feedback yet: full cap
+    time.sleep(0.55)  # simulate a slow downstream batch (>> target)
+    n2 = len(list(r.read({"seq": n1})[0]))
+    # cap scaled to ~ n1 * target / elapsed = 100*0.2/elapsed, elapsed≈0.55+
+    assert 15 <= n2 <= 40, n2
+    # immediate next read: elapsed << target/2 → cap doubles
+    n3 = len(list(r.read({"seq": n1 + n2})[0]))
+    assert n3 == 2 * n2
+
+
+def test_batch_publish_twice_no_silent_overwrite(spark, tmp_path):
+    from streaming_amqp_spark.api import publish, read_batch
+
+    register_amqp_source(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "message_id string, body string"
+    )
+    publish(df, out)
+    publish(df, out)  # second job must not clobber the first's files
+    assert read_batch(spark, transport="spool", spooldir=out).count() == 4
+
+
+def test_publish_accepts_transport_override(spark, tmp_path):
+    from streaming_amqp_spark.api import publish
+
+    register_amqp_source(spark)
+    df = spark.createDataFrame([("a", "1")], "message_id string, body string")
+    # regression: used to raise TypeError (duplicate keyword 'transport')
+    publish(df, str(tmp_path / "sink2"), transport="spool")
+
+
+def test_batch_read_drops_malformed_lines(spark, tmp_path):
+    register_amqp_source(spark)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with open(spool / "000.jsonl", "w") as f:
+        f.write('{"message_id": "ok", "body": "good"}\n')
+        f.write("{not json at all\n")
+        f.write('"a bare json string"\n')
+        f.write('{"message_id": "ok2", "body": "also good"}\n')
+    got = (
+        spark.read.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", str(spool))
+        .load()
+    )
+    assert sorted(r.message_id for r in got.collect()) == ["ok", "ok2"]
