@@ -276,6 +276,63 @@ def test_stateful_running_device_stats(amqp, tmp_path):
     assert final.max_value == 24.0
 
 
+def test_stateful_state_ttl_evicts_idle_key(amqp, tmp_path):
+    """Bounded state: a device whose last event falls state_ttl_minutes
+    behind the watermark is evicted (EventTimeTimeout) and restarts from
+    zero when it reappears — the O(active-keys) guarantee an unbounded
+    key space needs at scale.  Event-time driven: no wall-clock sleeps,
+    deterministic under replay."""
+    from streaming_amqp_spark.streaming.stateful import running_device_stats
+
+    def msg(addr, hhmmss, body):
+        return {
+            "message_id": f"{addr}{body}",
+            "to_address": addr,
+            "body": str(body),
+            "ingest_ts": f"2024-01-01T{hhmmss}",
+        }
+
+    spool = _write_spool(tmp_path, [msg("a", "00:00:01", 1), msg("b", "00:00:02", 2)])
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    stats = running_device_stats(
+        env, state_ttl_minutes=1.0, watermark_delay="0 seconds"
+    )  # evict after 60 s of event-time idleness
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("ttl_stats")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: a and b seen; watermark -> 00:00:02
+    # b jumps 10 min ahead; after this batch the watermark (00:10:00) is
+    # far past a's timeout (last event 00:00:01 + 60 s)
+    _write_spool(tmp_path, [msg("b", "00:10:00", 3)], fname="001.jsonl")
+    q.processAllAvailable()
+    # next batch evaluates timeouts against the advanced watermark: 'a'
+    # is evicted here
+    _write_spool(tmp_path, [msg("b", "00:10:01", 5)], fname="002.jsonl")
+    q.processAllAvailable()
+    # 'a' reappears: must restart from FRESH state (n=1), not resume n=2
+    _write_spool(tmp_path, [msg("a", "00:10:02", 4)], fname="003.jsonl")
+    q.processAllAvailable()
+    q.stop()
+    a_rows = amqp.sql(
+        "SELECT * FROM ttl_stats WHERE device = 'a' ORDER BY max_value"
+    ).collect()
+    # first appearance counted 1; post-eviction reappearance restarts at 1
+    # (without eviction the second row would read n_messages=2)
+    assert [(r.n_messages, r.max_value) for r in a_rows] == [(1, 1.0), (1, 4.0)]
+    b_rows = amqp.sql(
+        "SELECT * FROM ttl_stats WHERE device = 'b' ORDER BY n_messages"
+    ).collect()
+    assert b_rows[-1].n_messages == 3  # active key keeps accumulating
+
+
 def test_max_rate_per_second_limits_admission(amqp, tmp_path):
     """Rate limiting ≡ the reference's latent rate controllers
     (AMQPRateController.scala): each batch admits ≈ rate × elapsed, never
