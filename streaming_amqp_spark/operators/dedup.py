@@ -3,9 +3,10 @@ MinHash+LSH, SimHash bucketing.
 
 Scale design (the part that matters at 100 TB):
 - Exact dedup hashes the text once and shuffles 16-byte keys, not bodies.
-- Jaccard runs as a shingle-inverted-index self-join (explode → equi-join
-  on shingle → count), never an O(n²) cross join; hot shingles can be
-  frequency-capped (see ``max_shingle_freq``).
+- Jaccard runs over shingle posting lists (explode → one groupBy shingle →
+  in-list pair expansion), never an O(n²) cross join; hot shingles are
+  frequency-capped (see ``max_shingle_freq``), bounding any single
+  shingle's pair fan-out.
 - MinHash-LSH shuffles only (band_index, band_hash) pairs; candidate pairs
   are then verified exactly.  Signature = 16 seeded md5 min-hashes, 4 bands
   of 4 → ≥ ~97% recall at jaccard 0.8 (1-(1-s^4)^4), exact precision after
@@ -94,50 +95,51 @@ def dedup_ngram_jaccard(
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
     sh: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via the
-    inverted-index self-join (candidates = pairs sharing ≥1 shingle).
+    """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via posting
+    lists (candidates = pairs sharing ≥1 shingle).
 
-    ``max_shingle_freq`` drops shingles whose document frequency exceeds
-    the cap *before* the self-join; the hot set is tiny by construction,
-    so it broadcasts onto the index as an anti-join (no extra shuffle of
-    the full index).  Per-doc sizes are recomputed over the surviving
-    shingles, so Jaccard stays a true set similarity in the capped space.
-    """
+    Plan shape (one shuffle of the inverted index, not three): group the
+    exploded index once by shingle into a posting list; the
+    ``max_shingle_freq`` cap is then a free ``size(ids) <= cap`` filter
+    (no separate hot-set aggregation or anti-join), per-doc sizes in the
+    capped space re-aggregate the surviving lists, and candidate pairs
+    explode each list's (i < j) combinations — bounded at cap² rows per
+    shingle, and df=1 shingles (most of the index) never enter the pair
+    stage at all.  The posting table is cached because both the sizes
+    and pairs branches consume it."""
     if sh is None:
         sh = _doc_shingles(spark, sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # no sort needed: the (x > id1) expansion below enumerates each
+    # unordered pair exactly once whatever the list order
+    posting = ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
     if max_shingle_freq is not None:
-        hot = (
-            ex.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_shingle_freq)
-            .select("s")
-        )
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    sized = ex.join(
-        ex.groupBy("doc_id").agg(F.count("*").alias("n")), "doc_id"
-    )
-    left = sized.select(
-        F.col("doc_id").alias("id1"), F.col("n").alias("n1"), F.col("s")
-    )
-    right = sized.select(
-        F.col("doc_id").alias("id2"), F.col("n").alias("n2"), F.col("s")
+        posting = posting.where(F.size("ids") <= max_shingle_freq)
+    posting = posting.cache()
+    sizes = (
+        posting.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
     )
     pairs = (
-        left.join(right, "s")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("n1").alias("n1"),
-            F.first("n2").alias("n2"),
+        posting.where(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id1"), F.col("ids"))
+        .select(
+            "id1",
+            F.explode(F.filter("ids", lambda x: x > F.col("id1"))).alias("id2"),
         )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
     )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
     jac = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     )
     return (
-        pairs.withColumn("jaccard", jac)
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id1", "id2", "inter", "jaccard")
     )

@@ -75,6 +75,13 @@ def test_capped_jaccard_matches_oracle_with_binding_cap(spark, hot_dir):
     compare_query(dedup_ngram_jaccard(spark, hot_dir), _JACCARD_SQL, hot_dir)
 
 
-def test_hot_filter_is_broadcast_anti_join(spark, hot_dir):
+def test_pair_stage_is_posting_list_not_self_join(spark, hot_dir):
+    # One groupBy(shingle) builds posting lists (cap = a size filter on
+    # the list, pairs = in-list expansion): the only joins in the plan
+    # are the two small per-doc size joins — the inverted index itself
+    # is never self-joined or cross-joined.
     plan = dedup_ngram_jaccard(spark, hot_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan, plan
+    assert "collect_list" in plan, plan
+    n_joins = plan.count("Join [")  # physical join operators only
+    assert n_joins <= 2, f"expected only the 2 size joins, got {n_joins}:\n{plan}"
