@@ -23,15 +23,32 @@ def tokens(col: Column | str = "text") -> Column:
     return F.split(c, " ")
 
 
+def let(col: Column, fn) -> Column:
+    """Bind ``col`` to a lambda variable so ``fn``'s body evaluates it
+    exactly once.  Spark SQL has no let-expression, and a subexpression
+    referenced inside a higher-order-function lambda is re-evaluated per
+    element (HOFs run interpreted — no codegen CSE): an O(n) expression
+    like split(text) inside an O(n)-element transform silently costs
+    O(n²) per row.  ``transform(array(x), v -> body)[0]`` is the standard
+    binding idiom: x is computed once as the HOF input, the body sees the
+    cheap lambda variable."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def shingles(col: Column | str = "text", k: int = 3) -> Column:
     """Distinct k-word shingles (word n-grams), the unit for Jaccard/MinHash
     near-dup detection.  Requires ≥k tokens — guard with a filter."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(t) - F.lit(k))
-    parts = lambda i: [F.element_at(t, i + F.lit(j + 1)) for j in range(k)]  # noqa: E731
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-    )
+
+    def from_toks(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - F.lit(k))
+        parts = lambda i: [F.element_at(t, i + F.lit(j + 1)) for j in range(k)]  # noqa: E731
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+        )
+
+    # tokens() bound once: element_at(t, ...) inside the lambda must hit a
+    # lambda variable, not re-split the text 3× per shingle position
+    return let(tokens(col), from_toks)
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> list[Column]:
@@ -63,20 +80,28 @@ def simhash16(token_col: Column) -> Column:
     """16-bit SimHash over distinct tokens: bit p is the majority vote of
     hex digit p of md5(token) having its high bit set.  Hex-digit voting
     keeps the computation expressible in portable SQL while preserving the
-    SimHash property (near-identical token sets → near-identical bits)."""
-    toks = F.array_distinct(token_col)
-    bits = []
-    for p in range(1, 17):
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(t), p, 1).isin(*list("89abcdef")), F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    SimHash property (near-identical token sets → near-identical bits).
+
+    The md5s are computed once and bound (see ``let``): the 16 per-bit
+    votes walk the precomputed hash array instead of each re-running
+    distinct+md5 over the token set."""
+
+    def bits_of(hashes: Column) -> Column:
+        bits = []
+        for p in range(1, 17):
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.substring(h, p, 1).isin(*list("89abcdef")), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            )
+            bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    md5s = F.transform(F.array_distinct(token_col), lambda t: F.md5(t))
+    return let(md5s, bits_of)
 
 
 def stopword_count(token_col: Column) -> Column:

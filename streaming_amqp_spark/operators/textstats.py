@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streaming_amqp_spark.functions.text import (
     STOPWORDS,
+    let,
     shingles,
     simhash16,
     stopword_count,
@@ -182,25 +183,32 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup detection at corpus scale."""
     d = _docs(spark, sf_dir)
     t = tokens()
-    # positional (non-distinct) shingles, hashed in order
-    idx = F.sequence(F.lit(0), F.size(t) - F.lit(3))
-    sh_pos = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2),
-                F.element_at(t, i + 3),
-            )
-        ),
-    )
-    picks = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(sh_pos) - F.lit(WINNOW_W)),
-            lambda i: F.array_min(F.slice(sh_pos, i + 1, WINNOW_W)),
+
+    def hashes_of(tt):  # positional (non-distinct) shingles, hashed in order
+        return F.transform(
+            F.sequence(F.lit(0), F.size(tt) - F.lit(3)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(tt, i + 1),
+                    F.element_at(tt, i + 2),
+                    F.element_at(tt, i + 3),
+                )
+            ),
         )
-    )
+
+    def picks_of(h):  # min-hash of each sliding window over bound hashes
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - F.lit(WINNOW_W)),
+                lambda i: F.array_min(F.slice(h, i + 1, WINNOW_W)),
+            )
+        )
+
+    # double let-binding (see functions.text.let): tokens evaluated once
+    # for the hash array, the hash array evaluated once for the O(n·W)
+    # window mins — not re-split / re-hashed per window position
+    picks = let(t, lambda tt: let(hashes_of(tt), picks_of))
     return (
         d.where(F.size(t) >= WINNOW_W + 2)
         .select("doc_id", F.explode(picks).alias("fingerprint"))

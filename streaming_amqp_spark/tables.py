@@ -31,6 +31,14 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     factory's settings are not guaranteed to be present)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Cached plans (the shared shingle/posting indexes in the dedup family)
+    # otherwise pin the static spark.sql.shuffle.partitions width: letting
+    # AQE re-plan the cached output partitioning keeps every downstream
+    # stage right-sized whatever the session's static setting is (a vanilla
+    # 200 at sf0.01, thousands on a real cluster).
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
