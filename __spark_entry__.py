@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from streaming_amqp_spark.operators import curation as _curation  # noqa: E402
 from streaming_amqp_spark.operators import dedup as _dedup  # noqa: E402
 from streaming_amqp_spark.operators import multimodal as _multimodal  # noqa: E402
 from streaming_amqp_spark.operators import pipeline as _pipeline  # noqa: E402
@@ -39,6 +40,7 @@ _MODULES = (
     _similarity,
     _multimodal,
     _pipeline,
+    _curation,
 )
 
 

@@ -1,0 +1,396 @@
+"""Training-data curation operators beyond cleaning/dedup: sliding-window
+chunking, context packing, benchmark-contamination checks, repetition
+quality signals, and domain-mixture rebalancing over the ``documents``
+table.
+
+Scale design (100 TB):
+- Chunking and repetition stats are pure per-row projections — they fuse
+  into the scan stage, shuffle nothing, and parallelize with the input.
+- Contamination joins explode the small EVAL side and broadcast it; the
+  train corpus is only scanned + exploded map-side (one shuffle for the
+  final per-doc aggregate, keyed by eval doc — tiny).
+- Next-fit packing is a sequential recurrence (bin fill depends on every
+  prior doc), done as an ordered array fold per ``source`` shard — the
+  same pattern as ``events_ewma``.  State is bounded by docs-per-shard;
+  at 100 TB pack within (source, day) shards so no shard exceeds memory.
+- Mixture weights aggregate per source (20 rows), broadcast back, and the
+  downsample predicate is a deterministic md5 bucket — reproducible under
+  retries and repartitioning, no RNG.
+
+Reference provenance: no analogue in radanalyticsio/streaming-amqp (its
+query surface is a windowed max, AMQPTemperature.scala:94-99); this module
+extends the engine for LLM-pipeline workloads per SURVEY §2C's
+"training-data pipeline" addenda.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_amqp_spark.functions.text import let, shingles, tokens
+from streaming_amqp_spark.tables import fan_out, load_table
+
+CHUNK_TOKENS = 32  # chunk size C
+CHUNK_STRIDE = 24  # stride S (overlap = C - S = 8 tokens)
+CONTAM_K = 5  # n-gram order for contamination detection
+EVAL_SOURCE = "src0"  # the held-out "benchmark" slice
+PACK_BUDGET = 256  # context-window token budget for packing
+MIX_TARGET_FRAC = 0.5  # downsample target = this fraction of median source size
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- chunking
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (C=32, stride 24): each document
+    yields chunks [s, s+C) for s = 0, S, 2S, ... while the chunk still
+    covers unseen tokens (s == 0 or s < n - C + S).
+
+    Pure per-row projection: sequence + slice + concat_ws, no shuffle —
+    chunking 100 TB is exactly a full scan, nothing more."""
+    d = _docs(spark, sf_dir)
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+
+    def chunks_of(t):
+        n = F.size(t)
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.lit(0), n - F.lit(C - S + 1)), F.lit(S)
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / F.lit(S)).cast("long").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(t, s + 1, C)).alias("chunk_text"),
+                F.least(F.lit(C), n - s).cast("long").alias("n_tok"),
+            ),
+        )
+
+    ch = let(tokens(), chunks_of)
+    return d.select("doc_id", F.explode(ch).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tok"
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       s // {CHUNK_STRIDE} AS chunk_id,
+       array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, n - s) AS BIGINT) AS n_tok
+FROM (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                          {CHUNK_STRIDE})) AS s
+      FROM t)
+"""
+
+
+# ----------------------------------------------------- contamination check
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which held-out (EVAL_SOURCE) docs
+    share any 5-gram with a training doc, how many training docs hit them,
+    and the worst single-doc overlap.
+
+    Scale: the eval side (benchmarks are small, ≪ the corpus) is exploded
+    to (shingle, eval_doc) and **broadcast**; training shingles stream
+    map-side through the broadcast hash join — the only shuffle is the
+    per-(eval,train) count aggregate, whose cardinality is bounded by
+    actual collisions, not corpus size."""
+    d = fan_out(_docs(spark, sf_dir), "doc_id")
+    sh = d.where(F.size(tokens()) >= CONTAM_K).select(
+        "doc_id", "source", F.explode(shingles("text", k=CONTAM_K)).alias("s")
+    )
+    ev = sh.where(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    tr = sh.where(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    pair = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count("*").alias("c"))
+    )
+    return pair.groupBy("eval_doc").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum("c").alias("n_shared"),
+        F.max("c").alias("max_shared"),
+    )
+
+
+_CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONTAM_K}
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - {CONTAM_K - 2}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     || ' ' || t[i+4])) AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+pair AS (
+  SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, count(*) AS c
+  FROM ex e JOIN ex t ON e.s = t.s
+  WHERE e.source = '{EVAL_SOURCE}' AND t.source <> '{EVAL_SOURCE}'
+  GROUP BY 1, 2
+)
+SELECT eval_doc,
+       count(*) AS n_train_docs,
+       CAST(sum(c) AS BIGINT) AS n_shared,
+       max(c) AS max_shared
+FROM pair GROUP BY eval_doc
+"""
+
+
+# ------------------------------------------------------- repetition signal
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals: duplicate positional
+    3-gram fraction (boilerplate / copy-paste detector) and most-frequent-
+    token share.  Pure per-row expressions over one bound token array —
+    no shuffle, fuses into the scan."""
+    d = _docs(spark, sf_dir)
+
+    def stats_of(t):
+        n = F.size(t)
+        pos3 = F.transform(
+            F.sequence(F.lit(0), n - F.lit(3)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        )
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
+            )
+        )
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(pos3)).cast("double") / F.size(pos3)
+            ).alias("dup_3gram_frac"),
+            (top.cast("double") / n).alias("top_token_frac"),
+        )
+
+    st = let(tokens(), stats_of)
+    return (
+        d.where(F.size(tokens()) >= 3)
+        .select("doc_id", st.alias("st"))
+        .select("doc_id", "st.n_tokens", "st.dup_3gram_frac", "st.top_token_frac")
+    )
+
+
+_REPEAT_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS pos3
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       1.0 - CAST(len(list_distinct(pos3)) AS DOUBLE) / len(pos3)
+         AS dup_3gram_frac,
+       CAST(list_max(list_transform(list_distinct(toks),
+              x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE) / n
+         AS top_token_frac
+FROM g
+"""
+
+
+# --------------------------------------------------------- context packing
+def pack_docs_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit context packing: fill context windows of PACK_BUDGET
+    tokens with whole documents in doc_id order within each source; a doc
+    that would overflow the current bin opens a new one (an oversized doc
+    gets its own bin).
+
+    Sequential recurrence → ordered array fold per source shard (the
+    ``events_ewma`` pattern): one shuffle on source, per-shard state is
+    the doc list.  At 100 TB, shard by (source, day) so no fold input
+    exceeds executor memory; bins never span shards by construction."""
+    d = _docs(spark, sf_dir)
+    B = PACK_BUDGET
+    per_doc = d.select(
+        "doc_id", "source", F.size(tokens()).cast("long").alias("n_tok")
+    )
+    out_t = "array<struct<doc_id:bigint,n_tok:bigint,bin_id:bigint>>"
+    zero = F.struct(
+        F.lit(-1).cast("long").alias("bin"),
+        F.lit(B + 1).cast("long").alias("fill"),  # forces a new bin on doc 1
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, x):
+        over = acc["fill"] + x["n_tok"] > B
+        bin_ = F.when(over, acc["bin"] + 1).otherwise(acc["bin"])
+        fill = F.when(over, x["n_tok"]).otherwise(acc["fill"] + x["n_tok"])
+        return F.struct(
+            bin_.alias("bin"),
+            fill.alias("fill"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["doc_id"].alias("doc_id"),
+                        x["n_tok"].alias("n_tok"),
+                        bin_.alias("bin_id"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    packed = (
+        per_doc.groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_tok"))).alias("docs"))
+        .select(
+            "source",
+            F.explode(F.aggregate("docs", zero, step, lambda s: s["out"])).alias("a"),
+        )
+        .select("a.doc_id", "source", "a.n_tok", "a.bin_id")
+    )
+    return packed
+
+
+_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT doc_id, source, n_tok, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tok, t.rn,
+         CASE WHEN p.fill + t.n_tok > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + t.n_tok > {PACK_BUDGET}
+              THEN t.n_tok ELSE p.fill + t.n_tok END
+  FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tok, bin_id FROM pack
+"""
+
+
+# ------------------------------------------------- domain mixture weights
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source sampling weight
+    min(1, target / source_tokens) with target = MIX_TARGET_FRAC × the
+    median source size, plus the volume the deterministic md5-bucket
+    downsample (floor(weight·16) of 16 buckets) actually keeps.
+
+    Scale: two tiny aggregates (one row per source) + a broadcast join of
+    the 20-row weight table back onto the corpus; the keep-predicate is a
+    pure per-row hash — no RNG, stable under retries/repartitioning."""
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "doc_id", "source", F.size(tokens()).cast("long").alias("n_tok")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("src_tokens")
+    )
+    tgt = per_src.agg(
+        (F.lit(MIX_TARGET_FRAC) * F.percentile("src_tokens", F.lit(0.5))).alias(
+            "target"
+        )
+    )
+    weighted = per_src.crossJoin(F.broadcast(tgt)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(F.lit(1.0), F.col("target") / F.col("src_tokens")).alias("weight"),
+    )
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bucket = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    kept = (
+        per_doc.withColumn("bucket", bucket)
+        .join(F.broadcast(weighted.select("source", "weight")), "source")
+        .where(F.col("bucket") < F.floor(F.col("weight") * 16))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+    )
+    return (
+        weighted.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "weight",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+  FROM per_doc GROUP BY source
+),
+tgt AS (
+  SELECT CAST({MIX_TARGET_FRAC} AS DOUBLE) * quantile_cont(src_tokens, 0.5)
+           AS target
+  FROM per_src
+),
+weighted AS (
+  SELECT source, n_docs, src_tokens,
+         least(CAST(1.0 AS DOUBLE), target / src_tokens) AS weight
+  FROM per_src, tgt
+),
+kept AS (
+  SELECT d.source, count(*) AS n_docs_kept, CAST(sum(d.n_tok) AS BIGINT)
+           AS tokens_kept
+  FROM per_doc d JOIN weighted w ON d.source = w.source
+  WHERE d.bucket < floor(w.weight * 16)
+  GROUP BY d.source
+)
+SELECT w.source, w.n_docs, w.src_tokens, w.weight,
+       coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+       coalesce(k.tokens_kept, 0) AS tokens_kept
+FROM weighted w LEFT JOIN kept k ON w.source = k.source
+"""
+
+
+QUERIES = {
+    "text_chunk_sliding": text_chunk_sliding,
+    "contamination_check": contamination_check,
+    "text_repetition_stats": text_repetition_stats,
+    "pack_docs_nextfit": pack_docs_nextfit,
+    "domain_mixture_weights": domain_mixture_weights,
+}
+
+ORACLES = {
+    "text_chunk_sliding": _CHUNK_SQL,
+    "contamination_check": _CONTAM_SQL,
+    "text_repetition_stats": _REPEAT_SQL,
+    "pack_docs_nextfit": _PACK_SQL,
+    "domain_mixture_weights": _MIX_SQL,
+}

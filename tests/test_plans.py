@@ -148,6 +148,23 @@ def test_burst_detection_windows_are_day_sharded(spark, sf_dir):
         assert "sum(nb#" in s, f"unpartitioned events-scale window: {s[:200]}"
 
 
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking must stay a pure scan-stage projection:
+    at 100 TB it is a full scan and nothing more — any Exchange here
+    means the operator re-materializes the corpus."""
+    plan = _plan(spark, sf_dir, "text_chunk_sliding")
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval/benchmark side is small by construction; the train corpus
+    must stream map-side through a broadcast hash join, never shuffle on
+    the shingle key."""
+    plan = _plan(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_driver_side_collects_in_engine_code():
     """Distributed discipline: no operator/plan module may materialize to
     the driver (.collect/.toPandas/.toLocalIterator) — results stay
