@@ -48,6 +48,9 @@ HEADLINE = [
     "multimodal_frame_sample",
     "agg_variance_corr",
     "curate_documents",
+    "text_chunk_sliding",
+    "contamination_check",
+    "pack_docs_nextfit",
 ]
 
 

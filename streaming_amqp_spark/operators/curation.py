@@ -379,7 +379,44 @@ FROM weighted w LEFT JOIN kept k ON w.source = k.source
 """
 
 
+# ----------------------------------------------------------- PII masking
+def pii_mask_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style masking/auditing as a pure per-row projection: digit runs
+    in the raw ``props`` payload are replaced with ``#`` and counted, and
+    email-shaped spans are counted (zero on this synthetic corpus — the
+    audit column proves the scan ran, the mask column proves the rewrite).
+
+    The patterns stay in the character-class subset that Java regex
+    (Spark) and RE2 (DuckDB) evaluate identically.  Scale: scan-fused,
+    no shuffle — masking 100 TB is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).cast(
+            "long"
+        ).alias("n_number_runs"),
+        F.size(
+            F.regexp_extract_all(
+                "props", F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"), 0
+            )
+        ).cast("long").alias("n_emails"),
+    )
+
+
+_PII_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+         AS n_number_runs,
+       CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+         AS BIGINT) AS n_emails
+FROM events
+"""
+
+
 QUERIES = {
+    "pii_mask_events": pii_mask_events,
     "text_chunk_sliding": text_chunk_sliding,
     "contamination_check": contamination_check,
     "text_repetition_stats": text_repetition_stats,
@@ -388,6 +425,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_mask_events": _PII_SQL,
     "text_chunk_sliding": _CHUNK_SQL,
     "contamination_check": _CONTAM_SQL,
     "text_repetition_stats": _REPEAT_SQL,

@@ -540,6 +540,84 @@ class AMQPBatchReader(DataSourceReader):
             transport.close()
 
 
+class QpidSender:
+    """Live AMQP 1.0 sender over python-qpid-proton (import-gated like
+    ``QpidTransport``) — the publish half ``AMQPWriter`` opens per task in
+    live mode.
+
+    ``BlockingSender.send`` waits for the broker to settle each delivery
+    (at-least-once: a retried task may re-send messages the broker already
+    accepted — the mirror of the source's redelivery contract).  The
+    reference has no sink at all (ingestion-only connector,
+    AMQPInputDStream.scala), so this is engine completeness, not parity.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        address: str,
+        username: str | None = None,
+        password: str | None = None,
+    ):
+        try:
+            import proton  # noqa: F401
+            import proton.utils  # noqa: F401
+        except ImportError as e:  # pragma: no cover - no AMQP stack in image
+            raise ImportError(
+                "live AMQP publish needs python-qpid-proton; use "
+                "transport=spool for offline testing"
+            ) from e
+        self._host, self._port, self._address = host, port, address
+        self._username, self._password = username, password
+        self._connect()
+
+    def _connect(self) -> None:  # pragma: no cover
+        from proton.utils import BlockingConnection
+
+        url = f"amqp://{self._host}:{self._port}"
+        self._conn = BlockingConnection(
+            url, allowed_mechs="PLAIN" if self._username else None,
+            user=self._username, password=self._password,
+        )
+        self._snd = self._conn.create_sender(self._address)
+
+    def reconnect(self) -> None:  # pragma: no cover
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+        self._connect()
+
+    def send(self, msg: dict) -> None:  # pragma: no cover
+        from proton import Message
+
+        m = Message(
+            id=msg.get("message_id"),
+            address=msg.get("to_address") or self._address,
+            subject=msg.get("subject"),
+            reply_to=msg.get("reply_to"),
+            correlation_id=msg.get("correlation_id"),
+            properties=msg.get("application_properties"),
+            annotations=msg.get("message_annotations"),
+            body=(
+                base64.b64decode(msg["body_b64"])
+                if "body_b64" in msg
+                else msg.get("body")
+            ),
+        )
+        try:
+            self._snd.send(m)
+        except Exception as e:
+            raise TransportDisconnected(str(e)) from e
+
+    def close(self) -> None:  # pragma: no cover
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+
+
 def _row_to_msg(row) -> dict:
     """One envelope(-ish) row → one spool/transport message dict (the
     inverse of ``_msg_to_row``; missing columns become absent keys)."""
@@ -569,7 +647,7 @@ def _row_to_msg(row) -> dict:
 class _SpoolCommit(WriterCommitMessage):
     """Commit message: the task's temp file + its partition id."""
 
-    def __init__(self, tmp_path: str, partition_id: int, n_rows: int):
+    def __init__(self, tmp_path: str | None, partition_id: int, n_rows: int):
         self.tmp_path = tmp_path
         self.partition_id = partition_id
         self.n_rows = n_rows
@@ -588,21 +666,26 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
     contract.  The mechanism assumes the spool dir is shared storage, the
     same assumption Spark's own file sinks make.
 
-    Live mode would open a per-partition ``QpidTransport`` sender; the
-    reference has no sink at all (ingestion-only connector), so this is an
-    engine-completeness upgrade, not a parity port.
+    Live (``transport=qpid``): each task opens a ``QpidSender`` and
+    publishes row-by-row with reconnect-on-disconnect (same backoff policy
+    as the reader's ``_fetch_with_reconnect``).  AMQP has no cross-message
+    transaction, so the live sink is at-least-once: ``commit`` is a no-op
+    and a retried task may re-send its partition — the same contract as
+    the source side.  The reference has no sink at all (ingestion-only
+    connector), so this is an engine-completeness upgrade, not a parity
+    port.
     """
 
     def __init__(self, options: dict):
         import uuid
 
         self.options = options
-        if options.get("transport", "qpid") != "spool":  # pragma: no cover
-            raise ImportError(
-                "AMQP publish needs python-qpid-proton (absent in this "
-                "container); use transport=spool"
-            )
-        self.spool_dir = options["spooldir"]
+        self.live = options.get("transport", "qpid") != "spool"
+        if self.live:
+            self._check_live_stack()
+            self.spool_dir = None
+        else:
+            self.spool_dir = options["spooldir"]
         # Batch publishes must not collide: each .save() finalizes under a
         # unique job epoch (override with option epoch=… for deterministic
         # names).  Streaming epochs are e<batchId>, stable across restarts
@@ -612,6 +695,53 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
         self.batch_epoch = options.get("epoch") or f"b{uuid.uuid4().hex[:12]}"
         self.query_prefix = options.get("queryname", "")
 
+    def _check_live_stack(self) -> None:  # pragma: no cover
+        try:
+            import proton  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "live AMQP publish needs python-qpid-proton (absent in "
+                "this container); use transport=spool"
+            ) from e
+
+    def _make_sender(self) -> QpidSender:  # pragma: no cover
+        return QpidSender(
+            host=self.options.get("host", "localhost"),
+            port=int(self.options.get("port", 5672)),
+            address=self.options.get("address", "spark"),
+            username=self.options.get("username"),
+            password=self.options.get("password"),
+        )
+
+    @staticmethod
+    def _send_with_reconnect(sender, msg: dict) -> None:
+        """Send one message, reconnecting with exponential backoff on a
+        dropped connection (mirror of AMQPStreamReader._fetch_with_reconnect;
+        ≡ Receiver.restart, AMQPReceiver.scala:121-151).  A message whose
+        send raced the drop may reach the broker twice — at-least-once."""
+        delay = RECONNECT_BASE_DELAY_S
+        for attempt in range(RECONNECT_MAX_ATTEMPTS + 1):
+            try:
+                sender.send(msg)
+                return
+            except TransportDisconnected:
+                if attempt == RECONNECT_MAX_ATTEMPTS:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+                sender.reconnect()
+
+    def _write_live(self, iterator, pid: int) -> _SpoolCommit:
+        sender = self._make_sender()
+        n = 0
+        try:
+            for row in iterator:
+                self._send_with_reconnect(sender, _row_to_msg(row))
+                n += 1
+        finally:
+            sender.close()
+        return _SpoolCommit(None, pid, n)
+
     def write(self, iterator) -> _SpoolCommit:
         import uuid
 
@@ -619,6 +749,8 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
+        if self.live:
+            return self._write_live(iterator, pid)
         os.makedirs(self.spool_dir, exist_ok=True)
         tmp = os.path.join(self.spool_dir, f".inprogress-{uuid.uuid4().hex}.tmp")
         n = 0
@@ -630,7 +762,7 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
 
     def _finalize(self, messages, epoch: str) -> None:
         for m in messages:
-            if m is None:
+            if m is None or m.tmp_path is None:  # live sends: nothing to rename
                 continue
             final = os.path.join(
                 self.spool_dir, f"{epoch}-{m.partition_id:05d}.jsonl"
@@ -649,7 +781,7 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
 
     def abort(self, messages, batchId=None) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
 
 

@@ -12,6 +12,7 @@ import pytest
 
 from streaming_amqp_spark.sources.amqp import (
     AMQPStreamReader,
+    AMQPWriter,
     RECONNECT_MAX_ATTEMPTS,
     SpoolTransport,
     TransportDisconnected,
@@ -143,3 +144,75 @@ def test_batch_read_drops_malformed_lines(spark, tmp_path):
         .load()
     )
     assert sorted(r.message_id for r in got.collect()) == ["ok", "ok2"]
+
+
+class RecordingSender:
+    """Offline Sender: records sends; optionally drops the connection on
+    the first ``fail_times`` send attempts (the sink twin of
+    FlakyTransport)."""
+
+    def __init__(self, fail_times: int = 0):
+        self.sent: list[dict] = []
+        self.fail_times = fail_times
+        self.reconnects = 0
+        self.closed = False
+
+    def send(self, msg):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise TransportDisconnected("simulated connection drop")
+        self.sent.append(msg)
+
+    def reconnect(self):
+        self.reconnects += 1
+
+    def close(self):
+        self.closed = True
+
+
+class _LiveTestWriter(AMQPWriter):
+    """AMQPWriter in live mode with the proton import check and the real
+    QpidSender swapped for the recording fake (the injection seams the
+    production class exposes for exactly this purpose)."""
+
+    def __init__(self, options, sender):
+        self._sender = sender
+        super().__init__(options)
+
+    def _check_live_stack(self):
+        pass
+
+    def _make_sender(self):
+        return self._sender
+
+
+def _rows(n):
+    return [{"message_id": f"m{i}", "body": str(i)} for i in range(n)]
+
+
+def test_live_sink_sends_all_rows_and_closes(tmp_path):
+    s = RecordingSender()
+    w = _LiveTestWriter({"transport": "qpid"}, s)
+    commit = w.write(iter(_rows(4)))
+    assert [m["message_id"] for m in s.sent] == ["m0", "m1", "m2", "m3"]
+    assert commit.n_rows == 4 and commit.tmp_path is None
+    assert s.closed
+    w.commit([commit])  # live commit: no files to finalize, must not raise
+    w.abort([commit])  # nor abort
+
+
+def test_live_sink_reconnects_mid_partition(tmp_path):
+    s = RecordingSender(fail_times=2)
+    w = _LiveTestWriter({"transport": "qpid"}, s)
+    commit = w.write(iter(_rows(3)))
+    assert commit.n_rows == 3
+    assert len(s.sent) == 3  # no message lost across the drop
+    assert s.reconnects == 2
+
+
+def test_live_sink_gives_up_after_max_attempts(tmp_path):
+    s = RecordingSender(fail_times=RECONNECT_MAX_ATTEMPTS + 1)
+    w = _LiveTestWriter({"transport": "qpid"}, s)
+    with pytest.raises(TransportDisconnected):
+        w.write(iter(_rows(2)))
+    assert s.closed  # sender released even on failure
