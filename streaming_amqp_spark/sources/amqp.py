@@ -48,6 +48,7 @@ import json
 import os
 import time
 from datetime import datetime, timezone
+from functools import lru_cache
 from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
@@ -96,6 +97,17 @@ def _json_encode_body(body: Any) -> tuple[str | None, str | None, bytes | None]:
     return "amqpValue", json.dumps(body, separators=(",", ":")), None
 
 
+@lru_cache(maxsize=4096)
+def _parse_iso_ts(ts_str: str) -> datetime:
+    """ISO-8601 → naive-UTC datetime, memoized: AMQP bursts commonly carry
+    repeated (sender-batched, second-granularity) timestamps, and datetime
+    objects are immutable so sharing one instance across rows is safe."""
+    ingest = datetime.fromisoformat(ts_str)
+    if ingest.tzinfo is not None:
+        ingest = ingest.astimezone(timezone.utc).replace(tzinfo=None)
+    return ingest
+
+
 def _msg_to_row(msg: dict) -> tuple:
     """One spool/transport message dict → one envelope-schema row."""
     body_type, body_json, body_bin = _json_encode_body(msg.get("body"))
@@ -103,9 +115,7 @@ def _msg_to_row(msg: dict) -> tuple:
         body_type, body_json = "data", None
         body_bin = base64.b64decode(msg["body_b64"])
     if ts_str := msg.get("ingest_ts"):
-        ingest = datetime.fromisoformat(ts_str)
-        if ingest.tzinfo is not None:
-            ingest = ingest.astimezone(timezone.utc).replace(tzinfo=None)
+        ingest = _parse_iso_ts(ts_str)
     else:
         ingest = datetime.fromtimestamp(time.time(), tz=timezone.utc).replace(
             tzinfo=None
