@@ -202,3 +202,50 @@ def test_union_of_multiple_amqp_sources(amqp, tmp_path):
         for r in amqp.sql("SELECT * FROM union_out").collect()
     }
     assert got == {("temperature", 3), ("humidity", 2)}
+
+
+def test_streaming_curation_filter_and_dedup(amqp, tmp_path):
+    """Curation column-exprs compose with the AMQP stream unchanged: the
+    same tokens/stopword expressions that power the batch text operators
+    run as a streaming projection, and exact dedup is dropDuplicates on
+    the content hash — a streaming front-door for the curation pipeline
+    (at scale: watermark + dropDuplicatesWithinWatermark bounds state)."""
+    from streaming_amqp_spark.functions.text import stopword_count, tokens
+
+    msgs = [
+        # two identical bodies (dup), one stopword-heavy (low quality)
+        {"message_id": "a", "body": "spark shuffles partition data fast",
+         "ingest_ts": "2024-01-01T00:00:00"},
+        {"message_id": "b", "body": "spark shuffles partition data fast",
+         "ingest_ts": "2024-01-01T00:00:01"},
+        {"message_id": "c", "body": "the a the a the a the spark",
+         "ingest_ts": "2024-01-01T00:00:02"},
+        {"message_id": "d", "body": "catalyst prunes columns at scan time",
+         "ingest_ts": "2024-01-01T00:00:03"},
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = _read(amqp, spool)
+    t = tokens(F.col("body"))
+    sw_ratio = stopword_count(t).cast("double") / F.size(t)
+    curated = (
+        env.where(F.col("body").isNotNull())
+        .withColumn("h", F.md5("body"))
+        .where(sw_ratio < 0.5)
+        .dropDuplicates(["h"])
+        .select("message_id", "body")
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["message_id"]
+        for r in amqp.sql("select * from curated_stream").collect()
+    }
+    assert "c" not in got  # low quality dropped
+    assert "d" in got
+    assert len(got & {"a", "b"}) == 1  # exactly one of the dup pair
