@@ -170,11 +170,26 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(t, i + 3),
             ),
         )
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
-            )
+        # max token multiplicity in O(n log n): sort, then one fold over
+        # equal-runs — not distinct×filter, whose O(distinct·n) HOF cost
+        # goes quadratic on high-vocabulary documents
+        run_zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
+
+        def run_step(acc, x):
+            run = F.when(
+                F.coalesce(acc["prev"] == x, F.lit(False)), acc["run"] + 1
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(F.array_sort(t), run_zero, run_step, lambda s: s["best"])
         return F.struct(
             n.cast("long").alias("n_tokens"),
             (

@@ -25,7 +25,7 @@ from streaming_amqp_spark.functions.text import (
     shingles,
     tokens,
 )
-from streaming_amqp_spark.tables import fan_out, load_table
+from streaming_amqp_spark.tables import fan_out, load_table, shared_cache
 
 JACCARD_THRESHOLD = 0.8
 
@@ -57,6 +57,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.size(tokens()) >= 3)
         .select("doc_id", shingles().alias("shingles"))
         .withColumn("n", F.size("shingles"))
+    )
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached shingle index, one copy per (session, sf_dir) — every
+    dedup-family query that needs it reuses the same InMemoryRelation
+    instead of pinning a fresh one per invocation."""
+    return shared_cache(
+        spark, ("doc_shingles", sf_dir), lambda: _doc_shingles(spark, sf_dir)
     )
 
 
@@ -112,10 +121,15 @@ def dedup_ngram_jaccard(
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     # no sort needed: the (x > id1) expansion below enumerates each
     # unordered pair exactly once whatever the list order
-    posting = ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
-    if max_shingle_freq is not None:
-        posting = posting.where(F.size("ids") <= max_shingle_freq)
-    posting = posting.cache()
+    def _build_posting() -> DataFrame:
+        p = ex.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+        if max_shingle_freq is not None:
+            p = p.where(F.size("ids") <= max_shingle_freq)
+        return p
+
+    posting = shared_cache(
+        spark, ("jaccard_posting", sf_dir, max_shingle_freq), _build_posting
+    )
     sizes = (
         posting.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
@@ -186,7 +200,7 @@ def dedup_minhash_lsh(
     the (small) candidate set against the shingle index.
     """
     if sh is None:
-        sh = _doc_shingles(spark, sf_dir).cache()
+        sh = _shared_shingles(spark, sf_dir)
     sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), 16))
     banded = sig.select("doc_id", *lsh_bands(16, 4))
     band_rows = banded.selectExpr(
@@ -376,7 +390,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle index is built once, cached, and shared by the exact and
     LSH paths — recall would otherwise recompute the most expensive input
     twice."""
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _shared_shingles(spark, sf_dir)
     truth = dedup_ngram_jaccard(spark, sf_dir, sh=sh).select("id1", "id2")
     found = dedup_minhash_lsh(spark, sf_dir, sh=sh).select(
         "id1", "id2", F.lit(1).alias("hit")

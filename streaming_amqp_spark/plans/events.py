@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 
 from streaming_amqp_spark.envelope import body_as, events_as_envelope
 from streaming_amqp_spark.functions.numeric import davg, dsum
-from streaming_amqp_spark.tables import load_table
+from streaming_amqp_spark.tables import load_table, shared_cache
 
 
 def events_window_5s_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +401,45 @@ GROUP BY cohort_day, day_offset
 """
 
 
+def _burst_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error rows with day-sharded burst markers (new_burst flag +
+    within-day cumulative local_id).  Both the per-day offset branch and
+    the burst-aggregate branch of ``events_interval_join_binned`` consume
+    this — without sharing, the error scan + day-shuffle + lag window
+    subtree executes once per branch (the filters differ slightly across
+    the copies, so AQE exchange-reuse cannot deduplicate them)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "ts", "event_id", F.to_date("ts").alias("day")
+    )
+    w_day = W.partitionBy("day").orderBy("ts", "event_id")
+
+    # previous day's last error ts, keyed by the day it precedes
+    day_last = errors.groupBy("day").agg(F.max("ts").alias("boundary_prev_ts"))
+    boundary = day_last.select(
+        F.date_add("day", 1).alias("day"), "boundary_prev_ts"
+    )
+    return (
+        errors.withColumn("prev_in_day", F.lag("ts").over(w_day))
+        .join(F.broadcast(boundary), "day", "left")
+        .withColumn(
+            "prev_ts", F.coalesce("prev_in_day", "boundary_prev_ts")
+        )
+        .withColumn(
+            "new_burst",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 300.0),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "local_id",
+            F.sum("new_burst").over(w_day.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+
+
 def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless interval join, binned: purchases that occurred during any
     global error burst (≥3 errors with <5 min gaps — no shared key with
@@ -425,34 +464,8 @@ def events_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
       unpartitioned window, over #days rows, not #errors rows).
     Result is row-identical to a single global cumulative window."""
     ev = load_table(spark, sf_dir, "events")
-    errors = ev.where(F.col("event_type") == "error").select(
-        "ts", "event_id", F.to_date("ts").alias("day")
-    )
-    w_day = W.partitionBy("day").orderBy("ts", "event_id")
-
-    # previous day's last error ts, keyed by the day it precedes
-    day_last = errors.groupBy("day").agg(F.max("ts").alias("boundary_prev_ts"))
-    boundary = day_last.select(
-        F.date_add("day", 1).alias("day"), "boundary_prev_ts"
-    )
-    marked = (
-        errors.withColumn("prev_in_day", F.lag("ts").over(w_day))
-        .join(F.broadcast(boundary), "day", "left")
-        .withColumn(
-            "prev_ts", F.coalesce("prev_in_day", "boundary_prev_ts")
-        )
-        .withColumn(
-            "new_burst",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 300.0),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "local_id",
-            F.sum("new_burst").over(w_day.rowsBetween(W.unboundedPreceding, 0)),
-        )
+    marked = shared_cache(
+        spark, ("burst_marked", sf_dir), lambda: _burst_marked(spark, sf_dir)
     )
     # per-day burst-count prefix sums (runs over the tiny day summary)
     day_tot = marked.groupBy("day").agg(F.sum("new_burst").alias("nb"))

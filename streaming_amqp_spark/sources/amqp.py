@@ -137,6 +137,39 @@ def _msg_to_row(msg: dict) -> tuple:
     )
 
 
+def _parse_spool_line(line: str) -> dict | None:
+    """One spool-file line → message dict, or None for a malformed /
+    non-object line (SURVEY §7.4.2 drop-don't-crash semantics — shared by
+    the streaming SpoolTransport and the batch reader so the two paths
+    can never diverge)."""
+    line = line.strip()
+    if not line:
+        return None
+    try:
+        msg = json.loads(line)
+    except ValueError:
+        return None
+    return msg if isinstance(msg, dict) else None
+
+
+def _retry_on_disconnect(op, reconnect):
+    """Run ``op`` with reconnect-on-TransportDisconnected + exponential
+    backoff (≡ Receiver.restart on close/disconnect,
+    AMQPReceiver.scala:121-151) — one policy shared by the reader's fetch
+    and the writer's send so a backoff fix can't miss one of them."""
+    delay = RECONNECT_BASE_DELAY_S
+    for attempt in range(RECONNECT_MAX_ATTEMPTS + 1):
+        try:
+            return op()
+        except TransportDisconnected:
+            if attempt == RECONNECT_MAX_ATTEMPTS:
+                raise
+            time.sleep(delay)
+            delay *= 2
+            reconnect()
+    raise AssertionError("unreachable")
+
+
 class Transport:
     """Minimal message-delivery interface the reader drives.
 
@@ -184,18 +217,11 @@ class SpoolTransport(Transport):
                 continue
             with open(os.path.join(self.spool_dir, fname)) as f:
                 for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        msg = json.loads(line)
-                    except ValueError:
-                        malformed += 1
-                        continue
-                    if not isinstance(msg, dict):
-                        malformed += 1
-                        continue
-                    out.append(msg)
+                    if line.strip():
+                        if (msg := _parse_spool_line(line)) is not None:
+                            out.append(msg)
+                        else:
+                            malformed += 1
         self.malformed = malformed
         return out
 
@@ -354,19 +380,20 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         # SURVEY §4.2).
         self.max_rate = float(options.get("maxratepersecond", 0)) or None
         self._last_read_t: float | None = None
-        # Adaptive admission (full A10/A11 parity: the latent controllers
-        # track Spark's PID-driven blockGenerator.getCurrentLimit,
-        # AMQPRateController.scala:56,214-215).  Structured Streaming has no
-        # push-side PID, so the reader closes the loop itself: when the
-        # observed inter-batch duration (≈ previous batch's processing time)
-        # exceeds targetBatchSeconds, the per-batch cap shrinks
-        # proportionally; when it runs under half the target, the cap grows
-        # back geometrically toward maxMessagesPerBatch.
+        # Adaptive admission (full A10/A11 parity): Structured Streaming
+        # has no push-side PID, so the reader closes the loop itself.  The
+        # feedback signal is the batch-processing duration measured from
+        # read-end to commit(end) — see commit() — so the cap shrinks when
+        # batches genuinely overrun targetBatchSeconds and regrows
+        # geometrically toward maxMessagesPerBatch when they run fast;
+        # trigger intervals and idle gaps never enter the signal.
         self.target_batch_s = (
             float(options.get("targetbatchseconds", 0)) or None
         )
         self._adaptive_cap = self.max_per_batch
-        self._last_admitted = 0
+        # end-seq -> (read-finished time, admitted count): commit() turns
+        # these into observed batch-processing durations
+        self._batch_done: dict[int, tuple[float, int]] = {}
         self.reliable = options.get("reliable", "true").lower() == "true"
         transport_kind = options.get("transport", "qpid")
         if transport_kind == "spool":
@@ -394,17 +421,9 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         already retained from earlier batches are untouched; a broker that
         redelivers the in-flight tail yields duplicates, the same
         at-least-once guarantee as the reference's WAL path."""
-        delay = RECONNECT_BASE_DELAY_S
-        for attempt in range(RECONNECT_MAX_ATTEMPTS + 1):
-            try:
-                return self.transport.fetch(max_n)
-            except TransportDisconnected:
-                if attempt == RECONNECT_MAX_ATTEMPTS:
-                    raise
-                time.sleep(delay)
-                delay *= 2
-                self.transport.reconnect()
-        raise AssertionError("unreachable")
+        return _retry_on_disconnect(
+            lambda: self.transport.fetch(max_n), self.transport.reconnect
+        )
 
     def _to_row(self, msg: dict) -> tuple:
         return _msg_to_row(msg)
@@ -428,28 +447,21 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         admit = self.max_per_batch
         if self.max_rate:
             admit = min(admit, max(1, int(self.max_rate * elapsed)))
-        if self.target_batch_s and self._last_admitted > 0:
-            if elapsed > self.target_batch_s:
-                # previous batch overran: scale the cap to what that batch
-                # rate would have processed within the target
-                self._adaptive_cap = max(
-                    1,
-                    int(self._last_admitted * self.target_batch_s / elapsed),
-                )
-            elif elapsed < 0.5 * self.target_batch_s:
-                self._adaptive_cap = min(
-                    self.max_per_batch, max(self._adaptive_cap * 2, 1)
-                )
         if self.target_batch_s:
             admit = min(admit, self._adaptive_cap)
         msgs = self._fetch_with_reconnect(admit)
-        self._last_admitted = len(msgs)
         rows = [self._to_row(m) for m in msgs]
         base = self._seq
         self._retained.extend((base + i, r) for i, r in enumerate(rows))
         self._seq = base + len(rows)
         if not self.reliable:
             self._retained.clear()
+        if self.target_batch_s and rows:
+            # commit(end) closes this sample into a processing duration;
+            # bound the map in case an epoch is never committed (restart)
+            self._batch_done[self._seq] = (time.monotonic(), len(rows))
+            while len(self._batch_done) > 64:
+                self._batch_done.pop(next(iter(self._batch_done)))
         return iter(rows), {"seq": self._seq}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -470,6 +482,27 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         n_settle = sum(1 for s, _ in self._retained if s < upto)
         self.transport.settle(n_settle)
         self._retained = [(s, r) for s, r in self._retained if s >= upto]
+        # Adaptive admission (full A10/A11 parity: the latent controllers
+        # track Spark's PID-driven blockGenerator.getCurrentLimit,
+        # AMQPRateController.scala:56,214-215).  commit(end) fires after
+        # the batch finished processing, so now − read-end is the TRUE
+        # batch-processing duration — unlike inter-read elapsed time, it
+        # cannot confuse a long trigger interval or an idle source with a
+        # slow pipeline (which would ratchet the cap down permanently).
+        sample = self._batch_done.pop(upto, None)
+        if self.target_batch_s and sample is not None:
+            t_read_end, n_admitted = sample
+            proc = time.monotonic() - t_read_end
+            if proc > self.target_batch_s:
+                # overran: scale cap to what this batch's rate would have
+                # processed within the target
+                self._adaptive_cap = max(
+                    1, int(n_admitted * self.target_batch_s / proc)
+                )
+            elif proc < 0.5 * self.target_batch_s:
+                self._adaptive_cap = min(
+                    self.max_per_batch, max(self._adaptive_cap * 2, 1)
+                )
 
 
 class _SpoolFilePartition(InputPartition):
@@ -522,15 +555,8 @@ class AMQPBatchReader(DataSourceReader):
             # the task
             with open(partition.path) as f:
                 for line in f:
-                    if not (line := line.strip()):
-                        continue
-                    try:
-                        msg = json.loads(line)
-                    except ValueError:
-                        continue
-                    if not isinstance(msg, dict):
-                        continue
-                    yield _msg_to_row(msg)
+                    if (msg := _parse_spool_line(line)) is not None:
+                        yield _msg_to_row(msg)
             return
         # live link: per-partition connection, drain until empty, settle all
         transport = QpidTransport(  # pragma: no cover - no AMQP stack in image
@@ -725,21 +751,10 @@ class AMQPWriter(DataSourceWriter, DataSourceStreamWriter):
 
     @staticmethod
     def _send_with_reconnect(sender, msg: dict) -> None:
-        """Send one message, reconnecting with exponential backoff on a
-        dropped connection (mirror of AMQPStreamReader._fetch_with_reconnect;
-        ≡ Receiver.restart, AMQPReceiver.scala:121-151).  A message whose
-        send raced the drop may reach the broker twice — at-least-once."""
-        delay = RECONNECT_BASE_DELAY_S
-        for attempt in range(RECONNECT_MAX_ATTEMPTS + 1):
-            try:
-                sender.send(msg)
-                return
-            except TransportDisconnected:
-                if attempt == RECONNECT_MAX_ATTEMPTS:
-                    raise
-                time.sleep(delay)
-                delay *= 2
-                sender.reconnect()
+        """Send one message via the shared reconnect/backoff policy.  A
+        message whose send raced the drop may reach the broker twice —
+        at-least-once (the mirror of the source's redelivery contract)."""
+        _retry_on_disconnect(lambda: sender.send(msg), sender.reconnect)
 
     def _write_live(self, iterator, pid: int) -> _SpoolCommit:
         sender = self._make_sender()

@@ -239,7 +239,7 @@ def _make_funnel_update(ttl_ms: int | None):
 def streaming_funnel(
     events: DataFrame,
     state_ttl_minutes: float | None = 24 * 60,
-    watermark_delay: str = "10 seconds",
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Per-user strict-sequence funnel as a stateful streaming operator:
     state = the three stage timestamps, advanced only in order
@@ -255,7 +255,16 @@ def streaming_funnel(
     is evicted via EventTimeTimeout — an unbounded user-id space cannot
     grow the state store without bound, and eviction is deterministic
     under checkpoint replay (event-time, not wall-clock).  ``None``
-    keeps state forever (the pre-TTL behavior)."""
+    keeps state forever (the pre-TTL behavior).
+
+    CONTRACT: enabling event-time TTL subscribes the stream to Spark's
+    watermark semantics — input rows arriving more than
+    ``watermark_delay`` behind the max observed event time are DROPPED
+    before the state function sees them.  Set ``watermark_delay`` to
+    your maximum expected lateness (the 1 h default favors not losing
+    data; eviction then lags the TTL by the same hour), or pass
+    ``state_ttl_minutes=None`` for the drop-nothing unbounded-state
+    behavior."""
     ttl_ms = (
         int(state_ttl_minutes * 60_000) if state_ttl_minutes is not None else None
     )
@@ -277,7 +286,7 @@ def streaming_funnel(
 def running_device_stats(
     envelope: DataFrame,
     state_ttl_minutes: float | None = 24 * 60,
-    watermark_delay: str = "10 seconds",
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Per-device running (count, max) over the AMQP envelope stream:
     body cast to double, grouped by to_address, state carried across
@@ -288,7 +297,12 @@ def running_device_stats(
     watermark is evicted via EventTimeTimeout and restarts from zero if
     it reappears; ``None`` keeps state forever (pre-TTL behavior).
     Event-time TTL keeps eviction deterministic under replay and avoids
-    the continuous empty micro-batches a wall-clock timeout needs."""
+    the continuous empty micro-batches a wall-clock timeout needs.
+
+    CONTRACT: with TTL enabled the watermark drops rows later than
+    ``watermark_delay`` before they reach the state function (see
+    ``streaming_funnel``); the 1 h default trades eviction lag for not
+    losing late data."""
     from streaming_amqp_spark.envelope import BODY_TYPE_VALUE
 
     from pyspark.sql import functions as F

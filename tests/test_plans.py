@@ -135,7 +135,24 @@ def test_burst_detection_windows_are_day_sharded(spark, sf_dir):
     """No events-scale single-partition stage: the lag and cumulative-count
     windows over the error stream must be PARTITIONED BY day; the only
     unpartitioned window allowed is the day-offset prefix sum, which runs
-    over the per-day aggregate (#days rows, not #errors rows)."""
+    over the per-day aggregate (#days rows, not #errors rows).
+
+    The marked subtree sits behind a shared cache in the full query, so
+    its windows are asserted on the subtree's own plan; the full query's
+    plan is checked for any further unpartitioned windows."""
+    from streaming_amqp_spark.plans.events import _burst_marked
+
+    marked_plan = (
+        _burst_marked(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_windows = 0
+    for line in marked_plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if s.startswith("Window ["):
+            n_windows += 1
+            assert "windowspecdefinition(day#" in s, f"global window: {s[:200]}"
+    assert n_windows >= 2  # the lag and the cumulative count
+
     df = _QUERIES["events_interval_join_binned"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():

@@ -93,17 +93,28 @@ def test_reconnect_gives_up_after_max_attempts(tmp_path):
 
 
 def test_adaptive_admission_shrinks_then_regrows(tmp_path):
+    """The backpressure signal is read-end → commit processing time, so a
+    slow batch shrinks the cap and a fast one regrows it; trigger
+    intervals / idle gaps between reads must NOT affect the cap."""
     spool = _write_spool(tmp_path, _msgs(300))
     r = _reader(spool, maxmessagesperbatch="100", targetbatchseconds="0.2")
-    n1 = len(list(r.read(r.initialOffset())[0]))
-    assert n1 == 100  # no feedback yet: full cap
-    time.sleep(0.55)  # simulate a slow downstream batch (>> target)
-    n2 = len(list(r.read({"seq": n1})[0]))
-    # cap scaled to ~ n1 * target / elapsed = 100*0.2/elapsed, elapsed≈0.55+
-    assert 15 <= n2 <= 40, n2
-    # immediate next read: elapsed << target/2 → cap doubles
-    n3 = len(list(r.read({"seq": n1 + n2})[0]))
-    assert n3 == 2 * n2
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(list(rows1)) == 100  # no feedback yet: full cap
+    time.sleep(0.5)  # the batch takes >> target to process
+    r.commit(off1)
+    # cap scaled to ~ 100 * target / proc with proc >= 0.5 → at most 40
+    cap1 = r._adaptive_cap
+    assert 1 <= cap1 <= 40, cap1
+    rows2, off2 = r.read(off1)
+    assert len(list(rows2)) == cap1  # shrunken cap applied
+    r.commit(off2)  # committed immediately: fast batch → cap doubles
+    assert r._adaptive_cap == min(100, 2 * cap1)
+    # an idle gap with NO outstanding batch must not move the cap
+    before = r._adaptive_cap
+    time.sleep(0.3)
+    rows3, off3 = r.read(off2)
+    assert len(list(rows3)) == before
+    r.commit(off3)
 
 
 def test_batch_publish_twice_no_silent_overwrite(spark, tmp_path):
