@@ -14,6 +14,9 @@ Stages (each is an oracle-checked operator from __spark_entry__):
   4. language + token stats of the surviving corpus
   5. deterministic train/val/test split (md5 hash buckets)
   6. similarity spot-check (exact cosine top-k on the embeddings table)
+  7. benchmark-contamination scan (5-gram collisions vs the eval slice)
+  8. sliding-window chunking + next-fit context packing
+  9. domain-mixture rebalancing weights
 
 No stage collects to the driver except the final small summaries — the
 same code runs unchanged on a cluster.
@@ -29,6 +32,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from streaming_amqp_spark.operators.curation import (  # noqa: E402
+    contamination_check,
+    domain_mixture_weights,
+    pack_docs_nextfit,
+    text_chunk_sliding,
+)
 from streaming_amqp_spark.operators.dedup import dedup_clusters, dedup_exact  # noqa: E402
 from streaming_amqp_spark.operators.similarity import knn_cosine_topk  # noqa: E402
 from streaming_amqp_spark.operators.textstats import text_quality_score  # noqa: E402
@@ -80,6 +89,20 @@ def main() -> None:
     # 6. similarity spot-check
     knn = knn_cosine_topk(spark, sf)
 
+    # 7. contamination: which held-out docs leak into the training slice
+    contam = contamination_check(spark, sf)
+
+    # 8. chunk + pack the curated docs into context windows
+    chunks = text_chunk_sliding(spark, sf).join(
+        curated.select("doc_id"), "doc_id", "left_semi"
+    )
+    bins = pack_docs_nextfit(spark, sf).agg(
+        F.count_distinct("source", "bin_id").alias("n_bins")
+    )
+
+    # 9. rebalance the source mixture toward the median source size
+    mix = domain_mixture_weights(spark, sf)
+
     print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
     print("per-language curated counts:")
     for r in stats.collect():
@@ -88,6 +111,11 @@ def main() -> None:
     for r in split.orderBy("split").collect():
         print(f"  {r.split}: {r.n_docs} docs, {r.total_tokens} tokens")
     print(f"knn spot-check rows: {knn.count()}")
+    print(f"contaminated eval docs: {contam.count()}")
+    print(f"curated chunks: {chunks.count()}, packed bins: "
+          f"{bins.collect()[0].n_bins}")
+    kept = mix.agg(F.sum("n_docs_kept")).collect()[0][0]
+    print(f"mixture-rebalanced kept docs: {kept}/{n0}")
     spark.stop()
 
 
