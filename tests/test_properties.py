@@ -117,3 +117,81 @@ def test_percentile_interpolation_definition(values):
 
         got = float(np.percentile(np.array(xs, dtype="float64"), p * 100))
         assert got == expected or abs(got - expected) < 1e-9
+
+
+# ---------------------------------------------------------- packing/chunking
+def _pack_df(spark, rows):
+    """rows: [(doc_id, source, n_tok)] → the per-doc frame pack uses."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s, "w " * (n - 1) + "w") for i, s, n in rows],
+        "doc_id long, source string, text string",
+    )
+    return df
+
+
+def _pack(spark, tmp_path, rows):
+    """Run pack_docs_nextfit against a tiny synthetic documents table."""
+    from streaming_amqp_spark.operators import curation
+
+    d = _pack_df(spark, rows)
+    path = str(tmp_path / "docs")
+    d.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = curation.pack_docs_nextfit(spark, path)
+    return {
+        r.doc_id: r.bin_id for r in out.collect()
+    }, [(r.doc_id, r.n_tok, r.bin_id) for r in out.collect()]
+
+
+def test_pack_nextfit_invariants(spark, tmp_path):
+    """Next-fit semantics: fill never exceeds the budget except for a
+    single oversized doc in its own bin; doc order within a source is
+    preserved; bin ids are dense from 0."""
+    B = 256
+    rows = [
+        (1, "s", 100), (2, "s", 100), (3, "s", 100),  # 100+100 fit, 3rd spills
+        (4, "s", B + 10),                              # oversized: own bin
+        (5, "s", 10), (6, "s", B - 10),                # 10 + (B-10) fit exactly
+        (7, "t", B), (8, "t", 1),                      # exact fit, then spill
+    ]
+    bins, detail = _pack(spark, tmp_path, rows)
+    assert bins[1] == 0 and bins[2] == 0 and bins[3] == 1
+    assert bins[4] == 2          # oversized doc opens its own bin
+    assert bins[5] == 3          # next doc starts a fresh bin after oversize
+    assert bins[6] == 3          # 10 + (B-10) == B: exact fit shares the bin
+    assert bins[7] == 0 and bins[8] == 1  # exact fit closes the bin
+    # per-source fills within budget except the oversized singleton
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    members = defaultdict(list)
+    for doc_id, n_tok, b in detail:
+        src = "s" if doc_id <= 6 else "t"
+        fill[(src, b)] += n_tok
+        members[(src, b)].append(doc_id)
+    for (src, b), tot in fill.items():
+        assert tot <= B or len(members[(src, b)]) == 1
+
+
+def test_chunking_covers_every_token_once_per_stride(spark, tmp_path):
+    """Every token appears in at least one chunk, consecutive chunks
+    overlap by C−S tokens, and concatenating each chunk's tail beyond the
+    overlap reconstructs the document."""
+    from streaming_amqp_spark.operators import curation
+
+    n = 100  # > C + 2 strides
+    text = " ".join(f"t{i}" for i in range(n))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    path = str(tmp_path / "docs2")
+    d.write.mode("overwrite").parquet(path + "/documents.parquet")
+    chunks = sorted(
+        (r.chunk_id, r.chunk_text.split(" "))
+        for r in curation.text_chunk_sliding(spark, path).collect()
+    )
+    C, S = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    rebuilt = list(chunks[0][1])
+    for (_, prev), (_, cur) in zip(chunks, chunks[1:]):
+        assert prev[S:] == cur[: C - S]  # stride overlap agrees
+        rebuilt.extend(cur[C - S:])
+    assert rebuilt == text.split(" ")
