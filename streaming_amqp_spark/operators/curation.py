@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from streaming_amqp_spark.functions.text import let, shingles, tokens
 from streaming_amqp_spark.tables import fan_out, load_table
@@ -430,8 +431,78 @@ FROM events
 """
 
 
+# ------------------------------------------------------ token-id encoding
+VOCAB_SIZE = 64  # top-N tokens by document frequency
+UNK_ID = 0  # out-of-vocabulary id; in-vocab ids are 1..VOCAB_SIZE by rank
+
+
+def text_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: build a document-frequency-ranked vocabulary
+    (VOCAB_SIZE terms, df desc / term asc — deterministic), then encode
+    every document's token stream positionally; unknown tokens map to
+    UNK_ID.  Output is one row per (doc_id, pos) — the exploded form of
+    the id arrays a training pipeline feeds the tokenizer-free loader.
+
+    Scale: the vocabulary is aggregate-small (top-N of a df agg) and
+    joins in **broadcast**; encoding is then a map-side left join on the
+    exploded token stream — no corpus-sized shuffle.  Re-aggregate to
+    arrays with collect_list over a (pos, id) sort when the array form
+    is needed (kept exploded here for engine-portable comparison)."""
+    d = fan_out(_docs(spark, sf_dir), "doc_id")
+    vocab = (
+        d.select(F.explode(F.array_distinct(tokens())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(VOCAB_SIZE)
+        .select(
+            "term",
+            # unpartitioned window is safe: it ranks the already-limited
+            # VOCAB_SIZE rows, not the corpus
+            F.row_number()
+            .over(W.orderBy(F.col("df").desc(), "term"))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+    ex = d.select("doc_id", F.posexplode(tokens()).alias("pos", "term")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "term"
+    )
+    return ex.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(UNK_ID).cast("long")).alias("token_id"),
+    )
+
+
+_ENCODE_SQL = f"""
+WITH vocab AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+           AS token_id
+  FROM (
+    SELECT term, count(*) AS df
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                   AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT {VOCAB_SIZE}
+  )
+),
+ex AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL unnest(range(1, len(toks) + 1)) AS t(i)
+)
+SELECT ex.doc_id, ex.pos,
+       coalesce(v.token_id, {UNK_ID}) AS token_id
+FROM ex LEFT JOIN vocab v ON ex.term = v.term
+"""
+
+
 QUERIES = {
     "pii_mask_events": pii_mask_events,
+    "text_encode_tokens": text_encode_tokens,
     "text_chunk_sliding": text_chunk_sliding,
     "contamination_check": contamination_check,
     "text_repetition_stats": text_repetition_stats,
@@ -441,6 +512,7 @@ QUERIES = {
 
 ORACLES = {
     "pii_mask_events": _PII_SQL,
+    "text_encode_tokens": _ENCODE_SQL,
     "text_chunk_sliding": _CHUNK_SQL,
     "contamination_check": _CONTAM_SQL,
     "text_repetition_stats": _REPEAT_SQL,
