@@ -93,10 +93,11 @@ def main() -> None:
     contam = contamination_check(spark, sf)
 
     # 8. chunk + pack the curated docs into context windows
+    curated_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
     chunks = text_chunk_sliding(spark, sf).join(
         curated.select("doc_id"), "doc_id", "left_semi"
     )
-    bins = pack_docs_nextfit(spark, sf).agg(
+    bins = pack_docs_nextfit(spark, sf, docs=curated_docs).agg(
         F.count_distinct("source", "bin_id").alias("n_bins")
     )
 

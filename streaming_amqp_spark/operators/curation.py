@@ -231,17 +231,21 @@ FROM g
 
 
 # --------------------------------------------------------- context packing
-def pack_docs_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_docs_nextfit(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Next-fit context packing: fill context windows of PACK_BUDGET
     tokens with whole documents in doc_id order within each source; a doc
     that would overflow the current bin opens a new one (an oversized doc
-    gets its own bin).
+    gets its own bin).  Pass ``docs`` (doc_id, source, text) to pack a
+    pre-filtered corpus — e.g. the survivors of dedup + quality stages —
+    instead of the raw table.
 
     Sequential recurrence → ordered array fold per source shard (the
     ``events_ewma`` pattern): one shuffle on source, per-shard state is
     the doc list.  At 100 TB, shard by (source, day) so no fold input
     exceeds executor memory; bins never span shards by construction."""
-    d = _docs(spark, sf_dir)
+    d = docs if docs is not None else _docs(spark, sf_dir)
     B = PACK_BUDGET
     per_doc = d.select(
         "doc_id", "source", F.size(tokens()).cast("long").alias("n_tok")
@@ -432,7 +436,9 @@ FROM events
 
 
 # ------------------------------------------------------ token-id encoding
-VOCAB_SIZE = 64  # top-N tokens by document frequency
+VOCAB_SIZE = 16  # top-N tokens by document frequency (below the test
+# corpus's ~31 distinct terms, so the oracle exercises BOTH the top-N
+# cut's tie-break boundary and the UNK out-of-vocabulary path)
 UNK_ID = 0  # out-of-vocabulary id; in-vocab ids are 1..VOCAB_SIZE by rank
 
 
@@ -443,14 +449,19 @@ def text_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNK_ID.  Output is one row per (doc_id, pos) — the exploded form of
     the id arrays a training pipeline feeds the tokenizer-free loader.
 
-    Scale: the vocabulary is aggregate-small (top-N of a df agg) and
-    joins in **broadcast**; encoding is then a map-side left join on the
-    exploded token stream — no corpus-sized shuffle.  Re-aggregate to
-    arrays with collect_list over a (pos, id) sort when the array form
-    is needed (kept exploded here for engine-portable comparison)."""
-    d = fan_out(_docs(spark, sf_dir), "doc_id")
+    Scale: two corpus scans (the vocabulary must exist before encoding
+    can start — cache the input via ``tables.shared_cache`` if the scan
+    dominates), but no corpus-sized shuffle in either: the vocab branch's
+    groupBy combines map-side down to vocabulary cardinality, and the
+    top-N result joins back **broadcast** so encoding is a map-side left
+    join on the exploded stream.  The encode side fans out once because
+    the test input is a single file; a many-file corpus skips that.
+    Re-aggregate to arrays with collect_list over a (pos, id) sort when
+    the array form is needed (kept exploded here for engine-portable
+    comparison)."""
     vocab = (
-        d.select(F.explode(F.array_distinct(tokens())).alias("term"))
+        _docs(spark, sf_dir)
+        .select(F.explode(F.array_distinct(tokens())).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
         .orderBy(F.col("df").desc(), "term")
@@ -465,6 +476,7 @@ def text_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_id"),
         )
     )
+    d = fan_out(_docs(spark, sf_dir), "doc_id")
     ex = d.select("doc_id", F.posexplode(tokens()).alias("pos", "term")).select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "term"
     )

@@ -138,10 +138,10 @@ def _pack(spark, tmp_path, rows):
     d = _pack_df(spark, rows)
     path = str(tmp_path / "docs")
     d.write.mode("overwrite").parquet(path + "/documents.parquet")
-    out = curation.pack_docs_nextfit(spark, path)
-    return {
-        r.doc_id: r.bin_id for r in out.collect()
-    }, [(r.doc_id, r.n_tok, r.bin_id) for r in out.collect()]
+    rows_out = curation.pack_docs_nextfit(spark, path).collect()
+    return {r.doc_id: r.bin_id for r in rows_out}, [
+        (r.doc_id, r.n_tok, r.bin_id) for r in rows_out
+    ]
 
 
 def test_pack_nextfit_invariants(spark, tmp_path):
