@@ -51,6 +51,8 @@ HEADLINE = [
     "text_chunk_sliding",
     "contamination_check",
     "pack_docs_nextfit",
+    "text_encode_tokens",
+    "text_repetition_stats",
 ]
 
 
