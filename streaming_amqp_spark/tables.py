@@ -47,13 +47,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in the parquet; Spark reads it as a
-        # nanos long (legacy.parquet.nanosAsLong). Truncate to micros —
-        # exactly what DuckDB's reader does — so both engines see the same
-        # microsecond TimestampType values.
+        # events.ts has shipped as TIMESTAMP(NANOS) (Spark reads a nanos
+        # long under legacy.parquet.nanosAsLong) and as timestamp[us]
+        # (Spark reads TIMESTAMP_NTZ).  Normalize either encoding to the
+        # session-UTC TimestampType every downstream plan assumes; with
+        # spark.sql.session.timeZone=UTC the NTZ cast is value-preserving
+        # and matches DuckDB's naive-timestamp reading of the same file.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
