@@ -232,23 +232,31 @@ FROM g
 
 # --------------------------------------------------------- context packing
 def pack_docs_nextfit(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    shard_cols: tuple[str, ...] = ("source",),
 ) -> DataFrame:
     """Next-fit context packing: fill context windows of PACK_BUDGET
-    tokens with whole documents in doc_id order within each source; a doc
+    tokens with whole documents in doc_id order within each shard; a doc
     that would overflow the current bin opens a new one (an oversized doc
-    gets its own bin).  Pass ``docs`` (doc_id, source, text) to pack a
-    pre-filtered corpus — e.g. the survivors of dedup + quality stages —
-    instead of the raw table.
+    gets its own bin).  Pass ``docs`` (doc_id, ``shard_cols``..., text) to
+    pack a pre-filtered corpus — e.g. the survivors of dedup + quality
+    stages — instead of the raw table.
 
-    Sequential recurrence → ordered array fold per source shard (the
-    ``events_ewma`` pattern): one shuffle on source, per-shard state is
-    the doc list.  At 100 TB, shard by (source, day) so no fold input
-    exceeds executor memory; bins never span shards by construction."""
+    Sequential recurrence → ordered array fold per shard (the
+    ``events_ewma`` pattern): one shuffle on ``shard_cols``, per-shard
+    state is the doc list.  ``shard_cols`` bounds fold-input size: the
+    default ``("source",)`` folds a whole source in one task, which is
+    fine at test scale but OOMs on a 100 TB source — pass a composite key
+    like ``("source", "day")`` so no task materializes more than a
+    shard's doc list.  Bin ids are dense per shard and bins never span
+    shards by construction."""
     d = docs if docs is not None else _docs(spark, sf_dir)
     B = PACK_BUDGET
+    shard = list(shard_cols)
     per_doc = d.select(
-        "doc_id", "source", F.size(tokens()).cast("long").alias("n_tok")
+        "doc_id", *shard, F.size(tokens()).cast("long").alias("n_tok")
     )
     out_t = "array<struct<doc_id:bigint,n_tok:bigint,bin_id:bigint>>"
     zero = F.struct(
@@ -277,37 +285,53 @@ def pack_docs_nextfit(
         )
 
     packed = (
-        per_doc.groupBy("source")
+        per_doc.groupBy(*shard)
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_tok"))).alias("docs"))
         .select(
-            "source",
+            *shard,
             F.explode(F.aggregate("docs", zero, step, lambda s: s["out"])).alias("a"),
         )
-        .select("a.doc_id", "source", "a.n_tok", "a.bin_id")
+        .select("a.doc_id", *shard, "a.n_tok", "a.bin_id")
     )
     return packed
 
 
-_PACK_SQL = f"""
+def pack_sql(
+    shard_cols: tuple[str, ...] = ("source",),
+    derived: dict[str, str] | None = None,
+) -> str:
+    """DuckDB recursive-CTE oracle for :func:`pack_docs_nextfit` with the
+    same shard key.  ``derived`` maps extra shard columns to SQL
+    expressions over ``documents`` (e.g. ``{"day": "doc_id % 3"}``) so a
+    composite-shard run can be oracled without changing the table."""
+    derived = derived or {}
+    cols = list(shard_cols)
+    sel_derived = "".join(f", {expr} AS {c}" for c, expr in derived.items())
+    key = ", ".join(cols)
+    join = " AND ".join(f"t.{c} = p.{c}" for c in cols)
+    return f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  SELECT doc_id{sel_derived}, source, len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (PARTITION BY {key} ORDER BY doc_id) AS rn
   FROM documents
 ),
 pack AS (
-  SELECT doc_id, source, n_tok, rn,
+  SELECT doc_id, {key}, n_tok, rn,
          CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
   FROM t WHERE rn = 1
   UNION ALL
-  SELECT t.doc_id, t.source, t.n_tok, t.rn,
+  SELECT t.doc_id, {", ".join("t." + c for c in cols)}, t.n_tok, t.rn,
          CASE WHEN p.fill + t.n_tok > {PACK_BUDGET}
               THEN p.bin_id + 1 ELSE p.bin_id END,
          CASE WHEN p.fill + t.n_tok > {PACK_BUDGET}
               THEN t.n_tok ELSE p.fill + t.n_tok END
-  FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+  FROM pack p JOIN t ON {join} AND t.rn = p.rn + 1
 )
-SELECT doc_id, source, n_tok, bin_id FROM pack
+SELECT doc_id, {key}, n_tok, bin_id FROM pack
 """
+
+
+_PACK_SQL = pack_sql()
 
 
 # ------------------------------------------------- domain mixture weights

@@ -174,6 +174,48 @@ def test_pack_nextfit_invariants(spark, tmp_path):
         assert tot <= B or len(members[(src, b)]) == 1
 
 
+def test_pack_nextfit_multi_shard_invariants(spark):
+    """Composite shard_cols: bins never span shards, bin ids are dense
+    from 0 per shard, and each shard packs independently — the scale path
+    that keeps any one fold task's input bounded."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators import curation
+
+    rows = [(i, "s", 10) for i in range(1, 9)]
+    d = _pack_df(spark, rows).withColumn("day", F.col("doc_id") % F.lit(2))
+    out = curation.pack_docs_nextfit(
+        spark, "", docs=d, shard_cols=("source", "day")
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault((r.source, r.day), []).append((r.doc_id, r.bin_id))
+    assert set(by_shard) == {("s", 0), ("s", 1)}
+    for docs in by_shard.values():
+        bins = [b for _, b in sorted(docs)]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # 4 docs × 10 tokens ≪ budget: every shard packs into its own bin 0
+    assert all(b == 0 for docs in by_shard.values() for _, b in docs)
+
+
+def test_pack_nextfit_sharded_matches_oracle(spark):
+    """(source, day) composite-shard packing agrees with the recursive-CTE
+    oracle partitioned by the same key, on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators import curation
+    from tests.oracle import compare_query
+
+    sf = "/root/testdata/sf0.001"
+    docs = curation._docs(spark, sf).withColumn("day", F.col("doc_id") % F.lit(3))
+    df = curation.pack_docs_nextfit(
+        spark, sf, docs=docs, shard_cols=("source", "day")
+    )
+    sql = curation.pack_sql(("source", "day"), derived={"day": "doc_id % 3"})
+    compare_query(df, sql, sf)
+
+
 def test_chunking_covers_every_token_once_per_stride(spark, tmp_path):
     """Every token appears in at least one chunk, consecutive chunks
     overlap by C−S tokens, and concatenating each chunk's tail beyond the
