@@ -182,6 +182,48 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+_GLOBAL_WINDOW_ALLOWLIST = (
+    # text_encode_tokens vocab ranking: |vocab| rows, bounded by VOCAB_SIZE
+    "row_number() windowspecdefinition(df#",
+    # burst-detection day-offset prefix sum: one row per day, not per event
+    "sum(nb#",
+)
+
+
+def _window_nodes(plan: str):
+    import re
+
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ").lstrip("*(0123456789) ")
+        if not s.startswith("Window ["):
+            continue
+        m = re.search(r"windowspecdefinition\((.*)", s)
+        first_arg = m.group(1).split(",")[0] if m else ""
+        partitioned = not (
+            " ASC" in first_arg
+            or " DESC" in first_arg
+            or first_arg.startswith("specifiedwindowframe")
+        )
+        yield s, partitioned
+
+
+def test_every_registered_window_is_partitioned_or_allowlisted(spark, sf_dir):
+    """Sweep every registered query's executed plan: each Window node must
+    be partitioned (scales out with its key) or match a named tiny-input
+    allowlist entry.  A new unpartitioned window anywhere in the registry
+    — the classic silent single-partition scale killer — fails here."""
+    offenders = []
+    for name, fn in _QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for node, partitioned in _window_nodes(plan):
+            if partitioned:
+                continue
+            if any(pat in node for pat in _GLOBAL_WINDOW_ALLOWLIST):
+                continue
+            offenders.append(f"{name}: {node[:160]}")
+    assert not offenders, "unallowlisted global windows:\n" + "\n".join(offenders)
+
+
 def test_no_driver_side_collects_in_engine_code():
     """Distributed discipline: no operator/plan module may materialize to
     the driver (.collect/.toPandas/.toLocalIterator) — results stay
