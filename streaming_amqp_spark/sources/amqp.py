@@ -274,7 +274,7 @@ class QpidTransport(Transport):
         self._unsettled: list[Any] = []
         self._connect()
 
-    def _connect(self) -> None:  # pragma: no cover
+    def _connect(self) -> None:
         from proton.utils import BlockingConnection
 
         url = f"amqp://{self._host}:{self._port}"
@@ -287,7 +287,7 @@ class QpidTransport(Transport):
         self._recv.receiver.flow(self._credit_window)
         self._since_replenish = 0
 
-    def reconnect(self) -> None:  # pragma: no cover
+    def reconnect(self) -> None:
         """Rebuild connection + link after a drop (≡ Receiver.restart at
         AMQPReceiver.scala:129-131).  Unsettled deliveries of the dead
         connection are forgotten — the broker redelivers them on the new
@@ -299,7 +299,7 @@ class QpidTransport(Transport):
         self._unsettled = []
         self._connect()
 
-    def fetch(self, max_n: int) -> list[dict]:  # pragma: no cover
+    def fetch(self, max_n: int) -> list[dict]:
         from proton import Timeout
 
         out: list[dict] = []
@@ -348,12 +348,12 @@ class QpidTransport(Transport):
                 self._since_replenish = 0
         return out
 
-    def settle(self, n: int) -> None:  # pragma: no cover
+    def settle(self, n: int) -> None:
         for d in self._unsettled[:n]:
             d.settle()  # Accepted ≡ ReliableAMQPReceiver.scala:152-156
         del self._unsettled[:n]
 
-    def close(self) -> None:  # pragma: no cover
+    def close(self) -> None:
         self._conn.close()
 
 
