@@ -103,9 +103,13 @@ def dedup_ngram_jaccard(
     sf_dir: str,
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
     sh: DataFrame | None = None,
+    id_cap: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via posting
-    lists (candidates = pairs sharing ≥1 shingle).
+    lists (candidates = pairs sharing ≥1 shingle).  ``id_cap`` restricts
+    the index to doc_id < cap before pair expansion — used by the recall
+    measurement so its exact truth side stays a fixed-size sample at any
+    corpus scale.
 
     Plan shape (one shuffle of the inverted index, not three): group the
     exploded index once by shingle into a posting list; the
@@ -118,6 +122,8 @@ def dedup_ngram_jaccard(
     and pairs branches consume it."""
     if sh is None:
         sh = _doc_shingles(spark, sf_dir)
+    if id_cap is not None:
+        sh = sh.where(F.col("doc_id") < id_cap)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     # no sort needed: the (x > id1) expansion below enumerates each
     # unordered pair exactly once whatever the list order
@@ -128,7 +134,7 @@ def dedup_ngram_jaccard(
         return p
 
     posting = shared_cache(
-        spark, ("jaccard_posting", sf_dir, max_shingle_freq), _build_posting
+        spark, ("jaccard_posting", sf_dir, max_shingle_freq, id_cap), _build_posting
     )
     sizes = (
         posting.select(F.explode("ids").alias("doc_id"))
@@ -159,23 +165,31 @@ def dedup_ngram_jaccard(
     )
 
 
-# Capped-index CTE extension: exf = inverted index minus hot shingles,
-# csizes = per-doc size over surviving shingles (mirrors the Spark plan).
-_CAPPED_INDEX_CTE = f"""
+def _capped_index_cte(id_cap: int | None = None) -> str:
+    """Capped-index CTE extension: exi = inverted index (optionally
+    restricted to doc_id < id_cap), exf = exi minus hot shingles, csizes =
+    per-doc size over surviving shingles (mirrors the Spark plan)."""
+    capw = f"WHERE doc_id < {id_cap}" if id_cap is not None else ""
+    return f"""
+exi AS (
+  SELECT doc_id, s FROM ex {capw}
+),
 hot AS (
-  SELECT s FROM ex GROUP BY s HAVING count(*) > {MAX_SHINGLE_FREQ}
+  SELECT s FROM exi GROUP BY s HAVING count(*) > {MAX_SHINGLE_FREQ}
 ),
 exf AS (
-  SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)
+  SELECT doc_id, s FROM exi WHERE s NOT IN (SELECT s FROM hot)
 ),
 csizes AS (
   SELECT doc_id, count(*) AS n FROM exf GROUP BY doc_id
 )
 """
 
-_JACCARD_SQL = f"""
+
+def _jaccard_sql(id_cap: int | None = None) -> str:
+    return f"""
 WITH {_SHINGLE_CTE},
-{_CAPPED_INDEX_CTE},
+{_capped_index_cte(id_cap)},
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
   FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -188,6 +202,9 @@ JOIN csizes s1 ON s1.doc_id = id1
 JOIN csizes s2 ON s2.doc_id = id2
 WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
 """
+
+
+_JACCARD_SQL = _jaccard_sql()
 
 
 def dedup_minhash_lsh(
@@ -380,6 +397,11 @@ JOIN per_doc b ON b.doc_id = c.id2
 """
 
 
+# Fixed-sample bound for the exact truth side of the recall measurement
+# (≥ every sf≤0.1 doc_id, so small-sf recall covers the whole corpus).
+RECALL_TRUTH_ID_CAP = 1024
+
+
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the MinHash-LSH path against the exact all-pairs Jaccard
     ground truth — one row: how many true near-dup pairs the banded
@@ -389,9 +411,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle index is built once, cached, and shared by the exact and
     LSH paths — recall would otherwise recompute the most expensive input
-    twice."""
+    twice.  The exact truth side is bounded to doc_id < RECALL_TRUTH_ID_CAP
+    (mirrored in the oracle): recall is a fixed-sample measurement, so at
+    any corpus scale the quadratic-natured exact pass stays constant-size
+    while the LSH side under test runs over everything."""
     sh = _shared_shingles(spark, sf_dir)
-    truth = dedup_ngram_jaccard(spark, sf_dir, sh=sh).select("id1", "id2")
+    truth = dedup_ngram_jaccard(
+        spark, sf_dir, sh=sh, id_cap=RECALL_TRUTH_ID_CAP
+    ).select("id1", "id2")
     found = dedup_minhash_lsh(spark, sf_dir, sh=sh).select(
         "id1", "id2", F.lit(1).alias("hit")
     )
@@ -409,7 +436,7 @@ def _minhash_recall_oracle() -> str:
 SELECT count(*) AS n_true_pairs,
        count(f.id1) AS n_found,
        CAST(count(f.id1) AS DOUBLE) / count(*) AS recall
-FROM ({_JACCARD_SQL}) t
+FROM ({_jaccard_sql(RECALL_TRUTH_ID_CAP)}) t
 LEFT JOIN ({_MINHASH_SQL}) f ON f.id1 = t.id1 AND f.id2 = t.id2
 """
 

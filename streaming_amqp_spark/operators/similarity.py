@@ -293,10 +293,21 @@ WHERE rank <= {KNN_K}
 """
 
 
+# The exact all-pairs baseline is O(n²) by nature; it exists to oracle-check
+# the LSH path's recall, not to run over a corpus.  Bound it to the first
+# EXACT_BASELINE_ID_CAP ids so a driver/bench run at a larger sf stays a
+# constant-size sample instead of going quadratic (cap ≥ every sf≤0.1 id
+# range, so small-sf results are the full exact answer).
+EXACT_BASELINE_ID_CAP = 1024
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (exact all-pairs baseline; the LSH variant
-    above is the 100 TB path — this one is the recall oracle for it)."""
-    emb = _emb(spark, sf_dir)
+    above is the 100 TB path — this one is the recall oracle for it).
+    All-pairs is bounded to vec_id < EXACT_BASELINE_ID_CAP (mirrored in
+    the oracle): the baseline's job is measuring recall on a fixed sample,
+    never scanning pairs of the whole corpus."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < EXACT_BASELINE_ID_CAP)
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     return (
@@ -312,6 +323,7 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        {sql_cosine('a.embedding', 'b.embedding', DIMS)} AS cos_sim
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
+  AND a.vec_id < {EXACT_BASELINE_ID_CAP} AND b.vec_id < {EXACT_BASELINE_ID_CAP}
   AND {sql_cosine('a.embedding', 'b.embedding', DIMS)} >= {NEAR_DUP_COS}
 """
 
