@@ -25,8 +25,9 @@ _BASE_CONFS: dict[str, str] = {
     # Keep broadcast threshold at default 10 MB; explicit broadcast() hints
     # are used where a side is known-small (dimension tables).
     "spark.sql.parquet.filterPushdown": "true",
-    # The driver's events.parquet stores TIMESTAMP(NANOS), which the Spark
-    # reader rejects; read as raw long and convert in tables.load_table.
+    # events.ts has shipped both as TIMESTAMP(NANOS) and as timestamp[us]
+    # (see tables.load_table, which normalizes either); keep nanosAsLong so
+    # the legacy nanos encoding reads as a raw long instead of erroring.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",

@@ -60,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # fail at the load site, not deep in a downstream plan, if the
+            # shipped encoding changes again
+            raise TypeError(
+                f"events.ts: unexpected parquet dtype {ts_type!r}; expected "
+                "bigint (legacy nanos), timestamp_ntz, or timestamp"
+            )
     return df
 
 
