@@ -43,44 +43,41 @@ _MODULES = (
     _tpch_extra,
 )
 
-# Queries the driver already attested green in rounds 1-2 (CORRECTNESS_r01/r02).
-# The driver only checks the first 50 registry entries per round, so these go
-# LAST: the 50 queries that have never received a driver verdict (the whole
-# dedup / similarity / textstats / multimodal / curation / scalars family plus
-# the remaining events twins) occupy slots 1-50 this round.
-_DRIVER_ATTESTED = frozenset(
-    {
-        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
-        "q12_shipmode_priority", "q14_promo_revenue_ratio",
-        "q18_large_volume_customers", "q19_disjunctive_predicates",
-        "semi_join_big_orders", "anti_join_idle_customers",
-        "range_join_signup_clicks", "asof_join_error_purchase",
-        "asof_join_forward", "agg_rollup_region_nation", "agg_cube_lineitem",
-        "agg_grouping_sets_orders", "agg_distinct_by_segment",
-        "pivot_status_by_priority", "window_topk_orders_per_customer",
-        "window_running_revenue", "window_lag_event_delta",
-        "window_range_frame_7d", "full_outer_nation_profile",
-        "sort_limit_top_lineitems", "set_ops_nation_presence",
-        "priciest_part_per_brand", "scalar_function_showcase",
-        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "q11_important_parts", "q13_customer_distribution",
-        "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
-        "q20_potential_promotion", "q21_waiting_suppliers",
-        "q22_sales_opportunity", "sample_deterministic", "split_train_val_test",
-        "agg_percentiles", "hist_order_totalprice", "events_funnel",
-        "events_retention", "events_ewma", "events_interval_join_binned",
-        "events_window_5s_max",
-    }
+# The driver only checks the first 50 registry entries per round.  Rounds 1-2
+# attested the relational/tpch/statistics family plus five events queries;
+# this explicit list pins the 50 queries that had never received a driver
+# verdict (the whole dedup / similarity / textstats / multimodal / curation /
+# scalars family plus the remaining events twins) into slots 1-50.  Explicit
+# so a future query addition lands AFTER these, never displacing one.
+_FIRST_50 = (
+    "text_bigram_counts", "text_doc_frequency", "text_token_stats",
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_winnowing_fingerprints", "text_simhash", "dedup_clusters",
+    "dedup_minhash_recall", "dedup_exact", "dedup_simhash_hamming1",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_buckets",
+    "ann_ivf_recall", "knn_cosine_topk", "embedding_centroids",
+    "ann_lsh_buckets", "ann_lsh_candidate_pairs", "ann_ivf_topk",
+    "dedup_embedding_cosine", "multimodal_meta", "multimodal_decode_features",
+    "multimodal_resize", "multimodal_frame_sample", "curate_documents",
+    "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
+    "contamination_check", "text_repetition_stats", "pack_docs_nextfit",
+    "domain_mixture_weights", "scalar_string_funcs", "scalar_array_funcs",
+    "scalar_date_funcs", "window_rank_variants", "unpivot_order_measures",
+    "agg_minmax_by", "scalar_conditional_funcs", "agg_variance_corr",
+    "agg_approx_stats", "envelope_map_functions",
+    "events_window_hourly_by_type", "events_sliding_10m_5m",
+    "events_sessionize_30m", "events_json_props", "events_from_json_typed",
+    "envelope_body_roundtrip",
 )
 
 
 def _ordered(mapping: dict) -> dict:
-    """Never-driver-attested entries first (registry order preserved within
-    each group) so the driver's first-50 window covers them this round."""
-    fresh = {k: v for k, v in mapping.items() if k not in _DRIVER_ATTESTED}
-    seen = {k: v for k, v in mapping.items() if k in _DRIVER_ATTESTED}
-    return {**fresh, **seen}
+    """_FIRST_50 entries first (in that order), everything else after in
+    registry order, so the driver's first-50 window checks exactly the
+    queries that still lack a driver verdict."""
+    head = {k: mapping[k] for k in _FIRST_50 if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
 
 
 def entry(spark: SparkSession) -> DataFrame:
