@@ -3,9 +3,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed twice: a warm-up iteration (JIT/codegen, parquet
-footer cache) and a timed one — we measure steady-state plan execution, not
-JVM warm-up.  Results are forced with a driver-light count()-style action.
+Each query is executed three times: a warm-up iteration (JIT/codegen,
+parquet footer cache) and two timed ones, reporting the MINIMUM — we
+measure steady-state plan execution, not JVM warm-up or host-load noise
+(the container shares a machine; single runs have shown ±40% drift on an
+unchanged plan).  Results are forced with a driver-light noop sink.
+
+Note on absolute numbers: every sf0.1 parquet file has ONE row group, so
+scan stages are single-task whatever maxPartitionBytes says — scan-heavy
+queries are bounded by one-core parquet decode here, not by the plan.
 """
 
 from __future__ import annotations
@@ -56,6 +62,53 @@ HEADLINE = [
 ]
 
 
+def _stream_msgs_per_sec(spark, n: int = 60_000) -> float | None:
+    """Sustained spool-transport ingest rate (BASELINE.md's ≥10k msg/s
+    design ceiling), measured end-of-first-batch → end-of-last-batch so
+    stream startup cost doesn't count as per-message cost.  Returns None
+    if fewer than two batches ran (rate not measurable)."""
+    import tempfile
+
+    from streaming_amqp_spark.sources.amqp import register_amqp_source
+
+    register_amqp_source(spark)
+    with tempfile.TemporaryDirectory() as td:
+        spool = os.path.join(td, "spool")
+        os.makedirs(spool)
+        with open(os.path.join(spool, "000.jsonl"), "w") as f:
+            for i in range(n):
+                f.write(
+                    json.dumps(
+                        {
+                            "message_id": f"m{i}",
+                            "to_address": "t",
+                            "body": str(i % 100),
+                            "ingest_ts": "2024-01-01T00:00:00",
+                        }
+                    )
+                    + "\n"
+                )
+        env = (
+            spark.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", spool)
+            .option("maxMessagesPerBatch", "20000")
+            .load()
+        )
+        batches: list[tuple[float, int]] = []
+
+        def sink(batch_df, _epoch):
+            batches.append((time.perf_counter(), batch_df.count()))
+
+        q = env.writeStream.foreachBatch(sink).start()
+        q.processAllAvailable()
+        q.stop()
+    if len(batches) < 2 or sum(c for _, c in batches) != n:
+        return None
+    dt = batches[-1][0] - batches[0][0]
+    return round(sum(c for _, c in batches[1:]) / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -74,9 +127,12 @@ def main() -> None:
         try:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm-up
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
         except Exception as e:  # isolate: one broken query ≠ no BENCH record
             failed[name] = str(e)[:200]
 
@@ -88,6 +144,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    try:
+        out["stream_msgs_per_sec"] = _stream_msgs_per_sec(spark)
+    except Exception as e:  # never let the throughput probe sink the record
+        out["stream_msgs_per_sec"] = None
+        failed["_stream_throughput"] = str(e)[:200]
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
