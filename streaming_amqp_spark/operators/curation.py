@@ -334,6 +334,167 @@ SELECT doc_id, {key}, n_tok, bin_id FROM pack
 _PACK_SQL = pack_sql()
 
 
+# ---------------------------------------------- content-defined chunking
+# Boundary probability: a chunk boundary opens before token i when the md5
+# of the adjacent pair (tok[i-1], tok[i]) starts with one of these hex
+# digits — 2/16 ⇒ mean chunk ≈ 8 tokens.  Content-defined boundaries are
+# insertion-stable (an edit only reflows chunks until the next boundary),
+# which is why CDC beats fixed-stride chunking for chunk-level dedup.
+CDC_BOUNDARY_HEX = ("0", "1")
+
+
+def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: variable-length chunks whose boundaries
+    are rolling-hash decisions on adjacent token pairs (md5 first hex digit
+    ∈ CDC_BOUNDARY_HEX), so chunk boundaries survive upstream insertions —
+    the property fixed-stride chunking (text_chunk_sliding) lacks.
+
+    Same scale shape as the stride chunker: one per-row ordered fold
+    (aggregate over the token array), zero Exchange — chunking 100 TB is a
+    scan.  md5 keeps the boundary decision bit-identical in the oracle."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    out_t = "array<struct<chunk_id:bigint,chunk_text:string>>"
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cid"),
+        F.array().cast("array<string>").alias("cur"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, tok):
+        is_b = acc["prev"].isNotNull() & F.substring(
+            F.md5(F.concat_ws(" ", acc["prev"], tok)), 1, 1
+        ).isin(*CDC_BOUNDARY_HEX)
+        closed = F.struct(
+            acc["cid"].alias("chunk_id"),
+            F.array_join(acc["cur"], " ").alias("chunk_text"),
+        )
+        return F.struct(
+            tok.alias("prev"),
+            F.when(is_b, acc["cid"] + 1).otherwise(acc["cid"]).alias("cid"),
+            F.when(is_b, F.array(tok))
+            .otherwise(F.concat(acc["cur"], F.array(tok)))
+            .alias("cur"),
+            F.when(is_b, F.concat(acc["out"], F.array(closed)))
+            .otherwise(acc["out"])
+            .alias("out"),
+        )
+
+    def fin(acc):
+        last = F.struct(
+            acc["cid"].alias("chunk_id"),
+            F.array_join(acc["cur"], " ").alias("chunk_text"),
+        )
+        return F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["out"], F.array(last))
+        ).otherwise(acc["out"])
+
+    return (
+        d.where(F.size(t) >= 1)
+        .select("doc_id", F.explode(F.aggregate(t, zero, step, fin)).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text")
+    )
+
+
+_CDC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t
+),
+flagged AS (
+  SELECT doc_id, pos, toks[pos] AS tok,
+         CASE WHEN pos > 1 AND substring(
+                md5(toks[pos-1] || ' ' || toks[pos]), 1, 1)
+                IN {CDC_BOUNDARY_HEX!r}
+              THEN 1 ELSE 0 END AS b
+  FROM tok
+),
+cids AS (
+  SELECT doc_id, pos, tok,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM cids GROUP BY doc_id, chunk_id
+"""
+
+
+# ------------------------------------------- stratified balance sampling
+def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample: every (source, lang) stratum is reduced
+    toward the size of the smallest stratum via the deterministic
+    16-bucket md5 keep-predicate (same convention as
+    domain_mixture_weights — no RNG, stable under retries).  Returns
+    per-stratum n_docs / keep_buckets / n_kept.
+
+    Scale: one tiny per-stratum aggregate broadcast back onto the corpus,
+    keep-predicate fused into the scan; output is |strata| rows."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    tgt = per.agg(F.min("n_docs").alias("target"))
+    # integer arithmetic only: keep ⌊16·target/n⌋ of 16 buckets (≥1 so no
+    # stratum vanishes); exact in both engines, no float rate involved
+    rates = per.crossJoin(F.broadcast(tgt)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(16 * target) div n_docs"),
+        ).alias("keep_buckets"),
+    )
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bucket = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    kept = (
+        d.withColumn("bucket", bucket)
+        .join(F.broadcast(rates.select("source", "lang", "keep_buckets")),
+              ["source", "lang"])
+        .where(F.col("bucket") < F.col("keep_buckets"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_docs",
+        "keep_buckets",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+_STRATIFIED_SQL = """
+WITH per AS (
+  SELECT source, lang, count(*) AS n_docs FROM documents
+  GROUP BY source, lang
+),
+tgt AS (SELECT min(n_docs) AS target FROM per),
+rates AS (
+  SELECT source, lang, n_docs,
+         greatest(CAST(1 AS BIGINT), (16 * target) // n_docs)
+           AS keep_buckets
+  FROM per, tgt
+),
+kept AS (
+  SELECT d.source, d.lang, count(*) AS n_kept
+  FROM documents d
+  JOIN rates r ON d.source = r.source AND d.lang = r.lang
+  WHERE strpos('0123456789abcdef',
+               substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1
+        < r.keep_buckets
+  GROUP BY d.source, d.lang
+)
+SELECT r.source, r.lang, r.n_docs, r.keep_buckets,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM rates r
+LEFT JOIN kept k ON r.source = k.source AND r.lang = k.lang
+"""
+
+
 # ------------------------------------------------- domain mixture weights
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing: per-source sampling weight
@@ -544,6 +705,8 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "pack_docs_nextfit": pack_docs_nextfit,
     "domain_mixture_weights": domain_mixture_weights,
+    "text_chunk_cdc": text_chunk_cdc,
+    "sample_stratified_balanced": sample_stratified_balanced,
 }
 
 ORACLES = {
@@ -554,4 +717,6 @@ ORACLES = {
     "text_repetition_stats": _REPEAT_SQL,
     "pack_docs_nextfit": _PACK_SQL,
     "domain_mixture_weights": _MIX_SQL,
+    "text_chunk_cdc": _CDC_SQL,
+    "sample_stratified_balanced": _STRATIFIED_SQL,
 }

@@ -216,6 +216,45 @@ def test_pack_nextfit_sharded_matches_oracle(spark):
     compare_query(df, sql, sf)
 
 
+def test_cdc_chunks_match_reference_impl_and_reconstruct(spark, tmp_path):
+    """Content-defined chunking agrees with an independent pure-Python
+    reimplementation of the boundary rule, and concatenating chunks in
+    chunk_id order reconstructs each document."""
+    import hashlib
+
+    from streaming_amqp_spark.operators import curation
+
+    def py_cdc(toks):
+        chunks, cur = [], []
+        for i, tok in enumerate(toks):
+            pair = f"{toks[i - 1]} {tok}".encode()
+            if i > 0 and hashlib.md5(pair).hexdigest()[0] in curation.CDC_BOUNDARY_HEX:
+                chunks.append(" ".join(cur))
+                cur = [tok]
+            else:
+                cur.append(tok)
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    texts = [
+        " ".join(f"w{(i * 7 + d) % 53}" for i in range(80)) for d in range(5)
+    ]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    path = str(tmp_path / "cdc")
+    d.write.mode("overwrite").parquet(path + "/documents.parquet")
+    got = {}
+    for r in curation.text_chunk_cdc(spark, path).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for doc_id, text in enumerate(texts):
+        expected = py_cdc(text.split(" "))
+        chunks = [got[doc_id][i] for i in sorted(got[doc_id])]
+        assert chunks == expected, f"doc {doc_id}"
+        assert " ".join(chunks) == text  # lossless reconstruction
+
+
 def test_chunking_covers_every_token_once_per_stride(spark, tmp_path):
     """Every token appears in at least one chunk, consecutive chunks
     overlap by C−S tokens, and concatenating each chunk's tail beyond the
