@@ -458,7 +458,7 @@ def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n_kept"))
     )
-    return rates.join(kept, ["source", "lang"], "left").select(
+    return rates.join(F.broadcast(kept), ["source", "lang"], "left").select(
         "source",
         "lang",
         "n_docs",

@@ -173,6 +173,21 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_cdc_chunking_is_shuffle_free(spark, sf_dir):
+    """Content-defined chunking is a per-row fold: like the stride
+    chunker, any Exchange means the operator re-materializes the corpus."""
+    plan = _plan(spark, sf_dir, "text_chunk_cdc")
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_broadcasts_rate_table(spark, sf_dir):
+    """The per-stratum rate table is |strata| rows; the corpus must join
+    it map-side, never shuffle on the stratum key."""
+    plan = _plan(spark, sf_dir, "sample_stratified_balanced")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
     """The eval/benchmark side is small by construction; the train corpus
     must stream map-side through a broadcast hash join, never shuffle on
