@@ -15,8 +15,9 @@ Stages (each is an oracle-checked operator from __spark_entry__):
   5. deterministic train/val/test split (md5 hash buckets)
   6. similarity spot-check (exact cosine top-k on the embeddings table)
   7. benchmark-contamination scan (5-gram collisions vs the eval slice)
-  8. sliding-window chunking + next-fit context packing
+  8. sliding-window + content-defined chunking, next-fit context packing
   9. domain-mixture rebalancing weights
+ 10. stratified (source, lang) balance sampling
 
 No stage collects to the driver except the final small summaries — the
 same code runs unchanged on a cluster.
@@ -36,6 +37,8 @@ from streaming_amqp_spark.operators.curation import (  # noqa: E402
     contamination_check,
     domain_mixture_weights,
     pack_docs_nextfit,
+    sample_stratified_balanced,
+    text_chunk_cdc,
     text_chunk_sliding,
 )
 from streaming_amqp_spark.operators.dedup import dedup_clusters, dedup_exact  # noqa: E402
@@ -101,8 +104,17 @@ def main() -> None:
         F.count_distinct("source", "bin_id").alias("n_bins")
     )
 
+    # content-defined chunks of the same curated corpus (insertion-stable
+    # boundaries — the chunk-level-dedup-friendly alternative to stage 8)
+    cdc_chunks = text_chunk_cdc(spark, sf).join(
+        curated.select("doc_id"), "doc_id", "left_semi"
+    )
+
     # 9. rebalance the source mixture toward the median source size
     mix = domain_mixture_weights(spark, sf)
+
+    # 10. balance (source, lang) strata toward the smallest stratum
+    strata = sample_stratified_balanced(spark, sf)
 
     print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
     print("per-language curated counts:")
@@ -113,8 +125,12 @@ def main() -> None:
         print(f"  {r.split}: {r.n_docs} docs, {r.total_tokens} tokens")
     print(f"knn spot-check rows: {knn.count()}")
     print(f"contaminated eval docs: {contam.count()}")
-    print(f"curated chunks: {chunks.count()}, packed bins: "
-          f"{bins.collect()[0].n_bins}")
+    print(f"curated chunks: {chunks.count()} sliding / {cdc_chunks.count()} "
+          f"content-defined, packed bins: {bins.collect()[0].n_bins}")
+    n_strata = strata.count()
+    kept_strat = strata.agg(F.sum("n_kept")).collect()[0][0]
+    print(f"stratified balance: {n_strata} (source, lang) strata, "
+          f"{kept_strat} docs kept")
     kept = mix.agg(F.sum("n_docs_kept")).collect()[0][0]
     print(f"mixture-rebalanced kept docs: {kept}/{n0}")
     spark.stop()
