@@ -343,7 +343,9 @@ _PACK_SQL = pack_sql()
 CDC_BOUNDARY_HEX = ("0", "1")
 
 
-def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_chunk_cdc(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Content-defined chunking: variable-length chunks whose boundaries
     are rolling-hash decisions on adjacent token pairs (md5 first hex digit
     ∈ CDC_BOUNDARY_HEX), so chunk boundaries survive upstream insertions —
@@ -351,8 +353,10 @@ def text_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as the stride chunker: one per-row ordered fold
     (aggregate over the token array), zero Exchange — chunking 100 TB is a
-    scan.  md5 keeps the boundary decision bit-identical in the oracle."""
-    d = _docs(spark, sf_dir)
+    scan.  md5 keeps the boundary decision bit-identical in the oracle.
+    Pass ``docs`` (doc_id, text) to chunk a pre-filtered corpus; the
+    projection is stateless, so a streaming ``docs`` works unchanged."""
+    d = docs if docs is not None else _docs(spark, sf_dir)
     t = tokens()
     out_t = "array<struct<chunk_id:bigint,chunk_text:string>>"
     zero = F.struct(

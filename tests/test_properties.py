@@ -255,6 +255,34 @@ def test_cdc_chunks_match_reference_impl_and_reconstruct(spark, tmp_path):
         assert " ".join(chunks) == text  # lossless reconstruction
 
 
+def test_cdc_chunking_works_on_a_stream(spark, tmp_path):
+    """The CDC fold is a stateless per-row projection, so the same
+    operator runs unchanged on a streaming DataFrame — batch/stream
+    parity for chunk boundaries."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators import curation
+
+    texts = [" ".join(f"w{(i * 7 + d) % 53}" for i in range(60)) for d in range(3)]
+    src = str(tmp_path / "stream_docs")
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    d.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    chunked = curation.text_chunk_cdc(spark, "", docs=stream)
+    assert chunked.isStreaming
+    q = (
+        chunked.writeStream.format("memory")
+        .queryName("cdc_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM cdc_stream")
+    batch = curation.text_chunk_cdc(spark, "", docs=d)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_chunking_covers_every_token_once_per_stride(spark, tmp_path):
     """Every token appears in at least one chunk, consecutive chunks
     overlap by C−S tokens, and concatenating each chunk's tail beyond the
