@@ -289,19 +289,67 @@ FROM m
 """
 
 
+# Sketch error budgets.  approx_count_distinct's default relative standard
+# deviation is 0.05; three standard deviations bounds the HLL estimate for
+# any fixed input (the sketch is deterministic given the data, so the check
+# is stable, not flaky).  percentile_approx's default accuracy 10000
+# guarantees rank error <= 1/10000; we allow 10x that margin and bound the
+# returned element between the exact interpolated percentiles at q +- eps.
+_HLL_RSD_BOUND = 3 * 0.05
+_KLL_RANK_EPS = 0.001
+
+
 def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (approx_count_distinct = HyperLogLog++,
-    percentile_approx = KLL-ish sketch).  Engine-specific sketches → no
-    SQL oracle (driver records rows-only); the exact twins are checked in
-    agg_distinct_by_segment.  These are the 100 TB workhorses: fixed-size
-    state instead of O(distinct) hash tables."""
+    percentile_approx = KLL-ish sketch) with their error claims made
+    exactly checkable: each approximate value is reduced to a boolean
+    "within the sketch's published error bound of the exact answer",
+    computed Spark-side against exact count-distinct / exact percentiles
+    in the same single-shuffle aggregation.  The DuckDB oracle computes
+    the exact side and asserts the booleans literally TRUE, so the driver
+    hash-match verifies the error-bound claim (VERDICT r3 ask #2).  The
+    sketches stay the 100 TB workhorses: fixed-size state instead of
+    O(distinct) hash tables; the exact twins here exist only to ground
+    the bound check and would be dropped at scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx(price, 0.5).alias("am"),
+        F.percentile_approx(price, 0.95).alias("ap"),
+        F.percentile(price, 0.5 - _KLL_RANK_EPS).alias("mlo"),
+        F.percentile(price, 0.5 + _KLL_RANK_EPS).alias("mhi"),
+        F.percentile(price, 0.95 - _KLL_RANK_EPS).alias("plo"),
+        F.percentile(price, 0.95 + _KLL_RANK_EPS).alias("phi"),
     )
+    hll_ok = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        <= F.lit(_HLL_RSD_BOUND) * F.col("exact_orders")
+    )
+    median_ok = (F.col("am") >= F.col("mlo")) & (F.col("am") <= F.col("mhi"))
+    p95_ok = (F.col("ap") >= F.col("plo")) & (F.col("ap") <= F.col("phi"))
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        hll_ok.alias("hll_within_bound"),
+        median_ok.alias("median_within_bound"),
+        p95_ok.alias("p95_within_bound"),
+    )
+
+
+_APPROX_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_bound,
+       TRUE AS median_within_bound,
+       TRUE AS p95_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 QUERIES = {
@@ -325,5 +373,5 @@ ORACLES = {
     "agg_minmax_by": _MINMAX_BY_SQL,
     "scalar_conditional_funcs": _CONDITIONAL_SQL,
     "agg_variance_corr": _VARIANCE_SQL,
-    # agg_approx_stats: intentionally no oracle (sketches are engine-specific)
+    "agg_approx_stats": _APPROX_SQL,
 }
