@@ -47,6 +47,7 @@ import base64
 import json
 import os
 import time
+from collections import deque
 from datetime import datetime, timezone
 from functools import lru_cache
 from typing import Any, Iterator
@@ -197,7 +198,16 @@ class SpoolTransport(Transport):
     """Replayable test/file transport: JSON-lines message files in a
     directory, consumed in (filename, line) order.  Stands in for a broker
     in tests exactly like the reference's embedded ActiveMQ / in-process
-    ProtonServer (AMQPTestUtils.scala:66-91,213-266)."""
+    ProtonServer (AMQPTestUtils.scala:66-91,213-266).
+
+    ``fetch`` tail-reads incrementally: a per-file byte high-water mark
+    means each appended line is read and parsed exactly once over the
+    stream's lifetime — O(new data) per micro-batch, not O(total spool)
+    (the previous full-rescan was quadratic over a long-running stream).
+    Files must be appended in non-decreasing filename order (a new file
+    sorting before an already-consumed one would be read late — same
+    contract a broker's FIFO link gives the reference's receiver).
+    """
 
     def __init__(self, spool_dir: str):
         self.spool_dir = spool_dir
@@ -208,10 +218,61 @@ class SpoolTransport(Transport):
         # (ReliableAMQPReceiver.scala:127).  The resolved semantic here:
         # drop AND count — the stream never dies, the loss is observable.
         self.malformed = 0
+        self._offsets: dict[str, int] = {}  # fname -> next unread byte
+        self._pending: deque[dict] = deque()
+        self._to_skip = 0  # checkpoint fast-forward debt (see skip())
 
-    def _all_messages(self) -> list[dict]:
+    def _poll(self) -> None:
+        """Read only bytes appended since the last poll.  Only complete
+        (newline-terminated) lines are consumed; a partially-flushed tail
+        stays unread — its offset un-advanced — until its newline arrives,
+        so a mid-write poll can never parse half a message."""
+        for fname in sorted(os.listdir(self.spool_dir)):
+            if not fname.endswith(".jsonl"):
+                continue
+            path = os.path.join(self.spool_dir, fname)
+            off = self._offsets.get(fname, 0)
+            if os.path.getsize(path) <= off:
+                continue
+            with open(path, "rb") as f:
+                f.seek(off)
+                data = f.read()
+            end = data.rfind(b"\n") + 1
+            if end == 0:
+                continue
+            self._offsets[fname] = off + end
+            for raw in data[:end].splitlines():
+                line = raw.decode("utf-8", errors="replace")
+                if line.strip():
+                    if (msg := _parse_spool_line(line)) is not None:
+                        self._pending.append(msg)
+                    else:
+                        self.malformed += 1
+
+    def skip(self, n: int) -> None:
+        """Checkpoint-recovery fast-forward: drop the next ``n`` messages
+        (the committed prefix) without surfacing them.  Messages not yet
+        on disk are skipped as they arrive."""
+        self._to_skip += n
+        self.consumed += n
+
+    def fetch(self, max_n: int) -> list[dict]:
+        self._poll()
+        while self._to_skip and self._pending:
+            self._pending.popleft()
+            self._to_skip -= 1
+        if self._to_skip:
+            return []
+        n = min(max_n, len(self._pending))
+        batch = [self._pending.popleft() for _ in range(n)]
+        self.consumed += n
+        return batch
+
+    def replay(self, start: int, end: int) -> list[dict]:
+        """Full-rescan slow path for offset-range replay after a restart
+        (≡ WAL block re-read); leaves the incremental cursor and the
+        malformed counter untouched."""
         out: list[dict] = []
-        malformed = 0
         for fname in sorted(os.listdir(self.spool_dir)):
             if not fname.endswith(".jsonl"):
                 continue
@@ -220,19 +281,9 @@ class SpoolTransport(Transport):
                     if line.strip():
                         if (msg := _parse_spool_line(line)) is not None:
                             out.append(msg)
-                        else:
-                            malformed += 1
-        self.malformed = malformed
-        return out
-
-    def fetch(self, max_n: int) -> list[dict]:
-        msgs = self._all_messages()
-        batch = msgs[self.consumed : self.consumed + max_n]
-        self.consumed += len(batch)
-        return batch
-
-    def replay(self, start: int, end: int) -> list[dict]:
-        return self._all_messages()[start:end]
+                            if len(out) >= end:
+                                return out[start:end]
+        return out[start:end]
 
 
 class QpidTransport(Transport):
@@ -436,8 +487,7 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
         # link the broker redelivers unsettled messages itself and committed
         # ones were already settled (at-least-once either way).
         if start["seq"] > self._seq and isinstance(self.transport, SpoolTransport):
-            skip = start["seq"] - self._seq
-            self.transport.consumed += skip
+            self.transport.skip(start["seq"] - self._seq)
             self._seq = start["seq"]
         now = time.monotonic()
         elapsed = (
@@ -510,6 +560,14 @@ class _SpoolFilePartition(InputPartition):
         self.path = path
 
 
+class _EmptyPartition(InputPartition):
+    """Explicit no-data partition for an empty spool directory (Spark
+    requires at least one partition per scan)."""
+
+    def __init__(self):
+        pass
+
+
 class _AddressPartition(InputPartition):
     def __init__(self, address: str):
         self.address = address
@@ -540,16 +598,14 @@ class AMQPBatchReader(DataSourceReader):
                 for f in os.listdir(spool)
                 if f.endswith(".jsonl")
             )
-            return [_SpoolFilePartition(p) for p in files] or [
-                _SpoolFilePartition("")
-            ]
+            return [_SpoolFilePartition(p) for p in files] or [_EmptyPartition()]
         addresses = self.options.get("address", "spark").split(",")
         return [_AddressPartition(a.strip()) for a in addresses]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if isinstance(partition, _EmptyPartition):
+            return
         if isinstance(partition, _SpoolFilePartition):
-            if not partition.path:
-                return
             # same drop-and-count semantics as the streaming SpoolTransport
             # (SURVEY §7.4.2): a malformed or non-object line never fails
             # the task
