@@ -109,6 +109,66 @@ def _stream_msgs_per_sec(spark, n: int = 60_000) -> float | None:
     return round(sum(c for _, c in batches[1:]) / dt, 1)
 
 
+def _scaleout_msgs_per_sec(
+    spark, n_dirs: int = 4, n_per_dir: int = 60_000
+) -> float | None:
+    """Aggregate ingest rate of the partitioned executor-side reader
+    (``create_scaleout_stream``) over ``n_dirs`` spool directories — the
+    scale-out twin of ``_stream_msgs_per_sec``'s single driver-side link.
+    Wave 1 warms the stream; only wave 2 (written after the stream is
+    running) is timed, from its first batch landing to its last."""
+    import tempfile
+
+    from streaming_amqp_spark import api
+    from streaming_amqp_spark.sources.amqp import register_amqp_source
+
+    register_amqp_source(spark)
+
+    def write_wave(dirs, fname, start):
+        for d in dirs:
+            with open(os.path.join(d, fname), "w") as f:
+                for i in range(start, start + n_per_dir):
+                    f.write(
+                        json.dumps(
+                            {
+                                "message_id": f"m{i}",
+                                "to_address": "t",
+                                "body": str(i % 100),
+                                "ingest_ts": "2024-01-01T00:00:00",
+                            }
+                        )
+                        + "\n"
+                    )
+
+    with tempfile.TemporaryDirectory() as td:
+        dirs = [os.path.join(td, f"d{i}") for i in range(n_dirs)]
+        for d in dirs:
+            os.makedirs(d)
+        write_wave(dirs, "000.jsonl", 0)
+        # cap so the backlog drains as several bounded batches (rate is
+        # measured batch-to-batch)
+        env = api.create_scaleout_stream(
+            spark, dirs, maxBytesPerBatch=str(2_000_000)
+        )
+        batches: list[tuple[float, int]] = []
+
+        def sink(batch_df, _epoch):
+            batches.append((time.perf_counter(), batch_df.count()))
+
+        q = env.writeStream.foreachBatch(sink).start()
+        q.processAllAvailable()  # wave 1 drained (warm-up)
+        warm = len(batches)
+        write_wave(dirs, "001.jsonl", n_per_dir)
+        q.processAllAvailable()
+        q.stop()
+    wave2 = batches[warm:]
+    total = sum(c for _, c in wave2)
+    if len(wave2) < 2 or total != n_dirs * n_per_dir:
+        return None
+    dt = wave2[-1][0] - wave2[0][0]
+    return round(sum(c for _, c in wave2[1:]) / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -149,6 +209,11 @@ def main() -> None:
     except Exception as e:  # never let the throughput probe sink the record
         out["stream_msgs_per_sec"] = None
         failed["_stream_throughput"] = str(e)[:200]
+    try:
+        out["stream_scaleout_msgs_per_sec"] = _scaleout_msgs_per_sec(spark)
+    except Exception as e:
+        out["stream_scaleout_msgs_per_sec"] = None
+        failed["_stream_scaleout_throughput"] = str(e)[:200]
     if failed:
         out["failed"] = failed
     print(json.dumps(out))

@@ -124,6 +124,29 @@ def create_union_stream(
     return out
 
 
+def create_scaleout_stream(
+    spark: SparkSession,
+    spooldirs: list[str],
+    **options,
+) -> DataFrame:
+    """Executor-parallel spool ingestion: ONE source whose micro-batches
+    are partitioned per spool directory and parsed on executors
+    (``AMQPScaleOutStreamReader``) — the partitioned counterpart of
+    :func:`create_union_stream`'s N driver-side links, and the path that
+    removes the driver-funnel ceiling entirely for durable spools.
+    Offsets are per-file byte high-water marks, so ranges replay exactly
+    (exactly-once on a durable spool)."""
+    if not spooldirs:
+        raise ValueError("spooldirs must be non-empty")
+    _ensure_registered(spark)
+    return (
+        spark.readStream.format("amqp")
+        .option("spooldirs", ",".join(spooldirs))
+        .options(**{k: str(v) for k, v in options.items()})
+        .load()
+    )
+
+
 def publish(
     df,
     spooldir: str,

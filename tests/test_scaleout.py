@@ -1,0 +1,169 @@
+"""Multi-link streaming scale-out (VERDICT r3 ask #4).
+
+Two paths past one link's ~10k msg/s design ceiling
+(AMQPFlowController.scala:271):
+
+- ``create_union_stream`` — N independent driver-side sources unioned
+  (≡ receiver-per-stream parallelism, AMQPInputDStream.scala:40-59);
+- ``create_scaleout_stream`` — ONE source, partitioned per spool
+  directory, parsed on executors (driver does metadata-only offset work).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from streaming_amqp_spark import api
+from streaming_amqp_spark.sources.amqp import (
+    AMQPScaleOutStreamReader,
+    _complete_bytes,
+    _SpoolRangePartition,
+    register_amqp_source,
+)
+
+
+def _write_dir(tmp_path, name, messages, fname="000.jsonl"):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    with open(d / fname, "a") as f:
+        for m in messages:
+            f.write(json.dumps(m) + "\n")
+    return str(d)
+
+
+def _msgs(n, start=0, addr="a"):
+    return [
+        {"message_id": f"{addr}-{i}", "to_address": addr, "body": str(i)}
+        for i in range(start, start + n)
+    ]
+
+
+@pytest.fixture()
+def amqp(spark):
+    register_amqp_source(spark)
+    return spark
+
+
+def test_union_stream_plans_n_independent_sources(amqp, tmp_path):
+    """The unioned stream's logical plan must contain one streaming source
+    node per address — N independent readers, each with its own credit
+    window and offsets, exactly the reference's receiver-per-stream model."""
+    dirs = [_write_dir(tmp_path, f"d{i}", _msgs(1, addr=f"addr{i}")) for i in range(3)]
+    df = api.create_union_stream(
+        amqp,
+        addresses=["addr0", "addr1", "addr2"],
+        transport="spool",
+        spooldirs=dirs,
+    )
+    plan = df._jdf.queryExecution().logical().toString()
+    assert plan.count("amqp") >= 3, plan
+
+
+def test_scaleout_stream_reads_all_dirs(amqp, tmp_path):
+    dirs = [
+        _write_dir(tmp_path, f"d{i}", _msgs(4, addr=f"addr{i}")) for i in range(3)
+    ]
+    df = api.create_scaleout_stream(amqp, dirs)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("scaleout_all")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = amqp.sql("SELECT message_id, to_address FROM scaleout_all").collect()
+    assert len(rows) == 12
+    assert {r.to_address for r in rows} == {"addr0", "addr1", "addr2"}
+
+
+def test_scaleout_reader_partitions_per_dir(tmp_path):
+    """Driver-side contract: latestOffset is per-file byte high-water marks;
+    partitions(start, end) yields one range partition per directory with
+    new data; executors replay any (start, end] range exactly."""
+    d0 = _write_dir(tmp_path, "d0", _msgs(3, addr="x"))
+    d1 = _write_dir(tmp_path, "d1", _msgs(2, addr="y"))
+    r = AMQPScaleOutStreamReader({"spooldirs": f"{d0},{d1}"})
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    parts = r.partitions(start, end1)
+    assert len(parts) == 2
+    assert all(isinstance(p, _SpoolRangePartition) for p in parts)
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 5
+
+    # incremental: only d1 grows -> exactly one partition, only new rows
+    _write_dir(tmp_path, "d1", _msgs(3, start=2, addr="y"))
+    end2 = r.latestOffset()
+    parts2 = r.partitions(end1, end2)
+    assert len(parts2) == 1
+    new_rows = list(r.read(parts2[0]))
+    assert [row[0] for row in new_rows] == ["y-2", "y-3", "y-4"]
+
+    # replayability: the first range re-reads identically (exactly-once
+    # on a durable spool)
+    replay = [row for p in r.partitions(start, end1) for row in r.read(p)]
+    assert [row[0] for row in replay] == [row[0] for row in rows]
+
+
+def test_scaleout_admission_cap_bounds_batches(tmp_path):
+    """maxBytesPerBatch: a deep backlog drains as multiple bounded,
+    newline-aligned batches whose union is exactly the backlog."""
+    d0 = _write_dir(tmp_path, "d0", _msgs(20, addr="x"))
+    line_bytes = _complete_bytes(f"{d0}/000.jsonl") // 20
+    r = AMQPScaleOutStreamReader(
+        {"spooldirs": d0, "maxbytesperbatch": str(line_bytes * 6)}
+    )
+    offs = [r.initialOffset()]
+    ids: list[str] = []
+    batches = 0
+    while True:
+        end = r.latestOffset()
+        if end == offs[-1]:
+            break
+        ids += [row[0] for p in r.partitions(offs[-1], end) for row in r.read(p)]
+        offs.append(end)
+        batches += 1
+        assert batches < 20, "cap not advancing"
+    assert batches == 4  # ceil(20 / 6) with newline alignment
+    assert ids == [f"x-{i}" for i in range(20)]
+
+
+def test_scaleout_offsets_exclude_torn_write(tmp_path):
+    d0 = _write_dir(tmp_path, "d0", _msgs(2, addr="x"))
+    p = f"{d0}/000.jsonl"
+    complete = _complete_bytes(p)
+    with open(p, "a") as f:
+        f.write('{"message_id": "torn", "bo')  # no newline yet
+    assert _complete_bytes(p) == complete  # torn tail not in the offset
+    with open(p, "a") as f:
+        f.write('dy": "9"}\n')
+    assert _complete_bytes(p) > complete
+
+
+def test_scaleout_checkpoint_restart_no_duplicates(amqp, tmp_path):
+    """Stop mid-stream, append, restart from checkpoint: every message
+    exactly once (byte-range offsets are deterministic replay)."""
+    d0 = _write_dir(tmp_path, "d0", _msgs(3, addr="x"))
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[str] = []
+
+    def run_once():
+        df = api.create_scaleout_stream(amqp, [d0])
+        q = (
+            df.writeStream.foreachBatch(
+                lambda b, _e: seen.extend(r.message_id for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(seen) == ["x-0", "x-1", "x-2"]
+    _write_dir(tmp_path, "d0", _msgs(2, start=3, addr="x"))
+    run_once()  # restart from checkpoint: only the appended tail arrives
+    assert sorted(seen) == ["x-0", "x-1", "x-2", "x-3", "x-4"]
