@@ -51,7 +51,7 @@ _MODULES = (
 # rows (text_bigram_counts, text_doc_frequency, ... — verdicts on record in
 # CORRECTNESS_r03.json).
 _FIRST_50 = (
-    "text_chunk_cdc", "sample_stratified_balanced", "text_token_stats",
+    "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
     "text_quality_score", "text_lang_id", "text_fingerprint",
     "text_winnowing_fingerprints", "text_simhash", "dedup_clusters",
     "dedup_minhash_recall", "dedup_exact", "dedup_simhash_hamming1",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from streaming_amqp_spark.operators.curation import (  # noqa: E402
     contamination_check,
+    dedup_chunk_cdc,
     domain_mixture_weights,
     pack_docs_nextfit,
     sample_stratified_balanced,
@@ -109,6 +110,9 @@ def main() -> None:
     cdc_chunks = text_chunk_cdc(spark, sf).join(
         curated.select("doc_id"), "doc_id", "left_semi"
     )
+    # 8b. chunk-level dedup over the CDC chunks: paragraphs shared across
+    # curated documents (what CDC's edit-stable boundaries are FOR)
+    dup_chunks = dedup_chunk_cdc(spark, sf)
 
     # 9. rebalance the source mixture toward the median source size
     mix = domain_mixture_weights(spark, sf)
@@ -127,6 +131,7 @@ def main() -> None:
     print(f"contaminated eval docs: {contam.count()}")
     print(f"curated chunks: {chunks.count()} sliding / {cdc_chunks.count()} "
           f"content-defined, packed bins: {bins.collect()[0].n_bins}")
+    print(f"cross-document duplicate chunks: {dup_chunks.count()}")
     n_strata = strata.count()
     kept_strat = strata.agg(F.sum("n_kept")).collect()[0][0]
     print(f"stratified balance: {n_strata} (source, lang) strata, "

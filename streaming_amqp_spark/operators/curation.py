@@ -351,52 +351,52 @@ def text_chunk_cdc(
     ∈ CDC_BOUNDARY_HEX), so chunk boundaries survive upstream insertions —
     the property fixed-stride chunking (text_chunk_sliding) lacks.
 
-    Same scale shape as the stride chunker: one per-row ordered fold
-    (aggregate over the token array), zero Exchange — chunking 100 TB is a
-    scan.  md5 keeps the boundary decision bit-identical in the oracle.
-    Pass ``docs`` (doc_id, text) to chunk a pre-filtered corpus; the
-    projection is stateless, so a streaming ``docs`` works unchanged."""
+    Same scale shape as the stride chunker: per-row array expressions,
+    zero Exchange — chunking 100 TB is a scan.  O(n) per document: one
+    transform computes the boundary positions, one transform slices each
+    chunk out (total copied = document length), replacing the earlier
+    accumulator fold whose per-token array concat was O(n²) on long
+    documents (ADVICE r3).  md5 keeps the boundary decision bit-identical
+    in the oracle.  Pass ``docs`` (doc_id, text) to chunk a pre-filtered
+    corpus; the projection is stateless, so a streaming ``docs`` works
+    unchanged."""
     d = docs if docs is not None else _docs(spark, sf_dir)
     t = tokens()
-    out_t = "array<struct<chunk_id:bigint,chunk_text:string>>"
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("cid"),
-        F.array().cast("array<string>").alias("cur"),
-        F.array().cast(out_t).alias("out"),
+    n = F.size(t)
+    # 1-based chunk-start positions: position 1, plus every p >= 2 whose
+    # (token p-1, token p) rolling hash lands in the boundary set
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda p: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(t, p - 1), F.element_at(t, p)
+                    )
+                ),
+                1,
+                1,
+            ).isin(*CDC_BOUNDARY_HEX),
+        ),
     )
 
-    def step(acc, tok):
-        is_b = acc["prev"].isNotNull() & F.substring(
-            F.md5(F.concat_ws(" ", acc["prev"], tok)), 1, 1
-        ).isin(*CDC_BOUNDARY_HEX)
-        closed = F.struct(
-            acc["cid"].alias("chunk_id"),
-            F.array_join(acc["cur"], " ").alias("chunk_text"),
-        )
+    def chunk(lo, i):
+        nxt = F.coalesce(F.get(F.col("starts"), i + 1), n + 1)
         return F.struct(
-            tok.alias("prev"),
-            F.when(is_b, acc["cid"] + 1).otherwise(acc["cid"]).alias("cid"),
-            F.when(is_b, F.array(tok))
-            .otherwise(F.concat(acc["cur"], F.array(tok)))
-            .alias("cur"),
-            F.when(is_b, F.concat(acc["out"], F.array(closed)))
-            .otherwise(acc["out"])
-            .alias("out"),
+            i.cast("long").alias("chunk_id"),
+            F.array_join(F.slice(t, lo, nxt - lo), " ").alias("chunk_text"),
         )
-
-    def fin(acc):
-        last = F.struct(
-            acc["cid"].alias("chunk_id"),
-            F.array_join(acc["cur"], " ").alias("chunk_text"),
-        )
-        return F.when(
-            F.size(acc["cur"]) > 0, F.concat(acc["out"], F.array(last))
-        ).otherwise(acc["out"])
 
     return (
         d.where(F.size(t) >= 1)
-        .select("doc_id", F.explode(F.aggregate(t, zero, step, fin)).alias("c"))
+        .withColumn("starts", starts)
+        .select(
+            "doc_id",
+            F.explode(F.transform(F.col("starts"), chunk)).alias("c"),
+        )
         .select("doc_id", "c.chunk_id", "c.chunk_text")
     )
 
@@ -425,6 +425,42 @@ cids AS (
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        string_agg(tok, ' ' ORDER BY pos) AS chunk_text
 FROM cids GROUP BY doc_id, chunk_id
+"""
+
+
+def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-chunk index — the use-case content-defined
+    chunking exists for: CDC chunks → 16-byte md5 → chunk-hash groups
+    seen more than once, with copy/document counts and a canonical owner
+    (min doc_id, the dedup_exact keep-convention).
+
+    Scale: the only shuffle moves (chunk_hash, doc_id) pairs — never
+    chunk text — and partial aggregation combines map-side, so the wire
+    cost is bounded by distinct hashes, not corpus size.  Because CDC
+    boundaries survive upstream edits, this catches documents that share
+    paragraphs even when fixed-stride chunks would misalign."""
+    chunks = text_chunk_cdc(spark, sf_dir)
+    return (
+        chunks.select(F.md5("chunk_text").alias("chunk_hash"), "doc_id")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({_CDC_SQL})
+SELECT md5(chunk_text) AS chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM chunks
+GROUP BY md5(chunk_text)
+HAVING count(*) > 1
 """
 
 
@@ -711,6 +747,7 @@ QUERIES = {
     "domain_mixture_weights": domain_mixture_weights,
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
+    "dedup_chunk_cdc": dedup_chunk_cdc,
 }
 
 ORACLES = {
@@ -723,4 +760,5 @@ ORACLES = {
     "domain_mixture_weights": _MIX_SQL,
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
+    "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,
 }
