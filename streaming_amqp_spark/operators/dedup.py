@@ -397,8 +397,10 @@ JOIN per_doc b ON b.doc_id = c.id2
 """
 
 
-# Fixed-sample bound for the exact truth side of the recall measurement
-# (≥ every sf≤0.1 doc_id, so small-sf recall covers the whole corpus).
+# Fixed-sample bound for the exact truth side of the recall measurement.
+# Covers every doc_id at sf ≤ 0.01 (recall over the whole corpus there —
+# enforced by tests/test_baseline_cap.py); at sf 0.1+ it is a fixed
+# 1024-doc sample, identically mirrored in the oracle.
 RECALL_TRUTH_ID_CAP = 1024
 
 

@@ -296,8 +296,10 @@ WHERE rank <= {KNN_K}
 # The exact all-pairs baseline is O(n²) by nature; it exists to oracle-check
 # the LSH path's recall, not to run over a corpus.  Bound it to the first
 # EXACT_BASELINE_ID_CAP ids so a driver/bench run at a larger sf stays a
-# constant-size sample instead of going quadratic (cap ≥ every sf≤0.1 id
-# range, so small-sf results are the full exact answer).
+# constant-size sample instead of going quadratic.  The cap covers every id
+# at sf ≤ 0.01 (full-corpus exact answer there — enforced by
+# tests/test_baseline_cap.py); at sf 0.1+ it is a fixed 1024-id sample,
+# identically mirrored in the oracle, so parity holds at every sf.
 EXACT_BASELINE_ID_CAP = 1024
 
 
