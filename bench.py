@@ -62,6 +62,80 @@ HEADLINE = [
 ]
 
 
+# Scaling-slope spot set: the 5 most expensive headline queries (mixed
+# shapes — decimal agg, exact percentile, co-moment agg, LSH dedup
+# pipeline, text projection).  Run at sf0.1 AND a synthesized 10x so
+# BENCH records the slope: sub-linear plans (pushdown, broadcast, partial
+# agg) should grow well under 10x for 10x data.
+SF1_SPOT = [
+    "q1_pricing_summary",
+    "agg_percentiles",
+    "agg_variance_corr",
+    "curate_documents",
+    "text_repetition_stats",
+]
+_SF1_DIR = "/tmp/spark_graft_sf1"
+
+
+def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
+    """Synthesize ~sf1 (10x sf0.1) into /tmp, cached across runs: lineitem
+    and documents are replicated 10x with remapped keys (documents also get
+    a per-replica tail token so replicas are near- not exact-dups); other
+    tables symlink to sf0.1.  Multi-file parquet output, so scans
+    parallelize unlike the single-row-group sf0.1 files."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(_SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return _SF1_DIR
+    os.makedirs(_SF1_DIR, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")  # no join
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    li10 = li.select("*", rep).select(
+        (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    li10.repartition(16).write.mode("overwrite").parquet(
+        f"{_SF1_DIR}/lineitem.parquet"
+    )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    docs10 = docs.select("*", rep).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    docs10.repartition(8).write.mode("overwrite").parquet(
+        f"{_SF1_DIR}/documents.parquet"
+    )
+    for f in os.listdir(base):
+        dst = os.path.join(_SF1_DIR, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(base, f), dst)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return _SF1_DIR
+
+
+def _sf1_spot(spark, queries, sf01_timings: dict[str, float]) -> dict:
+    sf1 = _ensure_sf1(spark)
+    out: dict[str, dict] = {}
+    for name in SF1_SPOT:
+        df = queries[name](spark, sf1)
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        t01 = sf01_timings.get(name)
+        out[name] = {
+            "sf01": t01,
+            "sf1": round(best, 4),
+            "slope": round(best / t01, 2) if t01 else None,
+        }
+    return out
+
+
 def _stream_msgs_per_sec(spark, n: int = 60_000) -> float | None:
     """Sustained spool-transport ingest rate (BASELINE.md's ≥10k msg/s
     design ceiling), measured end-of-first-batch → end-of-last-batch so
@@ -204,6 +278,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    try:
+        out["sf1_spot"] = _sf1_spot(spark, queries, timings)
+    except Exception as e:  # scaling probe must never sink the record
+        out["sf1_spot"] = None
+        failed["_sf1_spot"] = str(e)[:200]
     try:
         out["stream_msgs_per_sec"] = _stream_msgs_per_sec(spark)
     except Exception as e:  # never let the throughput probe sink the record

@@ -122,21 +122,21 @@ def main() -> None:
 
     print(f"documents: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
     print("per-language curated counts:")
-    for r in stats.collect():
+    for r in stats.collect():  # driver-small: |langs| rows
         print(f"  {r.lang}: {r.n_docs}")
     print("train/val/test:")
-    for r in split.orderBy("split").collect():
+    for r in split.orderBy("split").collect():  # driver-small: 3 rows
         print(f"  {r.split}: {r.n_docs} docs, {r.total_tokens} tokens")
     print(f"knn spot-check rows: {knn.count()}")
     print(f"contaminated eval docs: {contam.count()}")
     print(f"curated chunks: {chunks.count()} sliding / {cdc_chunks.count()} "
-          f"content-defined, packed bins: {bins.collect()[0].n_bins}")
+          f"content-defined, packed bins: {bins.collect()[0].n_bins}")  # driver-small: 1 row
     print(f"cross-document duplicate chunks: {dup_chunks.count()}")
     n_strata = strata.count()
-    kept_strat = strata.agg(F.sum("n_kept")).collect()[0][0]
+    kept_strat = strata.agg(F.sum("n_kept")).collect()[0][0]  # driver-small: 1 row
     print(f"stratified balance: {n_strata} (source, lang) strata, "
           f"{kept_strat} docs kept")
-    kept = mix.agg(F.sum("n_docs_kept")).collect()[0][0]
+    kept = mix.agg(F.sum("n_docs_kept")).collect()[0][0]  # driver-small: 1 row
     print(f"mixture-rebalanced kept docs: {kept}/{n0}")
     spark.stop()
 

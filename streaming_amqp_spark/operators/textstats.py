@@ -344,6 +344,75 @@ LIMIT 40
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (tf × smoothed idf,
+    ln((N+1)/(df+1)) with the repo's round-4 irrational-output
+    convention; ties broken by term so the ranking is total).
+
+    Scale: tf aggregates on (doc_id, term) with map-side combine; df
+    reduces tf by term (no second corpus scan); the tf⋈idf join keys on
+    term and is AQE-broadcastable when the vocabulary is small; the
+    final top-k window partitions by doc_id — no global window, no
+    unbounded state anywhere."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+idf AS (
+  SELECT term,
+         round(ln(((SELECT count(*) FROM documents) + 1.0)
+                  / (count(*) + 1.0)), 4) AS idf
+  FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf DESC, tf.term) AS rank
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, score
+FROM scored WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
     "text_doc_frequency": text_doc_frequency,
@@ -353,6 +422,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
+    "text_tfidf_topk": text_tfidf_topk,
 }
 
 ORACLES = {
@@ -364,4 +434,5 @@ ORACLES = {
     "text_lang_id": _LANG_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
+    "text_tfidf_topk": _TFIDF_SQL,
 }

@@ -31,6 +31,12 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # local[N] runs the whole engine in the driver JVM, whose default 1g
+    # heap starves 32 executor threads (OOM on sf1-scale shuffles).  Size
+    # it like one real executor; a cluster deployment overrides via
+    # spark-submit and this conf is then driver-only.  Applied at JVM
+    # launch, so it only takes effect for the process's first session.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

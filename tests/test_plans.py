@@ -255,3 +255,21 @@ def test_no_driver_side_collects_in_engine_code():
             if b in text:
                 offenders.append(f"{py.name}: {b}")
     assert not offenders, offenders
+
+
+def test_examples_collect_only_driver_small_results():
+    """Examples model cluster-ready code: .toPandas()/.toLocalIterator()
+    are banned outright, and every .collect() must carry a '# driver-small'
+    marker documenting why the result is bounded (an aggregate/summary) —
+    an unmarked collect is a review flag for unbounded row transfer."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "examples"
+    offenders = []
+    for py in root.glob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".toPandas()" in line or ".toLocalIterator()" in line:
+                offenders.append(f"{py.name}:{i}: banned driver materialization")
+            elif ".collect()" in line and "driver-small" not in line:
+                offenders.append(f"{py.name}:{i}: unmarked .collect()")
+    assert not offenders, offenders

@@ -97,6 +97,44 @@ def test_envelope_roundtrip_all_body_shapes(amqp, tmp_path):
     assert rows["i"].body == "42"  # total mapping, no MatchError
 
 
+def test_streaming_cdc_chunk_dedup(amqp, tmp_path):
+    """CDC chunking is a stateless projection, so it runs unchanged on a
+    stream; composed with dropDuplicates on the chunk hash it becomes
+    streaming chunk-level dedup — a shared paragraph arriving in a later
+    message is emitted once."""
+    from streaming_amqp_spark.operators.curation import text_chunk_cdc
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    msgs = [
+        {"message_id": "1", "body": f"intro one two {shared}"},
+        {"message_id": "2", "body": f"different lead-in {shared} trailer"},
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    docs = env.select(
+        F.col("message_id").alias("doc_id"), F.col("body").alias("text")
+    )
+    chunks = text_chunk_cdc(amqp, "", docs=docs)
+    deduped = chunks.select(
+        F.md5("chunk_text").alias("chunk_hash"), "chunk_text"
+    ).dropDuplicates(["chunk_hash"])
+    assert deduped.isStreaming
+    out = _run_stream_to_memory(amqp, deduped, "cdc_dedup_out")
+    texts = [r.chunk_text for r in out.collect()]
+    assert len(texts) == len(set(texts))  # no duplicate chunk survives
+    # both docs contributed chunks, and at least one chunk came out of the
+    # shared span's tokens (boundaries inside the span align across docs
+    # after the first in-span boundary)
+    joined = " ".join(texts)
+    for tok in shared.split():
+        assert tok in joined
+
+
 def test_temperature_window_query(amqp, tmp_path):
     """The canonical end-to-end query: max temperature per 5 s window
     (AMQPTemperature.scala:94-99)."""
