@@ -303,6 +303,74 @@ WHERE rank <= {KNN_K}
 EXACT_BASELINE_ID_CAP = 1024
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x|/127,
+    q_i = half-up-round(x_i/scale)) with the compression claim made
+    checkable: the max reconstruction error must sit within half a
+    quantization step.  Output per vector: scale, the quantized L1 norm
+    (integer-exact checksum of the full int8 vector), max |x − q·scale|,
+    and the bound boolean.
+
+    Scale: pure per-row array expressions fused into the scan — zero
+    shuffle; quantizing 100 TB of embeddings is exactly a read+write.
+    Half-up rounding is spelled floor(x/scale + 0.5) so both engines
+    round identically (no HALF_EVEN/HALF_UP library divergence)."""
+    emb = _emb(spark, sf_dir)
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = amax / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(xd, lambda x: F.floor(x / safe + F.lit(0.5)))
+    err = F.array_max(
+        F.zip_with(xd, q, lambda x, qi: F.abs(x - qi * scale))
+    )
+    return (
+        emb.select(
+            "vec_id",
+            scale.alias("scale"),
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            ).alias("q_l1_norm"),
+            err.alias("max_abs_err"),
+        )
+        .withColumn(
+            # exact arithmetic gives err <= scale/2; allow 1 ulp of float
+            # slack so the boolean is a claim about quantization, not about
+            # the last bit of x/scale
+            "within_half_step",
+            F.col("max_abs_err") <= F.col("scale") * F.lit(0.5000001),
+        )
+    )
+
+
+_QUANT_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xd,
+         list_max(list_transform(xd, v -> abs(v))) / 127.0 AS scale
+  FROM x
+),
+q AS (
+  SELECT vec_id, xd, scale,
+         list_transform(xd, v -> floor(
+           v / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1_norm,
+       list_max(list_transform(range(1, len(xd) + 1),
+                i -> abs(xd[i] - qv[i] * scale))) AS max_abs_err,
+       list_max(list_transform(range(1, len(xd) + 1),
+                i -> abs(xd[i] - qv[i] * scale))) <= scale * 0.5000001
+         AS within_half_step
+FROM q
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (exact all-pairs baseline; the LSH variant
     above is the 100 TB path — this one is the recall oracle for it).
@@ -372,6 +440,7 @@ QUERIES = {
     "ann_lsh_candidate_pairs": ann_lsh_candidate_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
@@ -382,4 +451,5 @@ ORACLES = {
     "ann_lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_candidate_pairs": _LSH_PAIRS_SQL,
     "dedup_embedding_cosine": _EMB_DEDUP_SQL,
+    "embedding_quantize_int8": _QUANT_SQL,
 }

@@ -154,11 +154,82 @@ GROUP BY bucket
 """
 
 
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly detection: events whose value lies
+    more than 3 standard deviations from their type's mean.
+
+    Determinism: mean/std come from exact DECIMAL sums (the
+    agg_variance_corr convention — sum order cannot perturb them), so the
+    per-event |v − mean| > 3σ comparison evaluates identically in both
+    engines.  Scale: one agg shuffle for the 5-row per-type stats,
+    broadcast back onto the scan — the flagging pass is map-side."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    n = F.count("*").cast("double")
+    s1 = F.sum(v).cast("double")
+    s2 = F.round(F.sum(v * v), 0).cast("long").cast("double")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (s1 / n).alias("mean_value"),
+        F.sqrt(
+            (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+        ).alias("std_value"),
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(
+            F.abs(F.col("value") - F.col("mean_value"))
+            > F.lit(3.0) * F.col("std_value")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_anomalies"))
+    )
+    return (
+        stats.join(F.broadcast(flagged), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round("std_value", 6).alias("std_value"),
+            F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+    )
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_value,
+         sqrt((CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))), 0) AS BIGINT) AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_value
+  FROM events GROUP BY event_type
+),
+flagged AS (
+  SELECT e.event_type, count(*) AS n_anomalies
+  FROM events e JOIN stats s USING (event_type)
+  WHERE abs(e.value - s.mean_value) > 3.0 * s.std_value
+  GROUP BY e.event_type
+)
+SELECT s.event_type, s.n_events,
+       round(s.mean_value, 6) AS mean_value,
+       round(s.std_value, 6) AS std_value,
+       CAST(coalesce(f.n_anomalies, 0) AS BIGINT) AS n_anomalies
+FROM stats s LEFT JOIN flagged f ON f.event_type = s.event_type
+"""
+
+
 QUERIES = {
     "sample_deterministic": sample_deterministic,
     "split_train_val_test": split_train_val_test,
     "agg_percentiles": agg_percentiles,
     "hist_order_totalprice": hist_order_totalprice,
+    "events_zscore_anomaly": events_zscore_anomaly,
 }
 
 ORACLES = {
@@ -166,4 +237,5 @@ ORACLES = {
     "split_train_val_test": _SPLIT_SQL,
     "agg_percentiles": _PCTL_SQL,
     "hist_order_totalprice": _HIST_SQL,
+    "events_zscore_anomaly": _ZSCORE_SQL,
 }

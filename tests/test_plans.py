@@ -180,6 +180,22 @@ def test_cdc_chunking_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_quantization_is_shuffle_free(spark, sf_dir):
+    """int8 quantization is a per-row array expression: quantizing 100 TB
+    of embeddings must be exactly a scan, never a re-materialization."""
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_zscore_anomaly_broadcasts_stats(spark, sf_dir):
+    """The per-type stats table is |event_type| rows; the events corpus
+    must stream map-side through a broadcast join for the flagging pass,
+    never shuffle on event_type twice."""
+    plan = _plan(spark, sf_dir, "events_zscore_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_stratified_sample_broadcasts_rate_table(spark, sf_dir):
     """The per-stratum rate table is |strata| rows; the corpus must join
     it map-side, never shuffle on the stratum key."""
