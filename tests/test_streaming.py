@@ -97,6 +97,88 @@ def test_envelope_roundtrip_all_body_shapes(amqp, tmp_path):
     assert rows["i"].body == "42"  # total mapping, no MatchError
 
 
+def test_continuous_hourly_rollup_updates_only_changed_partitions(
+    amqp, tmp_path
+):
+    """Continuous materialized aggregate (streaming/rollup.py): two waves
+    through the same checkpoint; a late message updates its hour's
+    partition in place, untouched hours keep their files, and the final
+    store equals a batch recomputation over all messages."""
+    import os
+
+    from streaming_amqp_spark.streaming.rollup import (
+        hourly_rollup_agg,
+        start_continuous_rollup,
+    )
+
+    spool = tmp_path / "spool"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def msg(i, ts, addr="a", body="10"):
+        return {
+            "message_id": f"m{i}",
+            "to_address": addr,
+            "body": body,
+            "ingest_ts": ts,
+        }
+
+    def run_wave(messages, fname):
+        _write_spool(tmp_path, messages, fname=fname)
+        env = (
+            amqp.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", str(spool))
+            .load()
+        )
+        q = start_continuous_rollup(env, store, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_wave(
+        [
+            msg(0, "2024-01-01T00:10:00"),
+            msg(1, "2024-01-01T01:10:00", body="7"),
+        ],
+        "000.jsonl",
+    )
+    h01_files = set(os.listdir(f"{store}/hour=2024010101"))
+
+    run_wave(
+        [
+            msg(2, "2024-01-01T00:20:00", body="5"),  # late: updates hour 00
+            msg(3, "2024-01-01T02:10:00", body="3"),  # new hour 02
+        ],
+        "001.jsonl",
+    )
+
+    got = {
+        # partition-column type inference reads hour= back as int
+        (str(r.hour), r.address): (r.n_messages, r.sum_value)
+        for r in amqp.read.parquet(store).collect()
+    }
+    assert got == {
+        ("2024010100", "a"): (2, 15.0),
+        ("2024010101", "a"): (1, 7.0),
+        ("2024010102", "a"): (1, 3.0),
+    }
+    # untouched hour-01 partition was not rewritten by wave 2
+    assert set(os.listdir(f"{store}/hour=2024010101")) == h01_files
+
+    # the store equals a batch recomputation over the full message set
+    env_all = (
+        amqp.read.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", str(spool))
+        .load()
+    )
+    batch = {
+        (str(r.hour), r.address): (r.n_messages, r.sum_value)
+        for r in hourly_rollup_agg(env_all).collect()
+    }
+    assert batch == got
+
+
 def test_streaming_cdc_chunk_dedup(amqp, tmp_path):
     """CDC chunking is a stateless projection, so it runs unchanged on a
     stream; composed with dropDuplicates on the chunk hash it becomes
