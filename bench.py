@@ -175,8 +175,10 @@ def _stream_msgs_per_sec(spark, n: int = 60_000) -> float | None:
             batches.append((time.perf_counter(), batch_df.count()))
 
         q = env.writeStream.foreachBatch(sink).start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     if len(batches) < 2 or sum(c for _, c in batches) != n:
         return None
     dt = batches[-1][0] - batches[0][0]
@@ -230,11 +232,15 @@ def _scaleout_msgs_per_sec(
             batches.append((time.perf_counter(), batch_df.count()))
 
         q = env.writeStream.foreachBatch(sink).start()
-        q.processAllAvailable()  # wave 1 drained (warm-up)
-        warm = len(batches)
-        write_wave(dirs, "001.jsonl", n_per_dir)
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()  # wave 1 drained (warm-up)
+            warm = len(batches)
+            write_wave(dirs, "001.jsonl", n_per_dir)
+            q.processAllAvailable()
+        finally:
+            # always stop before the tempdir vanishes — a leaked query
+            # polling a deleted spool dir would error for the whole run
+            q.stop()
     wave2 = batches[warm:]
     total = sum(c for _, c in wave2)
     if len(wave2) < 2 or total != n_dirs * n_per_dir:

@@ -112,7 +112,7 @@ def main() -> None:
     )
     # 8b. chunk-level dedup over the CDC chunks: paragraphs shared across
     # curated documents (what CDC's edit-stable boundaries are FOR)
-    dup_chunks = dedup_chunk_cdc(spark, sf)
+    dup_chunks = dedup_chunk_cdc(spark, sf, docs=curated_docs)
 
     # 9. rebalance the source mixture toward the median source size
     mix = domain_mixture_weights(spark, sf)

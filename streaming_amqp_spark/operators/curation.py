@@ -361,7 +361,13 @@ def text_chunk_cdc(
     corpus; the projection is stateless, so a streaming ``docs`` works
     unchanged."""
     d = docs if docs is not None else _docs(spark, sf_dir)
-    t = tokens()
+    # Bind the token array (and everything derived from it) to columns
+    # BEFORE any higher-order-function lambda references it: an unbound
+    # expression inside a HOF lambda is re-evaluated per element
+    # (functions.text.let's documented trap), which would re-split the
+    # text n times and make this O(n²) again.
+    d = d.where(F.size(tokens()) >= 1).withColumn("toks", tokens())
+    t = F.col("toks")
     n = F.size(t)
     # 1-based chunk-start positions: position 1, plus every p >= 2 whose
     # (token p-1, token p) rolling hash lands in the boundary set
@@ -391,8 +397,7 @@ def text_chunk_cdc(
         )
 
     return (
-        d.where(F.size(t) >= 1)
-        .withColumn("starts", starts)
+        d.withColumn("starts", starts)
         .select(
             "doc_id",
             F.explode(F.transform(F.col("starts"), chunk)).alias("c"),
@@ -428,7 +433,9 @@ FROM cids GROUP BY doc_id, chunk_id
 """
 
 
-def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_chunk_cdc(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Cross-document duplicate-chunk index — the use-case content-defined
     chunking exists for: CDC chunks → 16-byte md5 → chunk-hash groups
     seen more than once, with copy/document counts and a canonical owner
@@ -438,8 +445,10 @@ def dedup_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk text — and partial aggregation combines map-side, so the wire
     cost is bounded by distinct hashes, not corpus size.  Because CDC
     boundaries survive upstream edits, this catches documents that share
-    paragraphs even when fixed-stride chunks would misalign."""
-    chunks = text_chunk_cdc(spark, sf_dir)
+    paragraphs even when fixed-stride chunks would misalign.  Pass
+    ``docs`` to index a pre-filtered corpus (the example pipeline hands
+    in its curated survivors)."""
+    chunks = text_chunk_cdc(spark, sf_dir, docs=docs)
     return (
         chunks.select(F.md5("chunk_text").alias("chunk_hash"), "doc_id")
         .groupBy("chunk_hash")

@@ -316,30 +316,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Half-up rounding is spelled floor(x/scale + 0.5) so both engines
     round identically (no HALF_EVEN/HALF_UP library divergence)."""
     emb = _emb(spark, sf_dir)
-    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(xd, F.abs))
-    scale = amax / F.lit(127.0)
-    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-    q = F.transform(xd, lambda x: F.floor(x / safe + F.lit(0.5)))
-    err = F.array_max(
-        F.zip_with(xd, q, lambda x, qi: F.abs(x - qi * scale))
-    )
-    return (
-        emb.select(
-            "vec_id",
-            scale.alias("scale"),
-            F.aggregate(
-                q, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
-            ).alias("q_l1_norm"),
-            err.alias("max_abs_err"),
+    # Bind every O(d) expression to a column BEFORE a HOF lambda uses it:
+    # an unbound array_max/transform inside transform/zip_with would be
+    # re-evaluated per element — O(d²) per vector (functions.text.let's
+    # documented trap).  Column references are free inside lambdas.
+    staged = (
+        emb.withColumn(
+            "xd", F.transform(F.col("embedding"), lambda x: x.cast("double"))
         )
         .withColumn(
-            # exact arithmetic gives err <= scale/2; allow 1 ulp of float
-            # slack so the boolean is a claim about quantization, not about
-            # the last bit of x/scale
-            "within_half_step",
-            F.col("max_abs_err") <= F.col("scale") * F.lit(0.5000001),
+            "scale",
+            F.array_max(F.transform(F.col("xd"), F.abs)) / F.lit(127.0),
         )
+        .withColumn(
+            "safe",
+            F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(
+                F.col("scale")
+            ),
+        )
+        .withColumn(
+            "q",
+            F.transform(
+                F.col("xd"),
+                lambda x: F.floor(x / F.col("safe") + F.lit(0.5)),
+            ),
+        )
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("xd"),
+            F.col("q"),
+            lambda x, qi: F.abs(x - qi * F.col("scale")),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1_norm"),
+        err.alias("max_abs_err"),
+        # exact arithmetic gives err <= scale/2; allow 1 ulp of float
+        # slack so the boolean is a claim about quantization, not about
+        # the last bit of x/scale
+        (err <= F.col("scale") * F.lit(0.5000001)).alias("within_half_step"),
     )
 
 

@@ -580,6 +580,23 @@ def _complete_bytes(path: str, upto: int | None = None, chunk: int = 1 << 16) ->
     return 0
 
 
+def _next_newline(path: str, off: int, chunk: int = 1 << 16) -> int | None:
+    """Byte position just past the first newline at/after ``off`` — the
+    make-progress probe for a single line larger than the batch budget.
+    Returns None if no complete line exists yet."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = off
+        while pos < size:
+            f.seek(pos)
+            data = f.read(min(chunk, size - pos))
+            nl = data.find(b"\n")
+            if nl >= 0:
+                return pos + nl + 1
+            pos += len(data)
+    return None
+
+
 class _SpoolRangePartition(InputPartition):
     """One spool directory's new byte ranges for one micro-batch:
     ``ranges`` = [(file path, start byte, end byte)], newline-aligned."""
@@ -621,7 +638,7 @@ class AMQPScaleOutStreamReader(DataSourceStreamReader):
         # batches instead of one giant one.  Byte- not message-denominated
         # because the driver only ever sees sizes, never message bodies.
         self.max_bytes = int(options.get("maxbytesperbatch", 0)) or None
-        self._last: dict = {}
+        self._last: dict | None = None
 
     def _dir_files(self, d: str) -> list[str]:
         return sorted(
@@ -634,17 +651,33 @@ class AMQPScaleOutStreamReader(DataSourceStreamReader):
         return {d: {} for d in self.spool_dirs}
 
     def latestOffset(self) -> dict:
+        # Restart safety: after a checkpoint recovery the engine may call
+        # latestOffset before any partitions(start, end), so the cap's
+        # byte-counting memory (_last) is empty and a capped count from
+        # byte 0 would return offsets BELOW the checkpointed start —
+        # Spark would then plan (prev_end, our_smaller_end] ranges that
+        # re-deliver consumed data.  First call is therefore uncapped
+        # (offsets are monotone by construction); the cap engages from
+        # the second batch on, once _last holds a real high-water mark.
+        first_call = self._last is None
+        prev = self._last or {}
         out: dict = {}
         for d in self.spool_dirs:
-            prev_d = self._last.get(d, {})
+            prev_d = prev.get(d, {})
             cur: dict = {}
             budget = self.max_bytes
             for p in self._dir_files(d):
                 lo = prev_d.get(p, 0)
-                if budget is None:
+                if budget is None or first_call:
                     hi = _complete_bytes(p)
                 elif budget > 0:
                     hi = _complete_bytes(p, upto=lo + budget)
+                    if hi <= lo and _complete_bytes(p) > lo:
+                        # a single line larger than the whole budget:
+                        # admit that one line anyway — progress beats the
+                        # cap, else this file stalls forever while later
+                        # files overtake it (FIFO violation + data loss)
+                        hi = _next_newline(p, lo) or lo
                     budget -= max(0, hi - lo)
                 else:
                     hi = lo
@@ -654,9 +687,11 @@ class AMQPScaleOutStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        # Restart resync: after a checkpoint recovery the admission cap's
-        # memory (_last) starts empty; floor it at the checkpointed start
-        # so capped latestOffset calls never re-issue consumed ranges.
+        # Secondary restart resync (belt to latestOffset's first-call
+        # braces): floor the cap's memory at every observed start so a
+        # capped latestOffset can never re-issue consumed ranges.
+        if self._last is None:
+            self._last = {}
         for d, files in start.items():
             mine = self._last.setdefault(d, {})
             for p, off in files.items():

@@ -73,10 +73,15 @@ def start_continuous_rollup(
     agg = hourly_rollup_agg(env, watermark=watermark)
 
     def upsert(batch_df: DataFrame, _epoch: int) -> None:
+        # Partition by (hour, address) — the FULL grouping key.  Update
+        # mode emits only changed groups, so the overwritten partition
+        # dirs must correspond exactly to groups: partitioning by hour
+        # alone would rewrite an hour with only its changed addresses and
+        # silently drop the rest.
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(ROLLUP_PARTITION_COL)
+            .partitionBy(ROLLUP_PARTITION_COL, "address")
             .parquet(store_dir)
         )
 

@@ -109,14 +109,23 @@ def test_scaleout_reader_partitions_per_dir(tmp_path):
 
 
 def test_scaleout_admission_cap_bounds_batches(tmp_path):
-    """maxBytesPerBatch: a deep backlog drains as multiple bounded,
-    newline-aligned batches whose union is exactly the backlog."""
-    d0 = _write_dir(tmp_path, "d0", _msgs(20, addr="x"))
-    line_bytes = _complete_bytes(f"{d0}/000.jsonl") // 20
+    """maxBytesPerBatch: a deep backlog arriving on a RUNNING stream
+    drains as multiple bounded, newline-aligned batches whose union is
+    exactly the backlog.  (The first latestOffset after construction is
+    deliberately uncapped — restart safety — so the stream is primed on
+    an empty dir first.)"""
+    d0 = str(tmp_path / "d0")
+    import os
+
+    os.makedirs(d0)
+    probe = _write_dir(tmp_path, "probe", _msgs(20, addr="x"))
+    line_bytes = _complete_bytes(f"{probe}/000.jsonl") // 20
     r = AMQPScaleOutStreamReader(
         {"spooldirs": d0, "maxbytesperbatch": str(line_bytes * 6)}
     )
     offs = [r.initialOffset()]
+    assert r.latestOffset() == {d0: {}}  # primed while empty (uncapped call)
+    _write_dir(tmp_path, "d0", _msgs(20, addr="x"))
     ids: list[str] = []
     batches = 0
     while True:
@@ -129,6 +138,48 @@ def test_scaleout_admission_cap_bounds_batches(tmp_path):
         assert batches < 20, "cap not advancing"
     assert batches == 4  # ceil(20 / 6) with newline alignment
     assert ids == [f"x-{i}" for i in range(20)]
+
+
+def test_scaleout_first_latest_offset_uncapped_after_restart(tmp_path):
+    """A fresh (restarted) reader's first latestOffset must never return
+    offsets below a checkpointed start: it is uncapped, so a capped
+    count-from-zero can't plan ranges that re-deliver consumed data."""
+    d0 = _write_dir(tmp_path, "d0", _msgs(50, addr="x"))
+    path = f"{d0}/000.jsonl"
+    full = _complete_bytes(path)
+    with open(path, "rb") as f:
+        lines = f.read().splitlines(keepends=True)
+    start_48 = sum(len(ln) for ln in lines[:48])  # aligned offset of x-48
+    # simulate restart: brand-new reader, checkpointed start deep in the file
+    r = AMQPScaleOutStreamReader(
+        {"spooldirs": d0, "maxbytesperbatch": str((full // 50) * 5)}
+    )
+    end = r.latestOffset()
+    assert end[d0][path] == full  # not capped below the checkpointed start
+    start = {d0: {path: start_48}}  # checkpoint
+    rows = [row for p in r.partitions(start, end) for row in r.read(p)]
+    assert [row[0] for row in rows] == ["x-48", "x-49"]  # only the tail
+
+
+def test_scaleout_oversized_line_still_progresses(tmp_path):
+    """A single line larger than maxBytesPerBatch must be admitted anyway
+    (progress beats the cap) — otherwise its file stalls forever while
+    later files overtake it."""
+    d0 = str(tmp_path / "d0")
+    import os
+
+    os.makedirs(d0)
+    big = {"message_id": "big", "to_address": "x", "body": "B" * 5000}
+    r = AMQPScaleOutStreamReader({"spooldirs": d0, "maxbytesperbatch": "100"})
+    prev = r.latestOffset()  # primed (empty, uncapped first call)
+    _write_dir(tmp_path, "d0", [big])
+    _write_dir(tmp_path, "d0", _msgs(1, addr="y"), fname="001.jsonl")
+    end1 = r.latestOffset()
+    rows1 = [row for p in r.partitions(prev, end1) for row in r.read(p)]
+    assert [row[0] for row in rows1] == ["big"]  # over-budget line admitted
+    end2 = r.latestOffset()
+    rows2 = [row for p in r.partitions(end1, end2) for row in r.read(p)]
+    assert [row[0] for row in rows2] == ["y-0"]  # FIFO preserved, no loss
 
 
 def test_scaleout_offsets_exclude_torn_write(tmp_path):

@@ -138,16 +138,17 @@ def test_continuous_hourly_rollup_updates_only_changed_partitions(
     run_wave(
         [
             msg(0, "2024-01-01T00:10:00"),
-            msg(1, "2024-01-01T01:10:00", body="7"),
+            msg(1, "2024-01-01T00:15:00", addr="b", body="2"),  # same hour
+            msg(2, "2024-01-01T01:10:00", body="7"),
         ],
         "000.jsonl",
     )
-    h01_files = set(os.listdir(f"{store}/hour=2024010101"))
+    h01_files = set(os.listdir(f"{store}/hour=2024010101/address=a"))
 
     run_wave(
         [
-            msg(2, "2024-01-01T00:20:00", body="5"),  # late: updates hour 00
-            msg(3, "2024-01-01T02:10:00", body="3"),  # new hour 02
+            msg(3, "2024-01-01T00:20:00", body="5"),  # late: updates (00, a)
+            msg(4, "2024-01-01T02:10:00", body="3"),  # new hour 02
         ],
         "001.jsonl",
     )
@@ -159,11 +160,14 @@ def test_continuous_hourly_rollup_updates_only_changed_partitions(
     }
     assert got == {
         ("2024010100", "a"): (2, 15.0),
+        # (00, b) was NOT in wave 2's update output — the overwrite must
+        # not touch its partition (the full grouping key is partitioned)
+        ("2024010100", "b"): (1, 2.0),
         ("2024010101", "a"): (1, 7.0),
         ("2024010102", "a"): (1, 3.0),
     }
-    # untouched hour-01 partition was not rewritten by wave 2
-    assert set(os.listdir(f"{store}/hour=2024010101")) == h01_files
+    # untouched (hour 01, a) partition was not rewritten by wave 2
+    assert set(os.listdir(f"{store}/hour=2024010101/address=a")) == h01_files
 
     # the store equals a batch recomputation over the full message set
     env_all = (
