@@ -314,14 +314,19 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same explode → count shape, one agg shuffle with map-side
     combine; bounded output via top-k."""
     d = _docs(spark, sf_dir)
-    t = tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
+
+    def bigrams_of(t):  # let-bound: element_at must hit a lambda variable,
+        # not re-split the text per position (O(n²) HOF trap)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+
     return (
-        d.where(F.size(t) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        d.where(F.size(tokens()) >= 2)
+        .select(F.explode(let(tokens(), bigrams_of)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
