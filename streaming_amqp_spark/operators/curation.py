@@ -473,6 +473,42 @@ HAVING count(*) > 1
 """
 
 
+SAMPLE_PER_STRATUM = 3
+
+
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-docs-per-(source, lang) sample: rank docs inside
+    each stratum by md5(doc_id) (a reproducible shuffle — no RNG, stable
+    under retries and repartitioning, same convention as every sampler
+    here) and keep the first k.  The balanced-sample primitive for eval
+    set construction.
+
+    Scale: one hash-partitioned window per stratum — state is the k-row
+    heap per group, output is |strata|·k rows."""
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("source", "lang", F.col("rk").alias("rank_in_stratum"), "doc_id")
+    )
+
+
+_TOPK_STRATUM_SQL = f"""
+SELECT source, lang, CAST(rk AS INTEGER) AS rank_in_stratum, doc_id
+FROM (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
 # ------------------------------------------- stratified balance sampling
 def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified downsample: every (source, lang) stratum is reduced
@@ -757,6 +793,7 @@ QUERIES = {
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
     "dedup_chunk_cdc": dedup_chunk_cdc,
+    "sample_topk_per_stratum": sample_topk_per_stratum,
 }
 
 ORACLES = {
@@ -770,4 +807,5 @@ ORACLES = {
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
     "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,
+    "sample_topk_per_stratum": _TOPK_STRATUM_SQL,
 }
