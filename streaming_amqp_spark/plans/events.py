@@ -582,8 +582,58 @@ FROM (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
 """
 
 
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for each
+    user's time-ordered event stream, count (prev_type → type) pairs and
+    each transition's share of its source type's outgoing edges.
+
+    Scale: one shuffle on user_id for the lag window (same key as
+    sessionize/funnel — bucketing events by user_id makes it
+    exchange-free), then a tiny |types|² aggregate.  The share divides
+    two exact counts — deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_src = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_src)
+        ).alias("share_of_source"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type, count(*) AS n_transitions
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / sum(n_transitions) OVER (PARTITION BY prev_type)
+         AS share_of_source
+FROM pairs
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_transition_counts": events_transition_counts,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
     "events_interval_join_binned": events_interval_join_binned,
@@ -599,6 +649,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_transition_counts": _TRANSITION_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,
     "events_interval_join_binned": _INTERVAL_BINNED_SQL,
