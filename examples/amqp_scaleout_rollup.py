@@ -50,7 +50,12 @@ def main() -> None:
                                 "message_id": f"n{node}-m{i}",
                                 "to_address": f"sensor{i % 2}",
                                 "body": str(i % 50),
-                                "ingest_ts": f"2024-01-01T{i % 2:02d}:{i % 60:02d}:00",
+                                # hour from i // 50, address from i % 2 —
+                                # deliberately decorrelated so each hour
+                                # partition holds BOTH addresses (the case
+                                # the rollup's full-key partitioning exists
+                                # for)
+                                "ingest_ts": f"2024-01-01T{i // 50:02d}:{i % 60:02d}:00",
                             }
                         )
                         + "\n"
