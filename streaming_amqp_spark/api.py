@@ -10,8 +10,13 @@ same entry points return DataFrames:
   superset the Scala/Java converter API could produce).
 - :func:`create_json_stream` → streaming single-column ``value: string``
   JSON DataFrame — byte-shape parity with the reference's Python API.
+- :func:`create_union_stream` → N independent sources (one per address)
+  unioned — receiver-per-stream scale-out (AMQPInputDStream.scala:40-59).
+- :func:`create_scaleout_stream` → ONE source partitioned per spool
+  directory, parsed on executors (exactly-once byte-range offsets).
 - :func:`read_batch` → batch envelope DataFrame over currently-available
   messages (no reference analogue; DStreams cannot batch-read).
+- :func:`publish` → AMQP sink (two-phase-commit spool, or live sender).
 
 All three accept the source options of ``sources/amqp.py`` (host, port,
 username, password, address, maxMessagesPerBatch, maxRatePerSecond,
