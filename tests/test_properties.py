@@ -304,3 +304,91 @@ def test_chunking_covers_every_token_once_per_stride(spark, tmp_path):
         assert prev[S:] == cur[: C - S]  # stride overlap agrees
         rebuilt.extend(cur[C - S:])
     assert rebuilt == text.split(" ")
+
+
+def test_quantization_matches_numpy_reimpl(spark, tmp_path):
+    """int8 quantization agrees with an independent numpy reimplementation
+    of the half-up rule, q stays in [-127, 127], and the reconstruction
+    error bound holds — on adversarial vectors (zeros, single spikes,
+    negatives, denormal-ish values)."""
+    import math
+
+    import numpy as np
+
+    from streaming_amqp_spark.operators import similarity
+
+    vecs = [
+        [0.0] * 8,                                # all-zero: scale 0 path
+        [1.0] + [0.0] * 7,                        # single spike
+        [-3.5, 2.25, -1.125, 0.5, 0.0, 7.75, -7.75, 0.001],
+        [1e-7] * 8,                               # tiny magnitudes
+        [127.0, -127.0, 63.5, -63.5, 1.0, -1.0, 0.25, -0.25],
+    ]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(path + "/embeddings.parquet")
+
+    got = {
+        r.vec_id: r
+        for r in similarity.embedding_quantize_int8(spark, path).collect()
+    }
+    for i, v in enumerate(vecs):
+        xd = np.array(v, dtype=np.float32).astype(np.float64)
+        amax = float(np.max(np.abs(xd)))
+        scale = amax / 127.0
+        safe = scale if scale != 0.0 else 1.0
+        q = np.floor(xd / safe + 0.5)
+        r = got[i]
+        assert math.isclose(r.scale, scale, rel_tol=0, abs_tol=0)
+        assert r.q_l1_norm == int(np.sum(np.abs(q)))
+        assert np.all(np.abs(q) <= 127)
+        err = float(np.max(np.abs(xd - q * scale)))
+        assert math.isclose(r.max_abs_err, err, rel_tol=1e-12, abs_tol=1e-300)
+        assert r.within_half_step
+
+
+def test_transition_shares_sum_to_one_and_edges_conserve(spark, sf_dir):
+    """Per-source transition shares sum to 1, and total transition count =
+    total events - number of users (each user's first event has no
+    predecessor) — on the real events table."""
+    from collections import defaultdict
+
+    from streaming_amqp_spark.plans.events import events_transition_counts
+    from streaming_amqp_spark.tables import load_table
+
+    rows = events_transition_counts(spark, sf_dir).collect()
+    by_src = defaultdict(float)
+    total = 0
+    for r in rows:
+        by_src[r.prev_type] += r.share_of_source
+        total += r.n_transitions
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-9, (src, s)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_stratum_sampler_bounded_and_deterministic(spark, sf_dir):
+    """sample_topk_per_stratum returns at most k docs per stratum, every
+    doc belongs to its stratum, and two runs agree row-for-row."""
+    from collections import Counter
+
+    from streaming_amqp_spark.operators.curation import (
+        SAMPLE_PER_STRATUM,
+        sample_topk_per_stratum,
+        _docs,
+    )
+
+    a = sorted(map(tuple, sample_topk_per_stratum(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sample_topk_per_stratum(spark, sf_dir).collect()))
+    assert a == b  # deterministic: no RNG anywhere
+    per = Counter((src, lang) for src, lang, _, _ in a)
+    assert all(n <= SAMPLE_PER_STRATUM for n in per.values())
+    membership = {
+        (r.doc_id, r.source, r.lang) for r in _docs(spark, sf_dir).collect()
+    }
+    assert all((d, s, l) in membership for s, l, _, d in a)
