@@ -62,17 +62,23 @@ HEADLINE = [
 ]
 
 
-# Scaling-slope spot set: the 5 most expensive headline queries (mixed
+# Scaling-slope spot set: the most expensive headline queries (mixed
 # shapes — decimal agg, exact percentile, co-moment agg, LSH dedup
-# pipeline, text projection).  Run at sf0.1 AND a synthesized 10x so
-# BENCH records the slope: sub-linear plans (pushdown, broadcast, partial
-# agg) should grow well under 10x for 10x data.
+# pipeline, text projection, sessionization).  Run at sf0.1 AND a
+# synthesized 10x so BENCH records the slope: sub-linear plans
+# (pushdown, broadcast, partial agg) should grow well under 10x for 10x
+# data.  Caveat for the dedup/curation rows: each sf1 document has 9
+# near-duplicate replicas, so the TRUE near-dup pair count grows ~45x,
+# not 10x — an LSH slope under 10 on that workload is strongly
+# sub-linear in output size.
 SF1_SPOT = [
     "q1_pricing_summary",
     "agg_percentiles",
     "agg_variance_corr",
     "curate_documents",
     "text_repetition_stats",
+    "dedup_minhash_lsh",
+    "events_sessionize_30m",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
@@ -106,6 +112,17 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     )
     docs10.repartition(8).write.mode("overwrite").parquet(
         f"{_SF1_DIR}/documents.parquet"
+    )
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    # distinct users per replica: session/window structure is preserved
+    # (10x the users), not interleaved into artificial mega-sessions
+    ev10 = ev.select("*", rep).select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    )
+    ev10.repartition(8).write.mode("overwrite").parquet(
+        f"{_SF1_DIR}/events.parquet"
     )
     for f in os.listdir(base):
         dst = os.path.join(_SF1_DIR, f)
