@@ -40,6 +40,23 @@ _BASE_CONFS: dict[str, str] = {
 }
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch streaming state to the RocksDB provider (SURVEY §7.4.5's
+    100 TB prescription: watermark-bounded state that spills to local
+    disk instead of living in executor heap).  Takes effect for queries
+    started AFTER the call; the default HDFS-backed store remains right
+    for tiny local tests.  Built into Spark — no extra jars."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+
+
 def get_spark(
     app_name: str = "streaming_amqp_spark",
     master: str | None = None,

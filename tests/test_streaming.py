@@ -97,6 +97,49 @@ def test_envelope_roundtrip_all_body_shapes(amqp, tmp_path):
     assert rows["i"].body == "42"  # total mapping, no MatchError
 
 
+def test_streaming_dedup_on_rocksdb_state_store(amqp, tmp_path):
+    """The scale-grade state store (SURVEY §7.4.5): the same stateful
+    dedup runs correctly with RocksDB state instead of the executor-heap
+    default — state spills to disk, the 100 TB streaming-state path."""
+    from streaming_amqp_spark.session import use_rocksdb_state_store
+
+    prev = amqp.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state_store(amqp)
+    try:
+        msgs = [
+            {
+                "message_id": f"m{i % 4}",  # 10 arrivals, 4 distinct ids
+                "body": str(i),
+                "ingest_ts": "2024-01-01T00:00:01",
+            }
+            for i in range(10)
+        ]
+        spool = _write_spool(tmp_path, msgs)
+        env = (
+            amqp.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", spool)
+            .load()
+        )
+        dd = env.withWatermark(
+            "ingest_ts", "10 seconds"
+        ).dropDuplicatesWithinWatermark(["message_id"])
+        out = _run_stream_to_memory(amqp, dd, "rocksdb_dedup_out")
+        assert sorted(r.message_id for r in out.collect()) == [
+            "m0",
+            "m1",
+            "m2",
+            "m3",
+        ]
+    finally:
+        if prev is None:
+            amqp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            amqp.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
 def test_continuous_hourly_rollup_updates_only_changed_partitions(
     amqp, tmp_path
 ):
