@@ -529,8 +529,40 @@ GROUP BY doc_id
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters exist
+    of each size — the health metric a curation run reports (a sudden
+    spike in large clusters means boilerplate flooded the corpus).
+
+    Composes dedup_clusters; the two extra aggregations are tiny
+    (|clusters| rows, then |distinct sizes| rows)."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .where(F.col("cluster_size") > 1)  # singletons aren't duplicates
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+WITH labels AS ({_CLUSTERS_SQL}),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters
+FROM sizes
+WHERE cluster_size > 1
+GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_exact": dedup_exact,
     "dedup_simhash_hamming1": dedup_simhash_hamming1,
@@ -541,6 +573,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,
     "dedup_minhash_recall": _minhash_recall_oracle(),
     "dedup_exact": _EXACT_SQL,
     "dedup_simhash_hamming1": _simhash_hamming1_oracle(),

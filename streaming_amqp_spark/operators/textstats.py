@@ -418,8 +418,61 @@ FROM scored WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean per-token
+    log-probability under the corpus unigram model (the classic cheap
+    filter — documents far below the corpus-typical logprob are noise,
+    far above are boilerplate).
+
+    Scale: one token explode feeds BOTH the unigram counts and the
+    per-doc scoring join (term-keyed, AQE-broadcastable for bounded
+    vocabularies); the per-doc sum shuffles on doc_id.  round(6) output:
+    cross-engine sum-order ulps (~1e-15 relative) sit far below the
+    rounding unit (the embedding_centroids convention)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens()).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    logp = uni.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "token_logp"
+        ),
+    )
+    return (
+        toks.join(logp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("token_logp") / F.count("*"), 6).alias(
+                "avg_token_logprob"
+            ),
+        )
+    )
+
+
+_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+uni AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+logp AS (
+  SELECT term,
+         ln(CAST(n AS DOUBLE)
+            / CAST((SELECT sum(n) FROM uni) AS DOUBLE)) AS token_logp
+  FROM uni
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(sum(token_logp) / count(*), 6) AS avg_token_logprob
+FROM toks JOIN logp USING (term)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_doc_frequency": text_doc_frequency,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -440,4 +493,5 @@ ORACLES = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
+    "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
 }
