@@ -91,9 +91,16 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     parallelize unlike the single-row-group sf0.1 files."""
     from pyspark.sql import functions as F
 
+    # versioned marker: a cache built by an older bench (fewer synthesized
+    # tables) must NOT short-circuit, or a new spot query would silently
+    # run against a 1x symlink and report a fake ~1.0 slope
+    synth_version = "synthesized: lineitem,documents,events x10"
     done = os.path.join(_SF1_DIR, "_DONE")
-    if os.path.exists(done):
+    if os.path.exists(done) and open(done).read() == synth_version:
         return _SF1_DIR
+    import shutil
+
+    shutil.rmtree(_SF1_DIR, ignore_errors=True)
     os.makedirs(_SF1_DIR, exist_ok=True)
     rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")  # no join
     li = spark.read.parquet(f"{base}/lineitem.parquet")
@@ -129,7 +136,7 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
         if f.endswith(".parquet") and not os.path.exists(dst):
             os.symlink(os.path.join(base, f), dst)
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(synth_version)
     return _SF1_DIR
 
 

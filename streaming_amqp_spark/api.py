@@ -18,9 +18,11 @@ same entry points return DataFrames:
   messages (no reference analogue; DStreams cannot batch-read).
 - :func:`publish` → AMQP sink (two-phase-commit spool, or live sender).
 
-All three accept the source options of ``sources/amqp.py`` (host, port,
-username, password, address, maxMessagesPerBatch, maxRatePerSecond,
-reliable, transport, spooldir).
+The source-side entry points accept the source options of
+``sources/amqp.py`` (host, port, username, password, address,
+maxMessagesPerBatch, maxRatePerSecond, reliable, transport, spooldir;
+spooldirs/maxBytesPerBatch for the scale-out reader); ``publish`` takes
+the sink options (spooldir, or transport="qpid" with broker coordinates).
 """
 
 from __future__ import annotations

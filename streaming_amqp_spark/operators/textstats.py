@@ -424,20 +424,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — documents far below the corpus-typical logprob are noise,
     far above are boilerplate).
 
-    Scale: one token explode feeds BOTH the unigram counts and the
-    per-doc scoring join (term-keyed, AQE-broadcastable for bounded
+    Scale: two passes over the corpus — one explode subtree builds the
+    unigram counts (the total derives from those counts via a
+    vocab-sized global window, not a third corpus scan) and one feeds
+    the per-doc scoring join (term-keyed, AQE-broadcastable for bounded
     vocabularies); the per-doc sum shuffles on doc_id.  round(6) output:
     cross-engine sum-order ulps (~1e-15 relative) sit far below the
     rounding unit (the embedding_centroids convention)."""
+    from pyspark.sql import Window as W
+
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(tokens()).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("n"))
-    total = uni.agg(F.sum("n").alias("total"))
-    logp = uni.crossJoin(F.broadcast(total)).select(
+    uni = toks.groupBy("term").agg(F.count("*").alias("uni_n"))
+    logp = uni.select(
         "term",
-        F.log(F.col("n").cast("double") / F.col("total").cast("double")).alias(
-            "token_logp"
-        ),
+        F.log(
+            F.col("uni_n").cast("double")
+            / F.sum("uni_n").over(W.partitionBy()).cast("double")
+        ).alias("token_logp"),
     )
     return (
         toks.join(logp, "term")

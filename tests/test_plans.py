@@ -218,6 +218,8 @@ _GLOBAL_WINDOW_ALLOWLIST = (
     "row_number() windowspecdefinition(df#",
     # burst-detection day-offset prefix sum: one row per day, not per event
     "sum(nb#",
+    # unigram-logprob corpus total: |vocab| rows, saves a third corpus scan
+    "sum(uni_n#",
 )
 
 
