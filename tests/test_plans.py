@@ -196,6 +196,23 @@ def test_zscore_anomaly_broadcasts_stats(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_corpus_pass_counts_are_pinned(spark, sf_dir):
+    """Multi-stage text operators must not silently grow extra corpus
+    scans: unigram-logprob is two-pass by design (counts + scoring),
+    tf-idf is two explode passes plus one metadata-only count(*) scan,
+    chunk-level dedup is one pass.  An extra scan+explode subtree
+    doubles the dominant cost at 100 TB (caught once by review — pinned
+    so it can't come back)."""
+    for name, max_scans in [
+        ("text_tfidf_topk", 3),  # 2 explode passes + count-only scan
+        ("text_unigram_logprob", 2),
+        ("dedup_chunk_cdc", 1),
+    ]:
+        plan = _QUERIES[name](spark, sf_dir)._jdf.queryExecution()
+        n = plan.executedPlan().toString().count("Scan parquet")
+        assert n <= max_scans, f"{name}: {n} scans (max {max_scans})"
+
+
 def test_stratified_sample_broadcasts_rate_table(spark, sf_dir):
     """The per-stratum rate table is |strata| rows; the corpus must join
     it map-side, never shuffle on the stratum key."""
