@@ -74,6 +74,30 @@ def session_agg(
     )
 
 
+def processing_time_agg(
+    df: DataFrame,
+    aggs: list[Column],
+    window: str = "5 seconds",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Arrival-time twin of :func:`tumbling_agg` — exact semantic parity
+    with the reference's ``reduceByWindow`` (DStreams window records by
+    WHEN THEY ARRIVE, AMQPTemperature.scala:94-99): each record is
+    stamped with its micro-batch's processing time and windowed on that.
+    ``current_timestamp()`` is fixed per micro-batch in Structured
+    Streaming, so every record of a batch lands in that batch's window —
+    exactly the DStream batching model.  No late data can exist by
+    construction (arrival time is never late), hence watermark 0.
+
+    Prefer :func:`tumbling_agg` (event-time + watermark) for new
+    pipelines — this twin exists for reference parity and for sources
+    whose records genuinely carry no usable timestamp (SURVEY §7.4.4:
+    support both, test the difference)."""
+    stamped = df.withColumn("_arrival_ts", F.current_timestamp())
+    keys = [F.window("_arrival_ts", window).alias("w"), *(extra_keys or [])]
+    return _windowed(stamped, keys, aggs, "_arrival_ts", "0 seconds")
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str] | None = None,

@@ -97,6 +97,53 @@ def test_envelope_roundtrip_all_body_shapes(amqp, tmp_path):
     assert rows["i"].body == "42"  # total mapping, no MatchError
 
 
+def test_processing_vs_event_time_windows_differ(amqp, tmp_path):
+    """SURVEY §7.4.4: both window semantics exist and the difference is
+    observable.  Five readings whose EVENT times span 20 s arrive in one
+    micro-batch: event-time windows split them (2+ windows), the
+    processing-time twin puts the whole batch in one window — the
+    reference's reduceByWindow behavior."""
+    from streaming_amqp_spark.envelope import body_as
+    from streaming_amqp_spark.streaming.windows import processing_time_agg
+
+    msgs = [
+        {
+            "message_id": f"m{i}",
+            "body": str(20 + i),
+            "ingest_ts": f"2024-01-01T00:00:{5 * i:02d}",  # 0,5,10,15,20 s
+        }
+        for i in range(5)
+    ]
+    spool = _write_spool(tmp_path, msgs)
+
+    def env():
+        return (
+            amqp.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", str(spool))
+            .load()
+        )
+
+    event = temperature_max_per_window(env(), window="5 seconds")
+    out_event = _run_stream_to_memory(
+        amqp, event, "evt_windows", output_mode="complete"
+    )
+    assert out_event.count() == 5  # one event-time window per reading
+
+    proc = processing_time_agg(
+        body_as(env(), "int", alias="temperature"),
+        [F.max("temperature").alias("max_temperature")],
+        window="5 seconds",
+    )
+    out_proc = _run_stream_to_memory(
+        amqp, proc, "proc_windows", output_mode="complete"
+    )
+    rows = out_proc.collect()
+    # the whole batch shares one arrival stamp -> exactly one window,
+    # whose max is the batch max (the reference's per-batch semantics)
+    assert len(rows) == 1 and rows[0].max_temperature == 24
+
+
 def test_streaming_dedup_on_rocksdb_state_store(amqp, tmp_path):
     """The scale-grade state store (SURVEY §7.4.5): the same stateful
     dedup runs correctly with RocksDB state instead of the executor-heap
