@@ -942,8 +942,58 @@ FROM orders
 """
 
 
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs purchased together in one
+    order, with support counts — top 20 by support (frequent-itemset
+    counting, the classic co-occurrence mining shape).
+
+    Scale: distinct (order, brand) first — the self-join then co-locates
+    on l_orderkey (one shuffle key shared by both sides, bucketing makes
+    it exchange-free) and the brand1 < brand2 predicate halves the pair
+    space.  Pair cardinality is bounded by |brands|² regardless of
+    corpus size; the part dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand1"),
+            F.col("b.p_brand").alias("brand2"),
+        )
+        .agg(F.count("*").alias("n_orders_together"))
+        .orderBy(F.col("n_orders_together").desc(), "brand1", "brand2")
+        .limit(20)
+    )
+
+
+_BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+       count(*) AS n_orders_together
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+ORDER BY n_orders_together DESC, brand1, brand2
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "basket_brand_pairs": basket_brand_pairs,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -976,6 +1026,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "basket_brand_pairs": _BASKET_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
