@@ -59,6 +59,14 @@ HEADLINE = [
     "pack_docs_nextfit",
     "text_encode_tokens",
     "text_repetition_stats",
+    # round-4 operators (not in r1-r3 records; compare vs later rounds)
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "embedding_quantize_int8",
+    "events_zscore_anomaly",
+    "events_transition_counts",
+    "dedup_chunk_cdc",
+    "basket_brand_pairs",
 ]
 
 
