@@ -947,29 +947,32 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, with support counts — top 20 by support (frequent-itemset
     counting, the classic co-occurrence mining shape).
 
-    Scale: distinct (order, brand) first — the self-join then co-locates
-    on l_orderkey (one shuffle key shared by both sides, bucketing makes
-    it exchange-free) and the brand1 < brand2 predicate halves the pair
-    space.  Pair cardinality is bounded by |brands|² regardless of
-    corpus size; the part dimension broadcasts."""
+    Scale: no self-join — one shuffle gathers each order's distinct
+    brand set (collect_set on l_orderkey, small per order), pairs expand
+    map-side from the sorted set (i < j gives brand1 < brand2 for free),
+    and the pair aggregate is the only other shuffle, bounded by
+    |brands|² regardless of corpus size.  The part dimension broadcasts.
+    Two exchanges total vs the textbook self-join's three-plus."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    ob = (
+    per_order = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    a, b = ob.alias("a"), ob.alias("b")
+    bs = F.col("brands")
+    pairs = F.flatten(
+        F.transform(
+            bs,
+            lambda b1, i: F.transform(
+                F.slice(bs, i + 2, F.size(bs)),
+                lambda b2: F.struct(b1.alias("brand1"), b2.alias("brand2")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand1"),
-            F.col("b.p_brand").alias("brand2"),
-        )
+        per_order.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.brand1").alias("brand1"), F.col("p.brand2").alias("brand2"))
         .agg(F.count("*").alias("n_orders_together"))
         .orderBy(F.col("n_orders_together").desc(), "brand1", "brand2")
         .limit(20)
