@@ -51,6 +51,7 @@ _MODULES = (
 # rows (text_bigram_counts, text_doc_frequency, ... — verdicts on record in
 # CORRECTNESS_r03.json).
 _FIRST_50 = (
+    "text_gopher_rules", "corpus_len_histogram", "dedup_cross_source",
     "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
     "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
     "sample_topk_per_stratum", "events_transition_counts",
@@ -68,8 +69,7 @@ _FIRST_50 = (
     "agg_minmax_by", "scalar_conditional_funcs", "agg_variance_corr",
     "agg_approx_stats", "envelope_map_functions",
     "events_window_hourly_by_type", "events_sliding_10m_5m",
-    "events_sessionize_30m", "events_json_props", "events_from_json_typed",
-    "envelope_body_roundtrip",
+    "events_sessionize_30m",
 )
 
 

@@ -560,8 +560,67 @@ GROUP BY cluster_size
 """
 
 
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: near-dup pairs (3-shingle Jaccard
+    ≥ 0.8, same machinery as ``dedup_ngram_jaccard``) rolled up by the
+    unordered source pair — the "how much of source B is already in
+    source A" question every corpus-mixture design starts with.
+
+    Scale: the pair set is sparse (near-dups at 0.8), so the join back to
+    ``documents`` for source labels has a small probe side — AQE broadcasts
+    the post-shuffle pair relation; the rollup output is at most
+    |sources|² rows.  Aggregates are count / max / min — order-independent,
+    so doubles are hash-safe."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = pairs.join(
+        d.select(F.col("doc_id").alias("id1"), F.col("source").alias("src1")),
+        "id1",
+    ).join(
+        d.select(F.col("doc_id").alias("id2"), F.col("source").alias("src2")),
+        "id2",
+    )
+    return labeled.groupBy(
+        F.least("src1", "src2").alias("src_a"),
+        F.greatest("src1", "src2").alias("src_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("id1").alias("example_id1"),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_capped_index_cte()},
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id1, id2,
+         CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+  FROM pairs
+  JOIN csizes s1 ON s1.doc_id = id1
+  JOIN csizes s2 ON s2.doc_id = id2
+  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT least(d1.source, d2.source) AS src_a,
+       greatest(d1.source, d2.source) AS src_b,
+       count(*) AS n_pairs,
+       max(jaccard) AS max_jaccard,
+       min(id1) AS example_id1
+FROM jac
+JOIN documents d1 ON d1.doc_id = id1
+JOIN documents d2 ON d2.doc_id = id2
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_exact": dedup_exact,
@@ -573,6 +632,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_cross_source": _CROSS_SOURCE_SQL,
     "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,
     "dedup_minhash_recall": _minhash_recall_oracle(),
     "dedup_exact": _EXACT_SQL,

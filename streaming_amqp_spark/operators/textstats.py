@@ -474,8 +474,118 @@ GROUP BY doc_id
 """
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter rules (Rae et al. 2021 §A1.1, public):
+    per-document boolean verdicts for token-count bounds, mean-word-length
+    bounds, stopword presence, and a repetition screen, plus the combined
+    pass flag.  Every rule is exact-integer arithmetic (sum of token
+    lengths = chars − (n_tok − 1) separators; TTR ≥ 0.2 as n_uniq·5 ≥
+    n_tok), so the output is bit-deterministic across engines.
+
+    Scale: one pass over the scan, no shuffle — the filter fuses into
+    whatever pipeline consumes it."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        stopword_count(t).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    sum_tok_len = F.col("n_chars") - F.col("n_tok") + 1
+    rules = base.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.col("n_tok").between(5, 1000).alias("rule_len"),
+        (
+            (sum_tok_len >= 2 * F.col("n_tok"))
+            & (sum_tok_len <= 12 * F.col("n_tok"))
+        ).alias("rule_word_len"),
+        (F.col("n_stop") >= 1).alias("rule_stopword"),
+        (F.col("n_uniq") * 5 >= F.col("n_tok")).alias("rule_ttr"),
+    )
+    return rules.withColumn(
+        "passes",
+        F.col("rule_len")
+        & F.col("rule_word_len")
+        & F.col("rule_stopword")
+        & F.col("rule_ttr"),
+    )
+
+
+_SW_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_SW_IN}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+),
+rules AS (
+  SELECT doc_id, lang, n_tok,
+         n_tok BETWEEN 5 AND 1000 AS rule_len,
+         (n_chars - n_tok + 1 >= 2 * n_tok)
+           AND (n_chars - n_tok + 1 <= 12 * n_tok) AS rule_word_len,
+         n_stop >= 1 AS rule_stopword,
+         n_uniq * 5 >= n_tok AS rule_ttr
+  FROM base
+)
+SELECT *, rule_len AND rule_word_len AND rule_stopword AND rule_ttr AS passes
+FROM rules
+"""
+
+
+def corpus_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report: 50-char buckets of ``n_chars``
+    per language, with each bucket's share of its language.  The dataset
+    card / mixture-design view of the corpus.
+
+    Scale: one aggregate keyed on (lang, bucket) — thousands of groups at
+    any corpus size — then a window over the per-lang totals of that tiny
+    result.  Share = double-cast int ÷ window int sum: one IEEE division,
+    no double accumulation."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / F.lit(50)).cast("long")
+    per = d.groupBy("lang", bucket.alias("len_bucket")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = W.partitionBy("lang")
+    return per.select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share_of_lang"
+        ),
+    )
+
+
+_LEN_HIST_SQL = """
+WITH per AS (
+  SELECT lang,
+         CAST(floor(n_chars / 50.0) AS BIGINT) AS len_bucket,
+         count(*) AS n_docs
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang, len_bucket, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_of_lang
+FROM per
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
+    "text_gopher_rules": text_gopher_rules,
+    "corpus_len_histogram": corpus_len_histogram,
     "text_unigram_logprob": text_unigram_logprob,
     "text_doc_frequency": text_doc_frequency,
     "text_token_stats": text_token_stats,
@@ -489,6 +599,8 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_counts": _BIGRAM_SQL,
+    "text_gopher_rules": _GOPHER_SQL,
+    "corpus_len_histogram": _LEN_HIST_SQL,
     "text_doc_frequency": _DOC_FREQ_SQL,
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,
