@@ -52,6 +52,8 @@ _MODULES = (
 # CORRECTNESS_r03.json).
 _FIRST_50 = (
     "text_gopher_rules", "corpus_len_histogram", "dedup_cross_source",
+    "embedding_l2_normalize", "window_first_last", "agg_bit_bool",
+    "layout_zorder_events",
     "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
     "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
     "sample_topk_per_stratum", "events_transition_counts",
@@ -67,9 +69,7 @@ _FIRST_50 = (
     "domain_mixture_weights", "scalar_string_funcs", "scalar_array_funcs",
     "scalar_date_funcs", "window_rank_variants", "unpivot_order_measures",
     "agg_minmax_by", "scalar_conditional_funcs", "agg_variance_corr",
-    "agg_approx_stats", "envelope_map_functions",
-    "events_window_hourly_by_type", "events_sliding_10m_5m",
-    "events_sessionize_30m",
+    "agg_approx_stats",
 )
 
 

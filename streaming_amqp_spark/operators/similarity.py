@@ -452,7 +452,58 @@ GROUP BY e.query_id
 """
 
 
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding (the standard pre-step before cosine =
+    dot-product search), emitted as exploded (vec_id, dim, val_norm) scalar
+    rows — array-typed output columns don't hash portably across engines.
+
+    Determinism: float→double casts are exact; the squared-norm is an
+    ordered left fold (``F.aggregate`` ≡ DuckDB ``list_reduce`` over the
+    0.0-prepended square list), so both engines run the identical IEEE
+    addition sequence; sqrt and the per-element division are single
+    IEEE ops.
+
+    Scale: pure per-row array math fused into the scan — zero shuffle;
+    normalizing 100 TB of embeddings is exactly a read+write."""
+    emb = _emb(spark, sf_dir)
+    staged = emb.withColumn(
+        "xd", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("xd", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    return (
+        staged.where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("xd", lambda x: x / F.col("nrm"))
+            ).alias("dim", "val_norm"),
+        )
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "val_norm")
+    )
+
+
+_L2_NORM_SQL = f"""
+WITH xd AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM xd
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] / nrm AS val_norm
+FROM n, UNNEST(range(1, {DIMS + 1})) AS t(i)
+WHERE nrm > 0
+"""
+
+
 QUERIES = {
+    "embedding_l2_normalize": embedding_l2_normalize,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_centroids": embedding_centroids,
@@ -464,6 +515,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_l2_normalize": _L2_NORM_SQL,
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
     "knn_cosine_topk": _KNN_SQL,

@@ -631,8 +631,60 @@ FROM pairs
 """
 
 
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for the events table: interleave 4
+    bits of user bucket (user_id mod 16) with 4 bits of time-of-day bucket
+    (90-minute slots), then report the per-tile histogram.  Writing 100 TB
+    of events sorted by this key gives parquet row-groups that are tight in
+    BOTH dimensions, so min/max data skipping prunes user-predicates and
+    time-predicates alike — the single-sort answer to "we filter on two
+    uncorrelated columns".  All bit math is exact integer shifts/masks,
+    identical in both engines.
+
+    Scale: the z-value is a scan-fused projection; the histogram is one
+    256-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    xb = F.col("user_id") % 16
+    yb = F.floor((F.hour("ts") * 60 + F.minute("ts")) / F.lit(90)).cast("long")
+    z = None
+    for k in range(4):
+        bits = F.shiftright(xb, k).bitwiseAND(F.lit(1)) * (1 << (2 * k)) + (
+            F.shiftright(yb, k).bitwiseAND(F.lit(1)) * (1 << (2 * k + 1))
+        )
+        z = bits if z is None else z + bits
+    return (
+        ev.select(z.alias("z_tile"), "user_id")
+        .groupBy("z_tile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for k in range(4):
+        terms.append(f"(((user_id % 16) >> {k}) & 1) * {1 << (2 * k)}")
+        terms.append(f"((yb >> {k}) & 1) * {1 << (2 * k + 1)}")
+    zexpr = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor((hour(ts) * 60 + minute(ts)) / 90.0) AS BIGINT) AS yb
+  FROM events
+)
+SELECT {zexpr} AS z_tile,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM b
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "layout_zorder_events": layout_zorder_events,
     "events_transition_counts": events_transition_counts,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
@@ -649,6 +701,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "layout_zorder_events": _zorder_sql(),
     "events_transition_counts": _TRANSITION_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,

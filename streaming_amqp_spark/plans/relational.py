@@ -994,8 +994,77 @@ LIMIT 20
 """
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window variants: first_value over the running frame,
+    last_value / nth_value(2) over the full-partition frame, per customer
+    ordered by (o_orderdate, o_orderkey) — a unique sort key, so every
+    frame row is deterministic.  No arithmetic on the money doubles (pure
+    selection) → hash-safe.
+
+    Scale: single shuffle on o_custkey shared by all three windows (one
+    Window exec, not three)."""
+    o = load_table(spark, sf_dir, "orders")
+    w_run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w_run AS first_price,
+       last_value(o_totalprice) OVER w_full AS last_price,
+       nth_value(o_totalprice, 2) OVER w_full AS second_price
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def agg_bit_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / boolean aggregates per return flag: bit_and/bit_or/bit_xor
+    of the line number, bool_and/bool_or of a quantity predicate, all
+    commutative+associative (order-independent, partial-agg friendly).
+
+    Scale: map-side partial aggregation collapses each partition to one
+    row per group before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_big = F.col("l_quantity") >= 2
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("ln_bit_and"),
+        F.bit_or("l_linenumber").alias("ln_bit_or"),
+        F.bit_xor("l_linenumber").alias("ln_bit_xor"),
+        F.bool_and(qty_big).alias("all_qty_big"),
+        F.bool_or(qty_big).alias("any_qty_big"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_BIT_BOOL_SQL = """
+SELECT l_returnflag,
+       CAST(bit_and(l_linenumber) AS BIGINT) AS ln_bit_and,
+       CAST(bit_or(l_linenumber) AS BIGINT) AS ln_bit_or,
+       CAST(bit_xor(l_linenumber) AS BIGINT) AS ln_bit_xor,
+       bool_and(l_quantity >= 2) AS all_qty_big,
+       bool_or(l_quantity >= 2) AS any_qty_big,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "window_first_last": window_first_last,
+    "agg_bit_bool": agg_bit_bool,
     "basket_brand_pairs": basket_brand_pairs,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -1029,6 +1098,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
+    "window_first_last": _FIRST_LAST_SQL,
+    "agg_bit_bool": _BIT_BOOL_SQL,
     "basket_brand_pairs": _BASKET_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
