@@ -53,7 +53,8 @@ _MODULES = (
 _FIRST_50 = (
     "text_gopher_rules", "corpus_len_histogram", "dedup_cross_source",
     "embedding_l2_normalize", "window_first_last", "agg_bit_bool",
-    "layout_zorder_events",
+    "layout_zorder_events", "text_boilerplate_prefixes",
+    "mixture_token_budget", "events_top_paths",
     "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
     "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
     "sample_topk_per_stratum", "events_transition_counts",
@@ -67,7 +68,6 @@ _FIRST_50 = (
     "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
     "contamination_check", "text_repetition_stats", "pack_docs_nextfit",
     "domain_mixture_weights", "scalar_string_funcs", "scalar_array_funcs",
-    "scalar_date_funcs", "window_rank_variants", "unpivot_order_measures",
     "agg_minmax_by", "scalar_conditional_funcs", "agg_variance_corr",
     "agg_approx_stats",
 )

@@ -782,8 +782,128 @@ FROM ex LEFT JOIN vocab v ON ex.term = v.term
 """
 
 
+def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: documents sharing an identical 8-token
+    prefix (headers, licence banners, scraper chrome).  Groups with ≥2
+    members are removal candidates for a prefix-strip pass.
+
+    Scale: the group key is the 16-byte md5 of the prefix, not the prefix
+    text — the shuffle moves hashes; group count is bounded by distinct
+    boilerplate, not corpus size."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    prefix = F.concat_ws(" ", F.slice(t, 1, 8))
+    return (
+        d.where(F.size(t) >= 8)
+        .groupBy(F.md5(prefix).alias("prefix_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH p AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+)
+SELECT prefix_hash,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS example_doc
+FROM p
+GROUP BY prefix_hash
+HAVING count(*) >= 2
+"""
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by the largest-remainder
+    method: each source gets floor(budget · src_tokens / total) tokens,
+    and the leftover (budget − Σ floors) goes one token... unit at a time
+    to the sources with the largest remainders.  Entirely integer
+    arithmetic — exact at any scale, no double shares to drift.
+
+    Scale: one corpus aggregate to |sources| rows; the windows that rank
+    remainders and sum floors run over that tiny relation (allowlisted
+    global windows — input is per-source, never per-doc)."""
+    d = _docs(spark, sf_dir)
+    per_src = (
+        d.select("source", F.size(tokens()).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("src_tokens"))
+    )
+    w_all = W.partitionBy()
+    staged = (
+        per_src.withColumn("total", F.sum("src_tokens").over(w_all))
+        .withColumn("num", F.lit(TOKEN_BUDGET) * F.col("src_tokens"))
+        # `div` = exact integral division (no double round-trip: 2^53-safe)
+        .select(
+            "source",
+            "src_tokens",
+            F.expr("num div total").alias("bud_base"),
+            (F.col("num") % F.col("total")).alias("bud_rem"),
+        )
+    )
+    w_rank = W.orderBy(F.col("bud_rem").desc(), "source")
+    ranked = staged.select(
+        "source",
+        "src_tokens",
+        "bud_base",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (F.lit(TOKEN_BUDGET) - F.sum("bud_base").over(w_all)).alias("n_extra"),
+    )
+    return ranked.select(
+        "source",
+        "src_tokens",
+        "bud_base",
+        (F.col("rem_rank") <= F.col("n_extra")).alias("gets_extra"),
+        (
+            F.col("bud_base")
+            + F.when(F.col("rem_rank") <= F.col("n_extra"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+    )
+
+
+_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+staged AS (
+  SELECT source, src_tokens,
+         ({TOKEN_BUDGET} * src_tokens)
+           // CAST(sum(src_tokens) OVER () AS BIGINT) AS bud_base,
+         ({TOKEN_BUDGET} * src_tokens)
+           % CAST(sum(src_tokens) OVER () AS BIGINT) AS bud_rem
+  FROM per_src
+),
+ranked AS (
+  SELECT source, src_tokens, bud_base,
+         row_number() OVER (ORDER BY bud_rem DESC, source) AS rem_rank,
+         {TOKEN_BUDGET} - CAST(sum(bud_base) OVER () AS BIGINT) AS n_extra
+  FROM staged
+)
+SELECT source, src_tokens, bud_base,
+       rem_rank <= n_extra AS gets_extra,
+       bud_base + (CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END)
+         AS alloc_tokens
+FROM ranked
+"""
+
+
 QUERIES = {
     "pii_mask_events": pii_mask_events,
+    "text_boilerplate_prefixes": text_boilerplate_prefixes,
+    "mixture_token_budget": mixture_token_budget,
     "text_encode_tokens": text_encode_tokens,
     "text_chunk_sliding": text_chunk_sliding,
     "contamination_check": contamination_check,
@@ -798,6 +918,8 @@ QUERIES = {
 
 ORACLES = {
     "pii_mask_events": _PII_SQL,
+    "text_boilerplate_prefixes": _BOILERPLATE_SQL,
+    "mixture_token_budget": _BUDGET_SQL,
     "text_encode_tokens": _ENCODE_SQL,
     "text_chunk_sliding": _CHUNK_SQL,
     "contamination_check": _CONTAM_SQL,

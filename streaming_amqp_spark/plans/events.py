@@ -682,9 +682,55 @@ GROUP BY 1
 """
 
 
+TOP_PATHS_K = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining lite: the K most frequent 3-step
+    event-type paths across user sessions (ordered by ts, event_id — a
+    unique key, so the sequence is deterministic).  ``lead×2`` over the
+    per-user window, then one count aggregate; top-K via sort+limit
+    (TakeOrderedAndProject — per-partition heaps, no global window).
+
+    Scale: the window shuffles once on user_id; path cardinality is
+    |event_types|³, so the aggregate output is tiny whatever the event
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        p.groupBy(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(TOP_PATHS_K)
+    )
+
+
+_TOP_PATHS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path
+LIMIT {TOP_PATHS_K}
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "layout_zorder_events": layout_zorder_events,
+    "events_top_paths": events_top_paths,
     "events_transition_counts": events_transition_counts,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
@@ -702,6 +748,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "layout_zorder_events": _zorder_sql(),
+    "events_top_paths": _TOP_PATHS_SQL,
     "events_transition_counts": _TRANSITION_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,

@@ -237,6 +237,11 @@ _GLOBAL_WINDOW_ALLOWLIST = (
     "sum(nb#",
     # unigram-logprob corpus total: |vocab| rows, saves a third corpus scan
     "sum(uni_n#",
+    # mixture_token_budget: windows over the per-source aggregate
+    # (|sources| rows at any corpus scale, never per-doc)
+    "sum(src_tokens#",
+    "sum(bud_base#",
+    "windowspecdefinition(bud_rem#",
 )
 
 
