@@ -67,6 +67,12 @@ HEADLINE = [
     "events_transition_counts",
     "dedup_chunk_cdc",
     "basket_brand_pairs",
+    "text_gopher_rules",
+    "dedup_cross_source",
+    "embedding_l2_normalize",
+    "layout_zorder_events",
+    "events_top_paths",
+    "mixture_token_budget",
 ]
 
 

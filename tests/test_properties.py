@@ -392,3 +392,59 @@ def test_stratum_sampler_bounded_and_deterministic(spark, sf_dir):
         (r.doc_id, r.source, r.lang) for r in _docs(spark, sf_dir).collect()
     }
     assert all((d, s, l) in membership for s, l, _, d in a)
+
+
+def test_token_budget_allocation_invariants(spark, sf_dir):
+    """Largest-remainder allocation: allocations sum exactly to the
+    budget, every source is within 1 unit of its exact proportional
+    share, and a zero-remainder tie never over-allocates."""
+    from streaming_amqp_spark.operators.curation import (
+        TOKEN_BUDGET,
+        mixture_token_budget,
+    )
+
+    rows = mixture_token_budget(spark, sf_dir).collect()
+    assert sum(r.alloc_tokens for r in rows) == TOKEN_BUDGET
+    total = sum(r.src_tokens for r in rows)
+    for r in rows:
+        exact = TOKEN_BUDGET * r.src_tokens / total
+        assert exact - 1 < r.alloc_tokens < exact + 1
+
+
+def test_zorder_tile_is_bijective_and_bounded(spark, sf_dir):
+    """The Morton key hits only [0, 256) and decodes back to the exact
+    (user-bucket, time-bucket) pair — interleave loses no bits."""
+    from streaming_amqp_spark.plans.events import layout_zorder_events
+
+    tiles = [r.z_tile for r in layout_zorder_events(spark, sf_dir).collect()]
+    assert all(0 <= z < 256 for z in tiles)
+
+    def decode(z):
+        x = y = 0
+        for k in range(4):
+            x |= ((z >> (2 * k)) & 1) << k
+            y |= ((z >> (2 * k + 1)) & 1) << k
+        return x, y
+
+    def encode(x, y):
+        z = 0
+        for k in range(4):
+            z |= ((x >> k) & 1) << (2 * k)
+            z |= ((y >> k) & 1) << (2 * k + 1)
+        return z
+
+    for x in range(16):
+        for y in range(16):
+            assert decode(encode(x, y)) == (x, y)
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir):
+    """Every normalized vector has squared norm 1 within float ulps."""
+    from streaming_amqp_spark.operators.similarity import embedding_l2_normalize
+
+    rows = embedding_l2_normalize(spark, sf_dir).collect()
+    by_vec: dict[int, float] = {}
+    for r in rows:
+        by_vec[r.vec_id] = by_vec.get(r.vec_id, 0.0) + r.val_norm * r.val_norm
+    assert by_vec, "no vectors normalized"
+    assert all(abs(s - 1.0) < 1e-9 for s in by_vec.values())
