@@ -727,10 +727,98 @@ LIMIT {TOP_PATHS_K}
 """
 
 
+RESAMPLE_STEP_S = 900  # 15-minute grid
+
+
+def events_resample_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: regularize each event_type's irregular
+    stream onto a 15-minute grid — last observation per slot, gap slots
+    materialized, forward-filled from the most recent observation (the
+    classic downsample+ffill of every metrics/timeseries store).
+
+    Determinism: "last in slot" is row_number over (ts DESC, event_id
+    DESC) — unique key; forward-fill is last-non-null over the running
+    frame, identical in both engines.  ``value`` is selected, never
+    summed — doubles stay hash-safe.
+
+    Scale: per-slot reduction shuffles on (event_type, slot) and shrinks
+    events to |types|×|slots| rows; the grid and the ffill window operate
+    on that reduced relation (slots grow with time span, not event
+    volume — a year is 35k slots)."""
+    ev = load_table(spark, sf_dir, "events")
+    slot_s = (
+        (F.unix_timestamp("ts") / RESAMPLE_STEP_S).cast("long")
+        * RESAMPLE_STEP_S
+    )
+    w_slot = W.partitionBy("event_type", "slot_s").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_per = (
+        ev.select("event_type", slot_s.alias("slot_s"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_slot))
+        .where(F.col("rn") == 1)
+        .select("event_type", "slot_s", F.col("value").alias("last_in_slot"))
+    )
+    bounds = ev.select(slot_s.alias("s")).agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.lit(RESAMPLE_STEP_S))
+        ).alias("slot_s"),
+    )
+    w_fill = W.partitionBy("event_type").orderBy("slot_s")
+    joined = grid.join(last_per, ["event_type", "slot_s"], "left")
+    return joined.select(
+        "event_type",
+        F.timestamp_seconds("slot_s").alias("slot"),
+        F.last("last_in_slot", ignorenulls=True).over(w_fill).alias(
+            "filled_value"
+        ),
+        F.col("last_in_slot").isNull().alias("is_gap"),
+    )
+
+
+_RESAMPLE_SQL = f"""
+WITH slotted AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {RESAMPLE_STEP_S})
+           * {RESAMPLE_STEP_S} AS slot_s,
+         ts, event_id, value
+  FROM events
+),
+last_per AS (
+  SELECT event_type, slot_s, value AS last_in_slot
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, slot_s ORDER BY ts DESC, event_id DESC) AS rn
+    FROM slotted
+  ) WHERE rn = 1
+),
+bounds AS (SELECT min(slot_s) AS lo, max(slot_s) AS hi FROM slotted),
+grid AS (
+  SELECT t.event_type, g.slot_s
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(lo, hi + {RESAMPLE_STEP_S}, {RESAMPLE_STEP_S}))
+          AS slot_s FROM bounds) g
+)
+SELECT grid.event_type,
+       make_timestamp(grid.slot_s * 1000000) AS slot,
+       last_value(last_in_slot IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.slot_s) AS filled_value,
+       last_in_slot IS NULL AS is_gap
+FROM grid LEFT JOIN last_per
+  ON last_per.event_type = grid.event_type AND last_per.slot_s = grid.slot_s
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "layout_zorder_events": layout_zorder_events,
     "events_top_paths": events_top_paths,
+    "events_resample_15m": events_resample_15m,
     "events_transition_counts": events_transition_counts,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
@@ -749,6 +837,7 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "layout_zorder_events": _zorder_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
+    "events_resample_15m": _RESAMPLE_SQL,
     "events_transition_counts": _TRANSITION_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,

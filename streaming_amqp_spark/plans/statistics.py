@@ -224,8 +224,62 @@ FROM stats s LEFT JOIN flagged f ON f.event_type = s.event_type
 """
 
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderdate",
+    "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report for the orders table: per column — row count,
+    null count, exact distinct count, min and max (stringified AFTER the
+    typed min/max, so numeric order is preserved).  Doubles are excluded:
+    their string rendering is engine-specific; everything profiled here
+    (ints, dates, strings) stringifies identically in both engines.
+
+    Scale: ONE scan — all per-column metrics are computed in a single
+    aggregate (Catalyst expands the multi-distinct into one pass over the
+    data), then ``stack`` unpivots the 1-row result into the per-column
+    report.  Profiling 100 TB costs exactly one read, not one per column."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "sample_deterministic": sample_deterministic,
+    "profile_table": profile_table,
     "split_train_val_test": split_train_val_test,
     "agg_percentiles": agg_percentiles,
     "hist_order_totalprice": hist_order_totalprice,
@@ -234,6 +288,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_deterministic": _SAMPLE_SQL,
+    "profile_table": _PROFILE_SQL,
     "split_train_val_test": _SPLIT_SQL,
     "agg_percentiles": _PCTL_SQL,
     "hist_order_totalprice": _HIST_SQL,
