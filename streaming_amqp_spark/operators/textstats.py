@@ -482,9 +482,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths = chars − (n_tok − 1) separators; TTR ≥ 0.2 as n_uniq·5 ≥
     n_tok), so the output is bit-deterministic across engines.
 
-    Scale: one pass over the scan, no shuffle — the filter fuses into
-    whatever pipeline consumes it."""
-    d = _docs(spark, sf_dir)
+    Scale: one pass over the scan, no shuffle (plan-asserted) — the
+    filter fuses into whatever pipeline consumes it."""
+    d = load_table(spark, sf_dir, "documents")
     t = tokens()
     base = d.select(
         "doc_id",

@@ -313,3 +313,25 @@ def test_examples_collect_only_driver_small_results():
             elif ".collect()" in line and "driver-small" not in line:
                 offenders.append(f"{py.name}:{i}: unmarked .collect()")
     assert not offenders, offenders
+
+
+def test_scan_fused_round4b_operators_have_no_exchange(spark, sf_dir):
+    """The zero-shuffle claims of the new per-row operators, pinned:
+    gopher rules and L2-normalize must stay pure scan+project."""
+    for name in ("text_gopher_rules", "embedding_l2_normalize"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:800]}"
+
+
+def test_profile_table_is_single_scan(spark, sf_dir):
+    """profile_table's one-pass claim: exactly one parquet scan feeds all
+    per-column metrics (a per-column-scan regression shows up as 5)."""
+    # formatted explain prints every scan node twice (tree + detail)
+    plan = _plan(spark, sf_dir, "profile_table")
+    assert plan.count("Scan parquet") == 2, plan[:800]
+
+
+def test_top_paths_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
