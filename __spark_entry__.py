@@ -55,7 +55,7 @@ _FIRST_50 = (
     "embedding_l2_normalize", "window_first_last", "agg_bit_bool",
     "layout_zorder_events", "text_boilerplate_prefixes",
     "mixture_token_budget", "events_top_paths", "profile_table",
-    "events_resample_15m",
+    "events_resample_15m", "text_token_entropy", "rfm_segmentation",
     "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
     "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
     "sample_topk_per_stratum", "events_transition_counts",
@@ -69,7 +69,7 @@ _FIRST_50 = (
     "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
     "contamination_check", "text_repetition_stats", "pack_docs_nextfit",
     "domain_mixture_weights",
-    "agg_minmax_by", "scalar_conditional_funcs", "agg_variance_corr",
+    "agg_variance_corr",
     "agg_approx_stats",
 )
 

@@ -582,10 +582,59 @@ FROM per
 """
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy (nats) — the information-density quality
+    signal: low entropy ⇒ repetitive/templated text.  p·ln p summed per
+    document, rounded(6): the per-term products are bit-identical in both
+    engines; only the final sum's partition order can differ, and its ulp
+    drift (~1e-14 on ≤1k-term docs) sits far below the rounding unit
+    (same argument as text_unigram_logprob).
+
+    Scale: explode → one (doc, term) count shuffle → per-doc reduce; the
+    per-doc total rides a doc_id-partitioned window on the already-reduced
+    term counts — no second corpus scan."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n
+    return (
+        counts.select("doc_id", n.alias("n_tok"), (p * F.log(p)).alias("plogp"))
+        .groupBy("doc_id", "n_tok")
+        .agg(F.round(-F.sum("plogp"), 6).alias("entropy_nats"))
+    )
+
+
+_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT doc_id, t AS term, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+staged AS (
+  SELECT doc_id,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok,
+         (CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT))
+           * ln(CAST(c AS DOUBLE)
+                / CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)) AS plogp
+  FROM counts
+)
+SELECT doc_id, n_tok, round(-sum(plogp), 6) AS entropy_nats
+FROM staged
+GROUP BY doc_id, n_tok
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
     "text_gopher_rules": text_gopher_rules,
     "corpus_len_histogram": corpus_len_histogram,
+    "text_token_entropy": text_token_entropy,
     "text_unigram_logprob": text_unigram_logprob,
     "text_doc_frequency": text_doc_frequency,
     "text_token_stats": text_token_stats,
@@ -601,6 +650,7 @@ ORACLES = {
     "text_bigram_counts": _BIGRAM_SQL,
     "text_gopher_rules": _GOPHER_SQL,
     "corpus_len_histogram": _LEN_HIST_SQL,
+    "text_token_entropy": _ENTROPY_SQL,
     "text_doc_frequency": _DOC_FREQ_SQL,
     "text_winnowing_fingerprints": _WINNOW_SQL,
     "text_token_stats": _TOKEN_STATS_SQL,

@@ -1061,10 +1061,133 @@ GROUP BY l_returnflag
 """
 
 
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation, designed for scale: instead of a global
+    ntile() (one partition holding every customer — the classic
+    scale-killer), the quintile boundaries are computed as ONE row of
+    exact percentiles (bit-identical to quantile_cont in both engines)
+    and broadcast back; each customer's R/F/M score is then a scan-side
+    comparison against the five thresholds.
+
+    Monetary is the exact-DECIMAL order-total sum (double drift would
+    move boundary customers between segments).  Output: per-customer
+    scores 1-5 plus a coarse segment label."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "n_orders",
+        "monetary",
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    th = per_cust.agg(
+        *[
+            F.percentile("recency_days", F.lit(q)).alias(f"r{i}")
+            for i, q in enumerate(qs, 1)
+        ],
+        *[
+            F.percentile("n_orders", F.lit(q)).alias(f"f{i}")
+            for i, q in enumerate(qs, 1)
+        ],
+        *[
+            F.percentile("monetary", F.lit(q)).alias(f"m{i}")
+            for i, q in enumerate(qs, 1)
+        ],
+    )
+
+    def score_up(v: str, pre: str) -> F.Column:
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(v) >= F.col(f"{pre}{i}")).cast("int") for i in range(1, 5)
+            )
+        )
+
+    def score_down(v: str, pre: str) -> F.Column:
+        # lower is better (recency): count boundaries the value sits below
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(v) < F.col(f"{pre}{i}")).cast("int") for i in range(1, 5)
+            )
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        score_down("recency_days", "r").alias("r_score"),
+        score_up("n_orders", "f").alias("f_score"),
+        score_up("monetary", "m").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("champion")
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk")
+        )
+        .when(F.col("f_score") <= 2, F.lit("occasional"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg)
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+base AS (
+  SELECT o_custkey,
+         datediff('day', last_order, ref_date) AS recency_days,
+         n_orders, monetary
+  FROM per_cust, ref
+),
+th AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r1, quantile_cont(recency_days, 0.4) AS r2,
+         quantile_cont(recency_days, 0.6) AS r3, quantile_cont(recency_days, 0.8) AS r4,
+         quantile_cont(n_orders, 0.2) AS f1, quantile_cont(n_orders, 0.4) AS f2,
+         quantile_cont(n_orders, 0.6) AS f3, quantile_cont(n_orders, 0.8) AS f4,
+         quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+         quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+  FROM base
+),
+scored AS (
+  SELECT o_custkey, recency_days, n_orders, monetary,
+         1 + CAST(recency_days < r1 AS INT) + CAST(recency_days < r2 AS INT)
+           + CAST(recency_days < r3 AS INT) + CAST(recency_days < r4 AS INT) AS r_score,
+         1 + CAST(n_orders >= f1 AS INT) + CAST(n_orders >= f2 AS INT)
+           + CAST(n_orders >= f3 AS INT) + CAST(n_orders >= f4 AS INT) AS f_score,
+         1 + CAST(monetary >= m1 AS INT) + CAST(monetary >= m2 AS INT)
+           + CAST(monetary >= m3 AS INT) + CAST(monetary >= m4 AS INT) AS m_score
+  FROM base, th
+)
+SELECT *,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN f_score <= 2 THEN 'occasional'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "window_first_last": window_first_last,
     "agg_bit_bool": agg_bit_bool,
+    "rfm_segmentation": rfm_segmentation,
     "basket_brand_pairs": basket_brand_pairs,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -1100,6 +1223,7 @@ ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "window_first_last": _FIRST_LAST_SQL,
     "agg_bit_bool": _BIT_BOOL_SQL,
+    "rfm_segmentation": _RFM_SQL,
     "basket_brand_pairs": _BASKET_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
