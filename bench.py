@@ -73,6 +73,10 @@ HEADLINE = [
     "layout_zorder_events",
     "events_top_paths",
     "mixture_token_budget",
+    "text_token_entropy",
+    "rfm_segmentation",
+    "events_resample_15m",
+    "profile_table",
 ]
 
 
