@@ -164,11 +164,7 @@ def _sf1_spot(spark, queries, sf01_timings: dict[str, float]) -> dict:
     for name in SF1_SPOT:
         df = queries[name](spark, sf1)
         df.write.format("noop").mode("overwrite").save()  # warm-up
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = _timed_min(df)
         t01 = sf01_timings.get(name)
         out[name] = {
             "sf01": t01,
@@ -291,6 +287,27 @@ def _scaleout_msgs_per_sec(
     return round(sum(c for _, c in wave2[1:]) / dt, 1)
 
 
+def _timed_min(df, base_iters: int = 2, max_iters: int = 4) -> float:
+    """Min over timed noop-sink executions of an already-warmed plan.
+
+    The container shares a host: A/B probes of the SAME commit have shown
+    0.8 s vs 5.2 s for one plan minutes apart.  min-of-2 tames spikes that
+    hit one iteration, but a contention window spanning both still records
+    a phantom regression.  So: if the two timed runs disagree by >1.4x
+    (plan execution is deterministic — that spread is host noise, not the
+    query), take up to two extra runs and keep the min."""
+    times: list[float] = []
+    for _ in range(max_iters):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= base_iters:
+            lo, hi = min(times), max(times[-base_iters:])
+            if hi <= 1.4 * lo:
+                break
+    return min(times)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -309,12 +326,7 @@ def main() -> None:
         try:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm-up
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            timings[name] = round(_timed_min(df), 4)
         except Exception as e:  # isolate: one broken query ≠ no BENCH record
             failed[name] = str(e)[:200]
 
