@@ -60,8 +60,8 @@ _FIRST_50 = (
     "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
     "sample_topk_per_stratum", "events_transition_counts",
     "dedup_cluster_sizes", "text_unigram_logprob", "basket_brand_pairs",
-    "dedup_simhash_hamming1",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_buckets",
+    "dedup_containment",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
     "ann_ivf_recall", "knn_cosine_topk", "embedding_centroids",
     "ann_lsh_buckets", "ann_lsh_candidate_pairs", "ann_ivf_topk",
     "dedup_embedding_cosine", "multimodal_meta", "multimodal_decode_features",

@@ -120,6 +120,30 @@ def dedup_ngram_jaccard(
     shingle, and df=1 shingles (most of the index) never enter the pair
     stage at all.  The posting table is cached because both the sizes
     and pairs branches consume it."""
+    stats = _posting_pair_stats(spark, sf_dir, max_shingle_freq, sh, id_cap)
+    jac = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    return (
+        stats.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id1", "id2", "inter", "jaccard")
+    )
+
+
+def _posting_pair_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+    sh: DataFrame | None = None,
+    id_cap: int | None = None,
+) -> DataFrame:
+    """Shared pair machinery behind Jaccard and containment dedup:
+    (id1, id2, inter, n1, n2) for every doc pair sharing ≥1 surviving
+    shingle.  One shuffle builds the posting lists (cached — both the
+    sizes and pairs branches consume it, and every similarity measure
+    over the same index reuses it); the pair expansion is bounded at
+    max_shingle_freq² rows per shingle."""
     if sh is None:
         sh = _doc_shingles(spark, sf_dir)
     if id_cap is not None:
@@ -153,15 +177,31 @@ def dedup_ngram_jaccard(
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return pairs.join(s1, "id1").join(s2, "id2")
+
+
+# Near-superset detection threshold: containment |A∩B| / min(|A|,|B|)
+# catches a short doc embedded in a long one (wire copy inside an article),
+# which symmetric Jaccard misses — inter/union stays small when |B| ≫ |A|.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.9
+    over the same 3-shingle posting-list index as ``dedup_ngram_jaccard``
+    (the cached posting table is shared — adding this measure to a
+    pipeline that already runs Jaccard costs only the final projection).
+    Emits the symmetric Jaccard alongside so downstream policy can
+    distinguish true near-dups from subset dups."""
+    stats = _posting_pair_stats(spark, sf_dir)
+    containment = F.col("inter").cast("double") / F.least("n1", "n2")
     jac = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     )
     return (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id1", "id2", "inter", "jaccard")
+        stats.withColumn("containment", containment)
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("id1", "id2", "inter", "containment", jac.alias("jaccard"))
     )
 
 
@@ -205,6 +245,23 @@ WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {JACCARD_THRESHOLD}
 
 
 _JACCARD_SQL = _jaccard_sql()
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_capped_index_cte()},
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, inter,
+       CAST(inter AS DOUBLE) / least(s1.n, s2.n) AS containment,
+       CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+FROM pairs
+JOIN csizes s1 ON s1.doc_id = id1
+JOIN csizes s2 ON s2.doc_id = id2
+WHERE CAST(inter AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 def dedup_minhash_lsh(
@@ -560,6 +617,67 @@ GROUP BY cluster_size
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for each near-dup cluster keep the
+    highest-quality member (quality score from
+    ``textstats.text_quality_score``; ties broken by lowest doc_id so the
+    choice is deterministic) — the keep/drop decision a curation pipeline
+    actually applies after clustering, rather than blind min-id.
+
+    Scale: cluster labels are only the docs that appear in a near-dup
+    pair (sparse); the quality join probes the corpus scan against that
+    small relation (AQE broadcasts it), and the ranking window partitions
+    by cluster_id — per-cluster state, never a global sort."""
+    from pyspark.sql import Window
+
+    from streaming_amqp_spark.operators.textstats import text_quality_score
+
+    labels = dedup_clusters(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    ranked = labels.join(quality, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    per_cluster = ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("quality_score"))).alias(
+            "kept_quality"
+        ),
+    )
+    return per_cluster.withColumn(
+        "n_dropped", F.col("n_members") - F.lit(1)
+    )
+
+
+def _keep_best_oracle() -> str:
+    from streaming_amqp_spark.operators.textstats import _QUALITY_SQL
+
+    return f"""
+WITH labels AS ({_CLUSTERS_SQL}),
+quality AS ({_QUALITY_SQL}),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, l.doc_id) AS rk
+  FROM labels l JOIN quality q ON q.doc_id = l.doc_id
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+       min(CASE WHEN rk = 1 THEN quality_score END) AS kept_quality,
+       count(*) - 1 AS n_dropped
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication report: near-dup pairs (3-shingle Jaccard
     ≥ 0.8, same machinery as ``dedup_ngram_jaccard``) rolled up by the
@@ -620,6 +738,8 @@ GROUP BY 1, 2
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_containment": dedup_containment,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_cross_source": dedup_cross_source,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_minhash_recall": dedup_minhash_recall,
@@ -632,6 +752,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": _CLUSTERS_SQL,
+    "dedup_containment": _CONTAINMENT_SQL,
+    "dedup_keep_best": _keep_best_oracle(),
     "dedup_cross_source": _CROSS_SOURCE_SQL,
     "dedup_cluster_sizes": _CLUSTER_SIZES_SQL,
     "dedup_minhash_recall": _minhash_recall_oracle(),
