@@ -62,7 +62,7 @@ _FIRST_50 = (
     "dedup_cluster_sizes", "text_unigram_logprob", "basket_brand_pairs",
     "dedup_containment",
     "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
-    "ann_ivf_recall", "knn_cosine_topk", "embedding_centroids",
+    "contamination_fuzzy", "knn_cosine_topk", "embedding_centroids",
     "ann_lsh_buckets", "ann_lsh_candidate_pairs", "ann_ivf_topk",
     "dedup_embedding_cosine", "multimodal_meta", "multimodal_decode_features",
     "multimodal_resize", "multimodal_frame_sample", "curate_documents",

@@ -152,6 +152,136 @@ FROM pair GROUP BY eval_doc
 """
 
 
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark-contamination: MinHash-LSH candidate pairs between
+    the held-out EVAL_SOURCE slice and the training corpus, exactly
+    verified at 3-shingle Jaccard ≥ 0.8 — catches reworded/near-copy
+    contamination that the exact 5-gram overlap check
+    (``contamination_check``) under-reports, at LSH cost instead of an
+    all-pairs scan.  Banding recall at j=0.8 is ≥ ~97% (1-(1-s⁴)⁴).
+
+    Scale: the eval side (benchmarks ≪ corpus) band table is broadcast;
+    training band rows stream map-side through the hash join, so the only
+    shuffles are the signature aggregation and the final per-eval-doc
+    rollup.  The shingle index is the same cached relation the dedup
+    family uses."""
+    from streaming_amqp_spark.functions.text import (
+        lsh_bands,
+        minhash_signature,
+    )
+    from streaming_amqp_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _shared_shingles,
+    )
+
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    sh = _shared_shingles(spark, sf_dir).join(src, "doc_id")
+    sig = sh.select(
+        "doc_id", "source", *minhash_signature(F.col("shingles"), 16)
+    )
+    band_rows = sig.select("doc_id", "source", *lsh_bands(16, 4)).selectExpr(
+        "doc_id",
+        "source",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+        " AS (band_idx, band_hash)",
+    )
+    ev = band_rows.where(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
+    )
+    tr = band_rows.where(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc"), "band_idx", "band_hash"
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band_idx", "band_hash"])
+        .select("eval_doc", "train_doc")
+        .distinct()
+    )
+    s1 = sh.select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("shingles").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("shingles").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
+    verified = (
+        cand.join(s1, "eval_doc")
+        .join(s2, "train_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.groupBy("eval_doc").agg(
+        F.count("*").alias("n_contaminating"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("train_doc").alias("example_train_doc"),
+    )
+
+
+def _contam_fuzzy_oracle() -> str:
+    from streaming_amqp_spark.operators.dedup import JACCARD_THRESHOLD
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, source, len(shingles) AS n FROM sh),
+sig AS (
+  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+  FROM ex, UNNEST(range(0, 16)) AS seeds(j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band_idx,
+         md5(string_agg(h, '' ORDER BY j)) AS band_hash
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+  FROM bands e
+  JOIN sizes se ON se.doc_id = e.doc_id AND se.source = '{EVAL_SOURCE}'
+  JOIN bands t ON t.band_idx = e.band_idx AND t.band_hash = e.band_hash
+  JOIN sizes st ON st.doc_id = t.doc_id AND st.source <> '{EVAL_SOURCE}'
+),
+inter AS (
+  SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.source = '{EVAL_SOURCE}' AND b.source <> '{EVAL_SOURCE}'
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.eval_doc, c.train_doc,
+         CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter) AS jaccard
+  FROM cand c
+  JOIN inter i ON i.eval_doc = c.eval_doc AND i.train_doc = c.train_doc
+  JOIN sizes s1 ON s1.doc_id = c.eval_doc
+  JOIN sizes s2 ON s2.doc_id = c.train_doc
+  WHERE CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT eval_doc,
+       count(*) AS n_contaminating,
+       max(jaccard) AS max_jaccard,
+       min(train_doc) AS example_train_doc
+FROM verified
+GROUP BY eval_doc
+"""
+
+
 # ------------------------------------------------------- repetition signal
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality signals: duplicate positional
@@ -907,6 +1037,7 @@ QUERIES = {
     "text_encode_tokens": text_encode_tokens,
     "text_chunk_sliding": text_chunk_sliding,
     "contamination_check": contamination_check,
+    "contamination_fuzzy": contamination_fuzzy,
     "text_repetition_stats": text_repetition_stats,
     "pack_docs_nextfit": pack_docs_nextfit,
     "domain_mixture_weights": domain_mixture_weights,
@@ -923,6 +1054,7 @@ ORACLES = {
     "text_encode_tokens": _ENCODE_SQL,
     "text_chunk_sliding": _CHUNK_SQL,
     "contamination_check": _CONTAM_SQL,
+    "contamination_fuzzy": _contam_fuzzy_oracle(),
     "text_repetition_stats": _REPEAT_SQL,
     "pack_docs_nextfit": _PACK_SQL,
     "domain_mixture_weights": _MIX_SQL,

@@ -230,6 +230,13 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
+    """The eval-side band table is broadcast into the candidate join, so
+    the training corpus's band rows never shuffle on the band key."""
+    plan = _plan(spark, sf_dir, "contamination_fuzzy")
+    assert "BroadcastHashJoin" in plan
+
+
 _GLOBAL_WINDOW_ALLOWLIST = (
     # text_encode_tokens vocab ranking: |vocab| rows, bounded by VOCAB_SIZE
     "row_number() windowspecdefinition(df#",
