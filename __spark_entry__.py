@@ -64,7 +64,7 @@ _FIRST_50 = (
     "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
     "contamination_fuzzy", "knn_cosine_topk", "embedding_centroids",
     "ann_lsh_buckets", "ann_lsh_candidate_pairs", "ann_ivf_topk",
-    "dedup_embedding_cosine", "multimodal_meta", "multimodal_decode_features",
+    "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
     "multimodal_resize", "multimodal_frame_sample", "curate_documents",
     "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
     "contamination_check", "text_repetition_stats", "pack_docs_nextfit",

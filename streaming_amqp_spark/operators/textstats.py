@@ -630,6 +630,67 @@ GROUP BY doc_id, n_tok
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability signal: syllables estimated as vowel
+    groups (``[aeiou]+`` runs — the standard cheap heuristic), sentences
+    as fixed 15-token pseudo-sentences (the synthetic corpus has no
+    punctuation; real corpora would split on sentence terminators), and
+    the reading-ease formula over those two rates.  Used as a curation
+    filter band: machine-generated and boilerplate text skews to extreme
+    scores.
+
+    Pure per-row projection — fuses into the scan, shuffles nothing.
+    The vowel-run regex is evaluated once per document (regexp_extract_all
+    → size), not per token."""
+    d = _docs(spark, sf_dir)
+    t = tokens()
+    n_tok = F.size(t)
+    n_syll = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), F.lit(0))
+    )
+    n_sent = F.ceil(n_tok.cast("double") / F.lit(15.0)).cast("long")
+    wps = n_tok.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_tok.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    return d.where(n_tok >= 1).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        flesch.alias("flesch_score"),
+    )
+
+
+_READABILITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(regexp_extract_all(text, '[aeiou]+')) AS n_syll
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       n_syll AS n_syllables,
+       CAST(ceil(CAST(n_tok AS DOUBLE) / 15.0) AS BIGINT) AS n_sentences,
+       CAST(n_tok AS DOUBLE)
+         / CAST(CAST(ceil(CAST(n_tok AS DOUBLE) / 15.0) AS BIGINT) AS DOUBLE)
+         AS words_per_sentence,
+       CAST(n_syll AS DOUBLE) / CAST(n_tok AS DOUBLE) AS syllables_per_word,
+       206.835
+         - 1.015 * (CAST(n_tok AS DOUBLE)
+             / CAST(CAST(ceil(CAST(n_tok AS DOUBLE) / 15.0) AS BIGINT)
+                    AS DOUBLE))
+         - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_tok AS DOUBLE))
+         AS flesch_score
+FROM t
+WHERE n_tok >= 1
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
     "text_gopher_rules": text_gopher_rules,
@@ -644,6 +705,7 @@ QUERIES = {
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_readability": text_readability,
 }
 
 ORACLES = {
@@ -660,4 +722,5 @@ ORACLES = {
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
     "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
+    "text_readability": _READABILITY_SQL,
 }

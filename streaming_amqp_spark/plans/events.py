@@ -814,8 +814,63 @@ FROM grid LEFT JOIN last_per
 """
 
 
+def events_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience growth: per day — distinct active users, first-time
+    users, and the running total of distinct users ever seen (cumulative
+    count-distinct, the classic "total registered audience" curve).
+
+    The naive formulation (count(DISTINCT user) over an expanding window)
+    re-scans history per day; instead each user contributes once at their
+    first-activity day, and the cumulative curve is a running sum over the
+    per-day aggregate.  Scale: two user-day-granularity shuffles; the
+    ordered window runs over |days| rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    dau = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("n_active_users")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    new_users = first.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dau.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_active_users",
+            F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+        )
+        .withColumn("cum_distinct_users", F.sum("n_new_users").over(w))
+    )
+
+
+_CUM_DISTINCT_SQL = """
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(DISTINCT user_id) AS n_active_users
+  FROM events GROUP BY 1
+),
+first_day AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+  FROM events GROUP BY user_id
+),
+new_users AS (
+  SELECT day, count(*) AS n_new_users FROM first_day GROUP BY day
+)
+SELECT d.day,
+       CAST(d.n_active_users AS BIGINT) AS n_active_users,
+       CAST(coalesce(n.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(sum(coalesce(n.n_new_users, 0))
+              OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_distinct_users
+FROM dau d LEFT JOIN new_users n ON n.day = d.day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_cum_distinct_users": events_cum_distinct_users,
     "layout_zorder_events": layout_zorder_events,
     "events_top_paths": events_top_paths,
     "events_resample_15m": events_resample_15m,
@@ -835,6 +890,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "events_cum_distinct_users": _CUM_DISTINCT_SQL,
     "layout_zorder_events": _zorder_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
     "events_resample_15m": _RESAMPLE_SQL,

@@ -224,6 +224,80 @@ FROM stats s LEFT JOIN flagged f ON f.event_type = s.event_type
 """
 
 
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute deviation
+    (MAD) instead of mean/σ — a single extreme burst inflates σ and masks
+    itself, while the median/MAD pair is unmoved by up to 50% outliers.
+    Flags events with |value − median| > 5·MAD.
+
+    Determinism: ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit
+    (linear interpolation at p·(n−1)); |v − med| is a pure double op, so
+    both percentile passes and the flag comparison evaluate identically
+    in both engines.  Scale: exact MAD is inherently two dependent
+    percentile passes (deviations need the median first) + one flagging
+    pass — three scans, each shuffling only the 5-row per-type stats;
+    medians come back broadcast so every pass over raw events is
+    map-side.  (A one-scan approximate twin would swap in
+    ``percentile_approx`` sketches, the agg_approx_stats pattern.)"""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("median_value"),
+        F.count("*").alias("n_events"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("median_value")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_value")
+    )
+    stats = med.join(F.broadcast(mad), "event_type")
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(
+            F.abs(F.col("value") - F.col("median_value"))
+            > F.lit(5.0) * F.col("mad_value")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_anomalies"))
+    )
+    return stats.join(F.broadcast(flagged), "event_type", "left").select(
+        "event_type",
+        "n_events",
+        "median_value",
+        "mad_value",
+        F.coalesce("n_anomalies", F.lit(0)).alias("n_anomalies"),
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS median_value,
+         count(*) AS n_events
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.median_value), 0.5) AS mad_value
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+),
+flagged AS (
+  SELECT e.event_type, count(*) AS n_anomalies
+  FROM events e
+  JOIN med m USING (event_type)
+  JOIN mad d USING (event_type)
+  WHERE abs(e.value - m.median_value) > 5.0 * d.mad_value
+  GROUP BY e.event_type
+)
+SELECT m.event_type, m.n_events, m.median_value, d.mad_value,
+       CAST(coalesce(f.n_anomalies, 0) AS BIGINT) AS n_anomalies
+FROM med m
+JOIN mad d USING (event_type)
+LEFT JOIN flagged f ON f.event_type = m.event_type
+"""
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
@@ -284,6 +358,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "hist_order_totalprice": hist_order_totalprice,
     "events_zscore_anomaly": events_zscore_anomaly,
+    "events_mad_anomaly": events_mad_anomaly,
 }
 
 ORACLES = {
@@ -293,4 +368,5 @@ ORACLES = {
     "agg_percentiles": _PCTL_SQL,
     "hist_order_totalprice": _HIST_SQL,
     "events_zscore_anomaly": _ZSCORE_SQL,
+    "events_mad_anomaly": _MAD_SQL,
 }

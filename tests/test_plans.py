@@ -249,6 +249,8 @@ _GLOBAL_WINDOW_ALLOWLIST = (
     "sum(src_tokens#",
     "sum(bud_base#",
     "windowspecdefinition(bud_rem#",
+    # cumulative-distinct-users running sum: one row per DAY, not per event
+    "sum(n_new_users#",
 )
 
 
