@@ -502,8 +502,281 @@ WHERE nrm > 0
 """
 
 
+# ---------------------------------------------------- product quantization
+PQ_M = 8  # subspaces (64 dims → 8 sub-vectors of 8)
+PQ_SUB = DIMS // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace codebook
+PQ_TOPK = KNN_K
+
+
+def _sub_l2sq_spark(e, c, m: int):
+    """Squared L2 between subspace ``m`` of two 64-dim arrays, as an
+    explicit left-associated 8-term chain — the identical evaluation
+    order is spelled in the oracle, so the doubles match bit-for-bit."""
+    terms = []
+    for j in range(1, PQ_SUB + 1):
+        d = F.element_at(e, m * PQ_SUB + j).cast("double") - F.element_at(
+            c, m * PQ_SUB + j
+        ).cast("double")
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _sub_l2sq_sql(e: str, c: str, m_expr: str) -> str:
+    return " + ".join(
+        f"((CAST({e}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE)"
+        f" - CAST({c}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE))"
+        f" * (CAST({e}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE)"
+        f" - CAST({c}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE)))"
+        for j in range(1, PQ_SUB + 1)
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC), the memory-scale tier below IVF: each vector is compressed to
+    8 one-byte codes (nearest codebook entry per 8-dim subspace), and
+    queries score candidates by summing precomputed query-to-code
+    distances instead of touching raw vectors.
+
+    Codebook: the sub-vectors of the first PQ_K vectors (deterministic
+    sample — a k-means-trained codebook would drop in identically; the
+    assignment/ADC machinery is what's exercised here).
+
+    Scale shape: the codebook is ONE broadcast row, so encoding is a pure
+    projection (per-row argmin fold over 16 codes × 8 subspaces — zero
+    shuffle: at 100 TB, compressing the corpus is exactly a scan); the
+    query distance table (|Q|·8·16 rows) is broadcast, and the only
+    shuffles are the map-side-combined per-(query, vector) distance sum
+    and the per-query top-k window.  Sums of the 8 per-subspace distances
+    go through DECIMAL (order-independent) after round(6), the
+    functions.numeric convention.
+
+    Tie-breaks are deterministic everywhere: encoding folds codes in
+    ascending code_id with strict-less comparison (first minimum wins ≡
+    the oracle's ORDER BY d, code_id), ranking orders by (dist,
+    neighbor_id)."""
+    emb = _emb(spark, sf_dir)
+    cb = (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.struct("code_id", "cemb"))).alias(
+                "cb"
+            )
+        )
+    )
+    with_cb = emb.crossJoin(F.broadcast(cb))
+    inf = F.lit(float("inf"))
+    init = F.struct(inf.alias("d"), F.lit(-1).cast("long").alias("k"))
+    def _best_code(m: int):
+        def merge(acc, c):
+            d = _sub_l2sq_spark(F.col("embedding"), c["cemb"], m)
+            return F.when(
+                d < acc["d"],
+                F.struct(
+                    d.alias("d"), c["code_id"].cast("long").alias("k")
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col("cb"), init, merge)
+
+    enc_cols = [
+        _best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)
+    ]
+    enc = with_cb.select("vec_id", *enc_cols).selectExpr(
+        "vec_id",
+        "stack({n}, {args}) AS (m, code)".format(
+            n=PQ_M,
+            args=", ".join(f"{m}, code{m}" for m in range(PQ_M)),
+        ),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cb_rows = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
+    )
+    qd_cols = [
+        F.round(
+            _sub_l2sq_spark(F.col("q_emb"), F.col("cemb"), m), 6
+        ).alias(f"qd{m}")
+        for m in range(PQ_M)
+    ]
+    qd = (
+        q.crossJoin(F.broadcast(cb_rows))
+        .select("query_id", "code_id", *qd_cols)
+        .selectExpr(
+            "query_id",
+            "code_id",
+            "stack({n}, {args}) AS (m, qdist)".format(
+                n=PQ_M,
+                args=", ".join(f"{m}, qd{m}" for m in range(PQ_M)),
+            ),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qd),
+            (enc.m == qd.m) & (enc.code == qd.code_id),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "approx_dist",
+        )
+    )
+
+
+def _pq_oracle() -> str:
+    d_ec = _sub_l2sq_sql("e.embedding", "c.cemb", "m.m")
+    d_qc = _sub_l2sq_sql("q.embedding", "c.cemb", "m.m")
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS code_id, embedding AS cemb FROM embeddings
+  WHERE vec_id < {PQ_K}
+),
+dists AS (
+  SELECT e.vec_id, m.m, c.code_id, {d_ec} AS d
+  FROM embeddings e, UNNEST(range(0, {PQ_M})) AS m(m), cb c
+),
+enc AS (
+  SELECT vec_id, m, code_id AS code FROM (
+    SELECT vec_id, m, code_id,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code_id) AS rk
+    FROM dists)
+  WHERE rk = 1
+),
+qd AS (
+  SELECT q.vec_id AS query_id, m.m, c.code_id, round({d_qc}, 6) AS qdist
+  FROM embeddings q, UNNEST(range(0, {PQ_M})) AS m(m), cb c
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT qd.query_id, enc.vec_id AS neighbor_id,
+         CAST(sum(CAST(qd.qdist AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+  FROM enc JOIN qd ON qd.m = enc.m AND qd.code_id = enc.code
+  WHERE enc.vec_id <> qd.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, approx_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist, neighbor_id) AS rank
+      FROM adc)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+def _l2sq_full_spark(e, q):
+    """Full-dimension squared L2 as the left-associated chain of the 8
+    per-subspace chains (identical term order to the oracle)."""
+    out = _sub_l2sq_spark(e, q, 0)
+    for m in range(1, PQ_M):
+        out = out + _sub_l2sq_spark(e, q, m)
+    return out
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC path against the exact L2 top-k baseline —
+    the compression-loss measurement that decides the (M, K) codebook
+    budget.  Both sides are deterministic, so the recall itself is
+    oracle-checked.  The exact side broadcasts the |Q|-row query set and
+    keeps per-query top-k (TakeOrdered shape), the same constant-output
+    pattern as knn_cosine_topk.
+
+    Expectation note: the synthetic corpus's embeddings are i.i.d. random,
+    the hardest case for PQ (no cluster structure for 8-byte codes to
+    exploit) — measured recall here is low BY CONSTRUCTION, and that
+    measurement is exactly what this operator exists to surface before a
+    codebook ships."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    approx = ann_pq_adc(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(float(PQ_TOPK))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _pq_recall_oracle() -> str:
+    # full-dim distance as the SAME left-associated 64-term chain as the
+    # Spark side (an aggregate over unnested subspaces would sum in
+    # engine-chosen order and could differ in ulps, flipping rank ties)
+    d_full = " + ".join(
+        "(" + _sub_l2sq_sql("q.embedding", "b.embedding", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {d_full}, b.vec_id) AS rank
+    FROM embeddings q
+    JOIN embeddings b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {PQ_TOPK}
+)
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k
+FROM exact e
+LEFT JOIN ({_pq_oracle()}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
     "embedding_l2_normalize": embedding_l2_normalize,
+    "ann_pq_adc": ann_pq_adc,
+    "ann_pq_recall": ann_pq_recall,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_centroids": embedding_centroids,
@@ -516,6 +789,8 @@ QUERIES = {
 
 ORACLES = {
     "embedding_l2_normalize": _L2_NORM_SQL,
+    "ann_pq_adc": _pq_oracle(),
+    "ann_pq_recall": _pq_recall_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
     "knn_cosine_topk": _KNN_SQL,

@@ -230,6 +230,19 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_pq_adc_encoding_is_map_side(spark, sf_dir):
+    """PQ: codebook and query distance table broadcast; corpus encoding
+    is a pure projection.  The only data-bearing shuffles are the
+    (query, vector) distance sum (with map-side partial agg) and the
+    per-query top-k window — which must carry the WindowGroupLimit
+    pushdown so executors emit k rows, not all N."""
+    plan = _plan(spark, sf_dir, "ann_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "partial_sum" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
     """The eval-side band table is broadcast into the candidate join, so
     the training corpus's band rows never shuffle on the band key."""
