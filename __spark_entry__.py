@@ -63,7 +63,7 @@ _FIRST_50 = (
     "dedup_containment",
     "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
     "contamination_fuzzy", "ann_pq_recall", "embedding_centroids",
-    "ann_pq_adc", "ann_lsh_candidate_pairs", "ann_ivf_topk",
+    "ann_pq_adc", "skew_key_report", "events_rolling_dau_7d",
     "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
     "multimodal_resize", "multimodal_frame_sample", "curate_documents",
     "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",

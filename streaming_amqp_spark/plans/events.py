@@ -868,9 +868,46 @@ FROM dau d LEFT JOIN new_users n ON n.day = d.day
 """
 
 
+def events_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day.  Sliding-window
+    count-distinct has no running-sum shortcut (users repeat across
+    days), so the standard exact formulation: dedupe to (user, day)
+    grain once, fan each user-day out to the ≤7 window days it serves
+    via a broadcast range join against the tiny day list, and
+    count-distinct per window day.  Shuffle volume is user-days × 7,
+    never raw events × 7."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("uday"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("uday").alias("day")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("uday") <= F.col("day"))
+        & (F.col("uday") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return joined.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau_7d")
+    )
+
+
+_ROLLING_DAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS uday, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT uday AS day FROM ud)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau_7d
+FROM days d
+JOIN ud u ON u.uday <= d.day AND u.uday >= d.day - INTERVAL 6 DAY
+GROUP BY d.day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cum_distinct_users": events_cum_distinct_users,
+    "events_rolling_dau_7d": events_rolling_dau_7d,
     "layout_zorder_events": layout_zorder_events,
     "events_top_paths": events_top_paths,
     "events_resample_15m": events_resample_15m,
@@ -891,6 +928,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_cum_distinct_users": _CUM_DISTINCT_SQL,
+    "events_rolling_dau_7d": _ROLLING_DAU_SQL,
     "layout_zorder_events": _zorder_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
     "events_resample_15m": _RESAMPLE_SQL,

@@ -298,6 +298,56 @@ LEFT JOIN flagged f ON f.event_type = m.event_type
 """
 
 
+_SKEW_COLS = ("user_id", "event_type")
+
+
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for the events table: per candidate
+    join/agg key — rows, distinct keys, max rows per key, p99 rows per
+    key, and the heaviest key's share of the table.  This is the report
+    you read BEFORE picking a 100 TB partitioning: top1_share ≈ 1/n_keys
+    means uniform (hash-partition freely); top1_share ≫ 1/n_keys means
+    salt or AQE-skew-join (operators.scale.salted_join).
+
+    One scan per analyzed key (the per-key count is a different grouping
+    each time — not fusable); each scan's output is |keys| rows and the
+    final report is one row per key column."""
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for c in _SKEW_COLS:
+        per_key = ev.groupBy(c).agg(F.count("*").alias("cnt"))
+        parts.append(
+            per_key.agg(
+                F.lit(c).alias("key_column"),
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_per_key"),
+                F.percentile("cnt", F.lit(0.99)).alias("p99_per_key"),
+                (
+                    F.max("cnt").cast("double")
+                    / F.sum("cnt").cast("double")
+                ).alias("top1_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_SKEW_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS key_column,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       max(cnt) AS max_per_key,
+       quantile_cont(cnt, 0.99) AS p99_per_key,
+       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top1_share
+FROM (SELECT {c}, count(*) AS cnt FROM events GROUP BY {c})"""
+    for c in _SKEW_COLS
+)
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
@@ -359,6 +409,7 @@ QUERIES = {
     "hist_order_totalprice": hist_order_totalprice,
     "events_zscore_anomaly": events_zscore_anomaly,
     "events_mad_anomaly": events_mad_anomaly,
+    "skew_key_report": skew_key_report,
 }
 
 ORACLES = {
@@ -369,4 +420,5 @@ ORACLES = {
     "hist_order_totalprice": _HIST_SQL,
     "events_zscore_anomaly": _ZSCORE_SQL,
     "events_mad_anomaly": _MAD_SQL,
+    "skew_key_report": _SKEW_SQL,
 }
