@@ -62,7 +62,7 @@ _FIRST_50 = (
     "dedup_cluster_sizes", "text_unigram_logprob", "basket_brand_pairs",
     "dedup_containment",
     "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
-    "contamination_fuzzy", "ann_pq_recall", "embedding_centroids",
+    "contamination_fuzzy", "ann_pq_recall", "embedding_pca_power",
     "ann_pq_adc", "skew_key_report", "events_rolling_dau_7d",
     "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
     "multimodal_resize", "multimodal_frame_sample", "curate_documents",

@@ -773,10 +773,115 @@ GROUP BY e.query_id
 """
 
 
+# ------------------------------------------------------ PCA power iteration
+PCA_ITERS = 3
+# v0 = uniform unit vector; 1/8 = 0.125 is exact in binary, so both
+# engines start from the identical vector without a normalization step.
+PCA_V0 = 1.0 / 8.0
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud via PCA_ITERS fixed
+    power-iteration steps (v ← normalize(XᵀX v)) — the iterative-algorithm
+    pattern (like dedup_clusters' label propagation) applied to numeric
+    linear algebra, with every step exactly oracle-checked.
+
+    Cross-engine bit-exactness, the hard part: the per-row projection
+    u = x·v and every norm are ordered left folds (``F.aggregate`` ≡
+    DuckDB ``list_reduce`` over a 0.0-prepended list); the cross-row
+    reduction w_d = Σᵢ xᵢ[d]·uᵢ — the one sum whose order Spark cannot
+    pin — goes through round(9) + DECIMAL(38,12), which is exact and
+    associative, so partition layout cannot perturb it.  The iterate v
+    is carried as a ONE-ROW array DataFrame (sorted collect of the 64
+    per-dim sums) and broadcast — engine code never collects to the
+    driver.
+
+    Scale: per iteration = one corpus scan (projection is map-side
+    against the broadcast v) + one 64-key shuffle + one 64-row
+    single-partition fold.  T iterations of 100 TB PCA cost T scans —
+    the same shape GraphX/MLlib power iteration uses."""
+    emb = _emb(spark, sf_dir)
+    vrow = spark.range(1).select(
+        F.array_repeat(F.lit(PCA_V0), DIMS).alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        with_v = emb.crossJoin(F.broadcast(vrow))
+        u = dot(F.col("embedding"), F.col("v"))
+        prods = with_v.select(
+            F.posexplode("embedding").alias("dim", "xval"), u.alias("u")
+        )
+        p = F.round(F.col("xval").cast("double") * F.col("u"), 9).cast(
+            "decimal(38,12)"
+        )
+        w = prods.groupBy("dim").agg(F.sum(p).cast("double").alias("w"))
+        wv = F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "w"))),
+            lambda s: s["w"],
+        )
+        vrow = w.agg(wv.alias("wv")).select(
+            F.transform(
+                "wv",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("wv"), lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, y: acc + y,
+                    )
+                ),
+            ).alias("v"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("wv"), lambda y: y * y),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ).alias("growth"),
+        )
+    return vrow.select(
+        F.posexplode("v").alias("dim", "loading"), F.col("growth")
+    )
+
+
+def _pca_oracle() -> str:
+    sq_fold = (
+        "list_reduce(list_prepend(0.0, list_transform({v}, y -> y * y)),"
+        " (a, b) -> a + b)"
+    )
+    prev = f"(SELECT list_transform(range(1, {DIMS + 1}), i -> {PCA_V0!r}) AS v)"
+    for t in range(PCA_ITERS):
+        u_fold = (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, "
+            f"{DIMS + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i])), "
+            "(a, b) -> a + b)"
+        )
+        w = f"""
+(SELECT list(w ORDER BY dim) AS wv FROM (
+   SELECT i - 1 AS dim,
+          CAST(sum(CAST(round(CAST(e.embedding[i] AS DOUBLE) * e.u, 9)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS w
+   FROM (SELECT embedding, {u_fold} AS u
+         FROM embeddings e, {prev} v) e,
+        UNNEST(range(1, {DIMS + 1})) AS t(i)
+   GROUP BY i - 1))
+"""
+        norm = sq_fold.format(v="wv")
+        prev = f"""
+(SELECT list_transform(wv, x -> x / sqrt({norm})) AS v,
+        sqrt({norm}) AS growth
+ FROM {w})
+"""
+    return f"""
+SELECT CAST(i - 1 AS INTEGER) AS dim, v.v[i] AS loading, v.growth
+FROM {prev} v, UNNEST(range(1, {DIMS + 1})) AS t(i)
+"""
+
+
 QUERIES = {
     "embedding_l2_normalize": embedding_l2_normalize,
     "ann_pq_adc": ann_pq_adc,
     "ann_pq_recall": ann_pq_recall,
+    "embedding_pca_power": embedding_pca_power,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
     "embedding_centroids": embedding_centroids,
@@ -791,6 +896,7 @@ ORACLES = {
     "embedding_l2_normalize": _L2_NORM_SQL,
     "ann_pq_adc": _pq_oracle(),
     "ann_pq_recall": _pq_recall_oracle(),
+    "embedding_pca_power": _pca_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
     "knn_cosine_topk": _KNN_SQL,
