@@ -65,7 +65,8 @@ _FIRST_50 = (
     "contamination_fuzzy", "ann_pq_recall", "embedding_pca_power",
     "ann_pq_adc", "skew_key_report", "events_rolling_dau_7d",
     "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
-    "multimodal_resize", "multimodal_frame_sample", "curate_documents",
+    "events_conversion_latency", "events_user_streaks",
+    "mixture_sqrt_temperature",
     "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
     "contamination_check", "text_repetition_stats", "pack_docs_nextfit",
     "domain_mixture_weights",

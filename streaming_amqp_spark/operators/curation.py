@@ -710,6 +710,83 @@ LEFT JOIN kept k ON r.source = k.source AND r.lang = k.lang
 """
 
 
+def mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting with τ = 0.5 (w ∝ p^τ), the
+    standard multilingual/domain upsampling scheme: rare sources gain
+    share, dominant ones shrink, ordering is preserved.  τ = 0.5 makes
+    p^τ an IEEE sqrt — exact and identical across engines, unlike a
+    general pow whose libm implementations can differ in ulps.
+
+    Determinism: p is one double division from exact BIGINT token sums;
+    sqrt(p) is rounded to 9 decimals and the normalizing denominator is
+    an exact DECIMAL sum of those rounded values, so the final weights
+    and integer token targets cannot drift with aggregation order.
+
+    Scale: one per-source aggregate (|sources| rows) and two broadcast
+    scalars — the corpus is scanned once."""
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens()).cast("long")).alias("src_tokens"),
+    )
+    tot = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
+    p = F.col("src_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
+    scored = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        "total_tokens",
+        p.alias("p_natural"),
+        F.round(F.sqrt(p), 9).alias("w_raw"),
+    )
+    denom = scored.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,9)"))
+        .cast("double")
+        .alias("denom")
+    )
+    weight = F.col("w_raw") / F.col("denom")
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        "p_natural",
+        weight.alias("weight"),
+        F.floor(weight * F.col("total_tokens").cast("double"))
+        .cast("long")
+        .alias("target_tokens"),
+    )
+
+
+_SQRT_TEMP_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per_src),
+scored AS (
+  SELECT source, n_docs, src_tokens, total_tokens,
+         CAST(src_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+           AS p_natural,
+         round(sqrt(CAST(src_tokens AS DOUBLE)
+                    / CAST(total_tokens AS DOUBLE)), 9) AS w_raw
+  FROM per_src, tot
+),
+denom AS (
+  SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,9))) AS DOUBLE) AS denom
+  FROM scored
+)
+SELECT source, n_docs, src_tokens, p_natural,
+       w_raw / denom AS weight,
+       CAST(floor((w_raw / denom) * CAST(total_tokens AS DOUBLE)) AS BIGINT)
+         AS target_tokens
+FROM scored, denom
+"""
+
+
 # ------------------------------------------------- domain mixture weights
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing: per-source sampling weight
@@ -1041,6 +1118,7 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "pack_docs_nextfit": pack_docs_nextfit,
     "domain_mixture_weights": domain_mixture_weights,
+    "mixture_sqrt_temperature": mixture_sqrt_temperature,
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
     "dedup_chunk_cdc": dedup_chunk_cdc,
@@ -1058,6 +1136,7 @@ ORACLES = {
     "text_repetition_stats": _REPEAT_SQL,
     "pack_docs_nextfit": _PACK_SQL,
     "domain_mixture_weights": _MIX_SQL,
+    "mixture_sqrt_temperature": _SQRT_TEMP_SQL,
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
     "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,

@@ -904,10 +904,136 @@ GROUP BY d.day
 """
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency per day: for each purchase, the
+    time since the same user's most recent view (the as-of union+window
+    pattern of ``asof_join_error_purchase`` — one shuffle on user_id, no
+    per-row subquery), aggregated to daily median/p90 latency.
+
+    Latencies are exact BIGINT microsecond differences (unix_micros ≡
+    DuckDB epoch_us — second-granularity conversions would truncate vs
+    round sub-second parts differently), so the percentiles interpolate
+    identical integers in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    conv = (
+        views.unionByName(purchases)
+        .withColumn("asof_view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (
+                F.unix_micros("ts") - F.unix_micros("asof_view_ts")
+            ).alias("latency_us"),
+        )
+    )
+    return conv.groupBy("day").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("latency_us").alias("n_converted"),
+        F.percentile("latency_us", F.lit(0.5)).alias("median_latency_us"),
+        F.percentile("latency_us", F.lit(0.9)).alias("p90_latency_us"),
+    )
+
+
+_CONVERSION_SQL = """
+WITH conv AS (
+  SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+         epoch_us(p.ts)
+           - epoch_us((SELECT max(v.ts) FROM events v
+                       WHERE v.event_type = 'view'
+                         AND v.user_id = p.user_id
+                         AND v.ts <= p.ts)) AS latency_us
+  FROM events p
+  WHERE p.event_type = 'purchase'
+)
+SELECT day,
+       count(*) AS n_purchases,
+       count(latency_us) AS n_converted,
+       quantile_cont(latency_us, 0.5) AS median_latency_us,
+       quantile_cont(latency_us, 0.9) AS p90_latency_us
+FROM conv
+GROUP BY day
+"""
+
+
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks — the
+    canonical sessionization-at-day-grain pattern (island key = day
+    number minus per-user row number).  Output per user: active days,
+    number of streaks, longest streak.
+
+    Scale: everything happens at (user, day) grain after one distinct;
+    the window partitions by user_id (bounded per-user state), and the
+    two aggregations shuffle |user-days| then |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2020-01-01").cast("date"),
+        ).alias("d"),
+    ).distinct()
+    wn = W.partitionBy("user_id").orderBy("d")
+    islands = ud.withColumn(
+        "island", F.col("d") - F.row_number().over(wn)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+
+
+_STREAKS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2020-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       max(streak_len) AS longest_streak
+FROM streaks
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_cum_distinct_users": events_cum_distinct_users,
     "events_rolling_dau_7d": events_rolling_dau_7d,
+    "events_conversion_latency": events_conversion_latency,
+    "events_user_streaks": events_user_streaks,
     "layout_zorder_events": layout_zorder_events,
     "events_top_paths": events_top_paths,
     "events_resample_15m": events_resample_15m,
@@ -929,6 +1055,8 @@ ORACLES = {
     "events_funnel": _FUNNEL_SQL,
     "events_cum_distinct_users": _CUM_DISTINCT_SQL,
     "events_rolling_dau_7d": _ROLLING_DAU_SQL,
+    "events_conversion_latency": _CONVERSION_SQL,
+    "events_user_streaks": _STREAKS_SQL,
     "layout_zorder_events": _zorder_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
     "events_resample_15m": _RESAMPLE_SQL,
