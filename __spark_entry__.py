@@ -67,8 +67,9 @@ _FIRST_50 = (
     "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
     "events_conversion_latency", "events_user_streaks",
     "mixture_sqrt_temperature",
-    "pii_mask_events", "text_encode_tokens", "text_chunk_sliding",
-    "contamination_check", "text_repetition_stats", "pack_docs_nextfit",
+    "text_scrub_dup_chunks", "customer_order_gaps",
+    "events_dow_hour_heatmap", "orders_backlog_sweepline",
+    "text_repetition_stats", "pack_docs_nextfit",
     "domain_mixture_weights",
     "agg_variance_corr",
     "agg_approx_stats",

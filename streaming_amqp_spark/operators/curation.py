@@ -603,6 +603,71 @@ HAVING count(*) > 1
 """
 
 
+def text_scrub_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-chunk scrub report — CCNet-style paragraph
+    dedup at CDC-chunk grain: a chunk is dropped when its hash appears in
+    another document and this document is not the canonical (lowest-id)
+    owner.  Output per doc: chunk/token counts before and after the
+    scrub, and the kept-token ratio a curation pipeline thresholds on.
+
+    Scale: chunk text never shuffles twice — the dup index moves
+    (16-byte hash, doc_id) pairs, the verdict join is hash-keyed, and
+    the report is one per-doc aggregate."""
+    chunks = (
+        text_chunk_cdc(spark, sf_dir)
+        .withColumn("h", F.md5("chunk_text"))
+        .withColumn("nt", F.size(tokens("chunk_text")))
+        .select("doc_id", "h", "nt")
+    )
+    dup = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canon"),
+    )
+    kept = (F.col("n_docs") == 1) | (F.col("doc_id") == F.col("canon"))
+    judged = chunks.join(dup, "h").select(
+        "doc_id", "nt", kept.cast("long").alias("keep")
+    )
+    return judged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("keep").alias("n_chunks_kept"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum(F.col("nt") * F.col("keep")).alias("n_tokens_kept"),
+        (
+            F.sum(F.col("nt") * F.col("keep")).cast("double")
+            / F.sum("nt").cast("double")
+        ).alias("keep_ratio"),
+    )
+
+
+_SCRUB_SQL = f"""
+WITH chunks AS ({{cdc}}),
+ch AS (
+  SELECT doc_id, md5(chunk_text) AS h,
+         len(string_split(chunk_text, ' ')) AS nt
+  FROM chunks
+),
+dup AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canon
+  FROM ch GROUP BY h
+),
+judged AS (
+  SELECT c.doc_id, c.nt,
+         CASE WHEN d.n_docs = 1 OR c.doc_id = d.canon THEN 1 ELSE 0 END
+           AS keep
+  FROM ch c JOIN dup d USING (h)
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(keep) AS BIGINT) AS n_chunks_kept,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nt * keep) AS BIGINT) AS n_tokens_kept,
+       CAST(sum(nt * keep) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+         AS keep_ratio
+FROM judged
+GROUP BY doc_id
+"""
+
+
 SAMPLE_PER_STRATUM = 3
 
 
@@ -1122,6 +1187,7 @@ QUERIES = {
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
     "dedup_chunk_cdc": dedup_chunk_cdc,
+    "text_scrub_dup_chunks": text_scrub_dup_chunks,
     "sample_topk_per_stratum": sample_topk_per_stratum,
 }
 
@@ -1140,5 +1206,6 @@ ORACLES = {
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
     "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,
+    "text_scrub_dup_chunks": _SCRUB_SQL.format(cdc=_CDC_SQL),
     "sample_topk_per_stratum": _TOPK_STRATUM_SQL,
 }

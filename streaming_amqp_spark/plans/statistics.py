@@ -348,6 +348,152 @@ FROM (SELECT {c}, count(*) AS cnt FROM events GROUP BY {c})"""
 )
 
 
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer: days between consecutive
+    orders via lag over a per-customer window, aggregated to order count,
+    median and max gap.  Gaps are exact integer day differences, so the
+    median interpolates identical values in both engines; single-order
+    customers surface with NULL gaps (count n_gaps = 0), not silently
+    dropped."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.5)).alias("median_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+_ORDER_GAPS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       count(gap_days) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS median_gap_days,
+       max(gap_days) AS max_gap_days
+FROM gaps
+GROUP BY o_custkey
+"""
+
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with per-cell distinct users —
+    the load-shape report capacity planning starts from.  Day-of-week is
+    computed as days-since-a-known-Monday mod 7 (0=Mon..6=Sun) because
+    the engines' native dow functions disagree on numbering (Spark
+    Sun=1..7, DuckDB Sun=0..6); the explicit arithmetic is identical
+    everywhere.  One shuffle on the 7×24 key space."""
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),  # a Monday
+        ),
+        F.lit(7),
+    )
+    return ev.groupBy(
+        dow.alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_DOW_HOUR_SQL = """
+SELECT ((datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS dow,
+       CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve via the sweep-line pattern: +1 at order
+    date, −1 at the order's last ship date, then a running sum over the
+    per-day delta aggregate — O(rows) total instead of the naive per-day
+    interval join's O(days × orders).  The window runs over |days| rows
+    (the per-day aggregate), never raw orders."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("end_day"))
+    spans = o.join(
+        done, o.o_orderkey == done.l_orderkey
+    ).select(F.col("o_orderdate").alias("start_day"), "end_day")
+    opens = spans.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    )
+    closes = spans.select(
+        F.col("end_day").alias("day"), F.lit(-1).alias("delta")
+    )
+    daily = (
+        opens.unionAll(closes)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias(
+                "n_opened"
+            ),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).alias(
+                "n_closed"
+            ),
+            F.sum("delta").alias("net_delta"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.withColumn(
+        "open_backlog", F.sum("net_delta").over(w)
+    ).select("day", "n_opened", "n_closed", "open_backlog")
+
+
+_BACKLOG_SQL = """
+WITH spans AS (
+  SELECT o.o_orderdate AS start_day, d.end_day
+  FROM orders o
+  JOIN (SELECT l_orderkey, max(l_shipdate) AS end_day
+        FROM lineitem GROUP BY l_orderkey) d
+    ON d.l_orderkey = o.o_orderkey
+),
+deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_day AS day, -1 AS delta FROM spans
+),
+daily AS (
+  SELECT day,
+         CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_opened,
+         CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_closed,
+         CAST(sum(delta) AS BIGINT) AS net_delta
+  FROM deltas GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       CAST(sum(net_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS open_backlog
+FROM daily
+"""
+
+
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
@@ -410,6 +556,9 @@ QUERIES = {
     "events_zscore_anomaly": events_zscore_anomaly,
     "events_mad_anomaly": events_mad_anomaly,
     "skew_key_report": skew_key_report,
+    "customer_order_gaps": customer_order_gaps,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "orders_backlog_sweepline": orders_backlog_sweepline,
 }
 
 ORACLES = {
@@ -421,4 +570,7 @@ ORACLES = {
     "events_zscore_anomaly": _ZSCORE_SQL,
     "events_mad_anomaly": _MAD_SQL,
     "skew_key_report": _SKEW_SQL,
+    "customer_order_gaps": _ORDER_GAPS_SQL,
+    "events_dow_hour_heatmap": _DOW_HOUR_SQL,
+    "orders_backlog_sweepline": _BACKLOG_SQL,
 }

@@ -264,6 +264,8 @@ _GLOBAL_WINDOW_ALLOWLIST = (
     "windowspecdefinition(bud_rem#",
     # cumulative-distinct-users running sum: one row per DAY, not per event
     "sum(n_new_users#",
+    # backlog sweep-line running sum: one row per DAY, not per order
+    "sum(net_delta#",
 )
 
 
