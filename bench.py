@@ -77,6 +77,17 @@ HEADLINE = [
     "rfm_segmentation",
     "events_resample_15m",
     "profile_table",
+    # round-4 session-2 operators
+    "dedup_containment",
+    "dedup_keep_best",
+    "contamination_fuzzy",
+    "ann_pq_adc",
+    "embedding_pca_power",
+    "events_rolling_dau_7d",
+    "events_conversion_latency",
+    "text_scrub_dup_chunks",
+    "skew_key_report",
+    "orders_backlog_sweepline",
 ]
 
 
