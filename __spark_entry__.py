@@ -69,7 +69,7 @@ _FIRST_50 = (
     "mixture_sqrt_temperature",
     "text_scrub_dup_chunks", "customer_order_gaps",
     "events_dow_hour_heatmap", "orders_backlog_sweepline",
-    "text_repetition_stats", "pack_docs_nextfit",
+    "q6_whatif_grid", "text_vocab_growth",
     "domain_mixture_weights",
     "agg_variance_corr",
     "agg_approx_stats",

@@ -691,8 +691,58 @@ WHERE n_tok >= 1
 """
 
 
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: the corpus in 10 doc-id
+    deciles — new distinct tokens first introduced in each decile and the
+    cumulative vocabulary.  The dataset-card panel that shows whether a
+    corpus keeps contributing new vocabulary or has gone stale.
+
+    Scale: each token contributes once at its first-occurrence doc
+    (min(doc_id) per token — one shuffle of (token, id) pairs with
+    map-side combine); deciles use exact integer division against the
+    broadcast max id; the running sum windows over 10 rows."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    )
+    first = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg(F.max("doc_id").alias("max_doc"))
+    per = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(first_doc * 10) div (max_doc + 1)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new_toks"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per.withColumn("cum_vocab", F.sum("n_new_toks").over(w))
+
+
+_VOCAB_GROWTH_SQL = """
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY tok),
+mx AS (SELECT max(doc_id) AS max_doc FROM documents),
+per AS (
+  SELECT (first_doc * 10) // (max_doc + 1) AS bucket,
+         count(*) AS n_new_toks
+  FROM first, mx GROUP BY 1
+)
+SELECT bucket, n_new_toks,
+       CAST(sum(n_new_toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_vocab
+FROM per
+"""
+
+
 QUERIES = {
     "text_bigram_counts": text_bigram_counts,
+    "text_vocab_growth": text_vocab_growth,
     "text_gopher_rules": text_gopher_rules,
     "corpus_len_histogram": corpus_len_histogram,
     "text_token_entropy": text_token_entropy,
@@ -723,4 +773,5 @@ ORACLES = {
     "text_tfidf_topk": _TFIDF_SQL,
     "text_unigram_logprob": _UNIGRAM_LOGPROB_SQL,
     "text_readability": _READABILITY_SQL,
+    "text_vocab_growth": _VOCAB_GROWTH_SQL,
 }

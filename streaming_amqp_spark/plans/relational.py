@@ -199,6 +199,85 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+# What-if grid: 3 discount bands × 3 quantity caps, all evaluated in the
+# single q6-shaped scan (conditional aggregation + stack), not 9 scans.
+_WHATIF_BANDS = ((0.02, 0.04), (0.04, 0.06), (0.06, 0.08))
+_WHATIF_CAPS = (24, 35, 50)
+
+
+def q6_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue what-if grid over q6's forecast question: every
+    (discount-band, quantity-cap) scenario computed as a conditional
+    DECIMAL sum inside ONE aggregate over one pushed-down scan, then
+    unpivoted to a 9-row grid.  At 100 TB this replaces 9 full scans
+    with 1 — the parameter sweep costs columns, not reads."""
+    li = _t(spark, sf_dir, "lineitem")
+    year = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    aggs = []
+    for bi, (lo, hi) in enumerate(_WHATIF_BANDS):
+        for ci, cap in enumerate(_WHATIF_CAPS):
+            cond = (
+                (F.col("l_discount") >= lo)
+                & (F.col("l_discount") <= hi)
+                & (F.col("l_quantity") < cap)
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cond, dec("l_extendedprice") * dec("l_discount"))
+                )
+                .cast("double")
+                .alias(f"rev_{bi}_{ci}")
+            )
+            aggs.append(F.sum(cond.cast("long")).alias(f"n_{bi}_{ci}"))
+    one = li.where(year).agg(*aggs)
+    cells = ", ".join(
+        f"{lo!r}D, {hi!r}D, {cap}, rev_{bi}_{ci}, n_{bi}_{ci}"
+        for bi, (lo, hi) in enumerate(_WHATIF_BANDS)
+        for ci, cap in enumerate(_WHATIF_CAPS)
+    )
+    return one.selectExpr(
+        f"stack(9, {cells}) AS (d_lo, d_hi, qty_cap, revenue, n_items)"
+    )
+
+
+def _whatif_sql() -> str:
+    aggs = []
+    rows = []
+    for bi, (lo, hi) in enumerate(_WHATIF_BANDS):
+        for ci, cap in enumerate(_WHATIF_CAPS):
+            cond = (
+                f"l_discount >= {lo!r} AND l_discount <= {hi!r}"
+                f" AND l_quantity < {cap}"
+            )
+            aggs.append(
+                f"CAST(sum(CASE WHEN {cond} THEN"
+                " CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)"
+                f" AS rev_{bi}_{ci}"
+            )
+            aggs.append(
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{bi}_{ci}"
+            )
+            rows.append(
+                f"SELECT CAST({lo!r} AS DOUBLE) AS d_lo,"
+                f" CAST({hi!r} AS DOUBLE) AS d_hi,"
+                f" CAST({cap} AS INTEGER) AS qty_cap,"
+                f" rev_{bi}_{ci} AS revenue, n_{bi}_{ci} AS n_items FROM g"
+            )
+    return f"""
+WITH g AS (
+  SELECT {', '.join(aggs)}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+{' UNION ALL '.join(rows)}
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -1193,6 +1272,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q6_whatif_grid": q6_whatif_grid,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
@@ -1229,6 +1309,7 @@ ORACLES = {
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,
+    "q6_whatif_grid": _whatif_sql(),
     "q10_returned_items": _Q10_SQL,
     "q12_shipmode_priority": _Q12_SQL,
     "q14_promo_revenue_ratio": _Q14_SQL,
