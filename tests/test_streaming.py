@@ -829,3 +829,56 @@ def test_watermark_drops_late_data(amqp, tmp_path):
     maxes = [r.max_temperature for r in rows]
     assert 23 in maxes, maxes   # the on-time result
     assert 99 not in maxes, maxes  # the late record was dropped
+
+
+def test_streaming_contamination_scan(amqp, tmp_path):
+    """Contamination screening runs on a live ingest stream: incoming
+    documents are exploded to 5-gram shingles (stateless projection) and
+    stream-static joined against the held-out eval corpus's shingle set
+    — the broadcast shape of ``contamination_check`` applied at ingest
+    time, so contaminated documents are flagged BEFORE they land in the
+    training corpus."""
+    from streaming_amqp_spark.functions.text import shingles, tokens
+    from streaming_amqp_spark.operators.curation import (
+        CONTAM_K,
+        EVAL_SOURCE,
+    )
+    from streaming_amqp_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev_docs = load_table(amqp, sf, "documents").where(
+        F.col("source") == EVAL_SOURCE
+    )
+    # grab one genuine eval 5-gram to plant in a message (driver-small)
+    sample_text = ev_docs.select("text").first().text
+    leaked = " ".join(sample_text.split()[:CONTAM_K])
+    msgs = [
+        {"message_id": "clean", "body": "entirely novel words nowhere seen"},
+        {"message_id": "dirty", "body": f"prefix {leaked} suffix"},
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    eval_shingles = (
+        ev_docs.where(F.size(tokens()) >= CONTAM_K)
+        .select(F.explode(shingles("text", k=CONTAM_K)).alias("s"))
+        .distinct()
+    )
+    stream_shingles = env.where(
+        F.size(tokens("body")) >= CONTAM_K
+    ).select(
+        "message_id", F.explode(shingles("body", k=CONTAM_K)).alias("s")
+    )
+    flagged = (
+        stream_shingles.join(F.broadcast(eval_shingles), "s")
+        .select("message_id")
+        .dropDuplicates(["message_id"])
+    )
+    assert flagged.isStreaming
+    out = _run_stream_to_memory(amqp, flagged, "contam_stream_out")
+    ids = {r.message_id for r in out.collect()}
+    assert ids == {"dirty"}
