@@ -61,7 +61,7 @@ _FIRST_50 = (
     "sample_topk_per_stratum", "events_transition_counts",
     "dedup_cluster_sizes", "text_unigram_logprob", "basket_brand_pairs",
     "dedup_containment",
-    "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash_buckets",
+    "dedup_keep_best", "multimodal_audio_frames", "multimodal_storage_report",
     "contamination_fuzzy", "ann_pq_recall", "embedding_pca_power",
     "ann_pq_adc", "skew_key_report", "events_rolling_dau_7d",
     "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
@@ -70,8 +70,8 @@ _FIRST_50 = (
     "text_scrub_dup_chunks", "customer_order_gaps",
     "events_dow_hour_heatmap", "orders_backlog_sweepline",
     "q6_whatif_grid", "text_vocab_growth",
-    "domain_mixture_weights",
-    "agg_variance_corr",
+    "revenue_mom_change",
+    "order_fulfillment_latency",
     "agg_approx_stats",
 )
 

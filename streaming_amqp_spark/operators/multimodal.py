@@ -285,8 +285,101 @@ WHERE frame_idx % {FRAME_STRIDE} = 0
 """
 
 
+# Audio framing constants: PCM16 mono at 16 kHz, 25 ms frames / 10 ms hop
+# (the standard speech-feature windowing).
+AUDIO_SR = 16_000
+AUDIO_FRAME = 400  # samples per frame (25 ms)
+AUDIO_HOP = 160  # samples per hop (10 ms)
+
+
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing: treat the blob as PCM16 mono (n_samples =
+    bytes ÷ 2) and emit the 25 ms / 10 ms-hop frame grid — (frame_id,
+    start/end sample, start/end ms) — the exact row set a downstream
+    Arrow decode step (MFCC/fbank extraction) consumes.  Millisecond
+    positions use integer division (sample·1000 div SR): exact BIGINTs
+    in both engines.
+
+    Pure per-row sequence arithmetic, zero shuffle — framing 100 TB of
+    audio is a scan; docs shorter than one frame yield no rows (not a
+    partial frame)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_samples = (F.octet_length(F.col("text").cast("binary")) / F.lit(2)).cast(
+        "long"
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n_samples - F.lit(AUDIO_FRAME), F.lit(-1)),
+        F.lit(AUDIO_HOP),
+    )
+    frame = F.explode(
+        F.when(n_samples >= AUDIO_FRAME, starts).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    out = d.select(
+        "doc_id", n_samples.alias("n_samples"), frame.alias("start_sample")
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        (F.col("start_sample") / F.lit(AUDIO_HOP)).cast("long").alias(
+            "frame_id"
+        ),
+        "start_sample",
+        (F.col("start_sample") + F.lit(AUDIO_FRAME)).alias("end_sample"),
+        F.expr(f"(start_sample * 1000) div {AUDIO_SR}").alias("t_start_ms"),
+        F.expr(f"((start_sample + {AUDIO_FRAME}) * 1000) div {AUDIO_SR}").alias(
+            "t_end_ms"
+        ),
+    )
+
+
+_AUDIO_FRAMES_SQL = f"""
+WITH a AS (
+  SELECT doc_id, octet_length(encode(text)) // 2 AS n_samples
+  FROM documents
+)
+SELECT doc_id, n_samples,
+       s // {AUDIO_HOP} AS frame_id,
+       s AS start_sample,
+       s + {AUDIO_FRAME} AS end_sample,
+       (s * 1000) // {AUDIO_SR} AS t_start_ms,
+       ((s + {AUDIO_FRAME}) * 1000) // {AUDIO_SR} AS t_end_ms
+FROM a, UNNEST(range(0, greatest(n_samples - {AUDIO_FRAME} + 1, 0),
+                     {AUDIO_HOP})) AS t(s)
+"""
+
+
+def multimodal_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage accounting: blob count, total/max bytes and
+    the p99 — the capacity panel for a mixed media lake.  One scan, one
+    3-row aggregate."""
+    meta = multimodal_meta(spark, sf_dir)
+    return meta.groupBy("modality").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.percentile("n_bytes", F.lit(0.99)).alias("p99_bytes"),
+    )
+
+
+_STORAGE_SQL = f"""
+WITH meta AS ({_META_SQL})
+SELECT modality,
+       count(*) AS n_blobs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       max(n_bytes) AS max_bytes,
+       quantile_cont(n_bytes, 0.99) AS p99_bytes
+FROM meta
+GROUP BY modality
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_audio_frames": multimodal_audio_frames,
+    "multimodal_storage_report": multimodal_storage_report,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -294,6 +387,8 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": _META_SQL,
+    "multimodal_audio_frames": _AUDIO_FRAMES_SQL,
+    "multimodal_storage_report": _STORAGE_SQL,
     "multimodal_decode_features": _DECODE_SQL,
     "multimodal_resize": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SQL,

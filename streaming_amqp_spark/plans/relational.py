@@ -278,6 +278,84 @@ WITH g AS (
 """
 
 
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend per return flag: exact-DECIMAL
+    monthly revenue, previous month via lag, and the MoM percentage
+    change — the standard BI trend panel.  The lag window partitions by
+    return flag over |months| aggregated rows, never raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    ).agg(dsum(_revenue_term(), "revenue"))
+    w = W.partitionBy("l_returnflag").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "l_returnflag",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (
+            (F.col("revenue") - prev) / prev * F.lit(100.0)
+        ).alias("mom_pct"),
+    )
+
+
+_MOM_SQL = f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, month, revenue,
+       lag(revenue) OVER (PARTITION BY l_returnflag ORDER BY month)
+         AS prev_revenue,
+       (revenue - lag(revenue) OVER (PARTITION BY l_returnflag
+                                     ORDER BY month))
+         / lag(revenue) OVER (PARTITION BY l_returnflag ORDER BY month)
+         * 100.0 AS mom_pct
+FROM monthly
+"""
+
+
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: the
+    co-keyed orders⋈lineitem fact-fact join (AQE-planned equi-join on
+    orderkey), exact integer day differences, percentile rollup to the
+    5-row priority report."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "latency_days"
+        ),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        F.percentile("latency_days", F.lit(0.5)).alias("median_days"),
+        F.percentile("latency_days", F.lit(0.9)).alias("p90_days"),
+        F.max("latency_days").alias("max_days"),
+    )
+
+
+_FULFILL_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lineitems,
+       quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5)
+         AS median_days,
+       quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9)
+         AS p90_days,
+       max(datediff('day', o_orderdate, l_shipdate)) AS max_days
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -1273,6 +1351,8 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q6_whatif_grid": q6_whatif_grid,
+    "revenue_mom_change": revenue_mom_change,
+    "order_fulfillment_latency": order_fulfillment_latency,
     "q10_returned_items": q10_returned_items,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
@@ -1310,6 +1390,8 @@ ORACLES = {
     "q5_local_supplier_volume": _Q5_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q6_whatif_grid": _whatif_sql(),
+    "revenue_mom_change": _MOM_SQL,
+    "order_fulfillment_latency": _FULFILL_SQL,
     "q10_returned_items": _Q10_SQL,
     "q12_shipmode_priority": _Q12_SQL,
     "q14_promo_revenue_ratio": _Q14_SQL,
