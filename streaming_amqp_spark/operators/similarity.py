@@ -572,19 +572,21 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with_cb = emb.crossJoin(F.broadcast(cb))
-    inf = F.lit(float("inf"))
-    init = F.struct(inf.alias("d"), F.lit(-1).cast("long").alias("k"))
-    def _best_code(m: int):
-        def merge(acc, c):
-            d = _sub_l2sq_spark(F.col("embedding"), c["cemb"], m)
-            return F.when(
-                d < acc["d"],
-                F.struct(
-                    d.alias("d"), c["code_id"].cast("long").alias("k")
-                ),
-            ).otherwise(acc)
 
-        return F.aggregate(F.col("cb"), init, merge)
+    # argmin per subspace: transform evaluates each code's distance ONCE
+    # (a fold comparing d would re-evaluate the interpreted chain twice
+    # per code), and array_min on struct(d, k) compares field-wise —
+    # minimum distance, ties to the lowest code_id, identical to the
+    # oracle's ORDER BY d, code_id.
+    def _best_code(m: int):
+        scored = F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                _sub_l2sq_spark(F.col("embedding"), c["cemb"], m).alias("d"),
+                c["code_id"].cast("long").alias("k"),
+            ),
+        )
+        return F.array_min(scored)
 
     enc_cols = [
         _best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)
