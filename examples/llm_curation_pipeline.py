@@ -129,9 +129,10 @@ def main() -> None:
     # 8b. chunk-level dedup over the CDC chunks: paragraphs shared across
     # curated documents (what CDC's edit-stable boundaries are FOR)
     dup_chunks = dedup_chunk_cdc(spark, sf, docs=curated_docs)
-    # 8c. per-doc scrub report: how much of each doc survives
+    # 8c. per-doc scrub report over the CURATED corpus (same slice the
+    # chunking stages use): how much of each doc survives
     # canonical-owner paragraph dedup
-    scrub = text_scrub_dup_chunks(spark, sf)
+    scrub = text_scrub_dup_chunks(spark, sf, docs=curated_docs)
 
     # 9. rebalance the source mixture toward the median source size,
     # plus the √-temperature upsampling alternative

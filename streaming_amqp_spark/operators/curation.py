@@ -165,26 +165,15 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles are the signature aggregation and the final per-eval-doc
     rollup.  The shingle index is the same cached relation the dedup
     family uses."""
-    from streaming_amqp_spark.functions.text import (
-        lsh_bands,
-        minhash_signature,
-    )
     from streaming_amqp_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         _shared_shingles,
+        band_rows_of,
     )
 
     src = _docs(spark, sf_dir).select("doc_id", "source")
     sh = _shared_shingles(spark, sf_dir).join(src, "doc_id")
-    sig = sh.select(
-        "doc_id", "source", *minhash_signature(F.col("shingles"), 16)
-    )
-    band_rows = sig.select("doc_id", "source", *lsh_bands(16, 4)).selectExpr(
-        "doc_id",
-        "source",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
-        " AS (band_idx, band_hash)",
-    )
+    band_rows = band_rows_of(sh, "source")
     ev = band_rows.where(F.col("source") == EVAL_SOURCE).select(
         F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
     )
@@ -603,22 +592,39 @@ HAVING count(*) > 1
 """
 
 
-def text_scrub_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_scrub_dup_chunks(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document duplicate-chunk scrub report — CCNet-style paragraph
     dedup at CDC-chunk grain: a chunk is dropped when its hash appears in
     another document and this document is not the canonical (lowest-id)
     owner.  Output per doc: chunk/token counts before and after the
     scrub, and the kept-token ratio a curation pipeline thresholds on.
+    Pass ``docs`` to scrub a pre-filtered corpus (the example pipeline
+    hands in its curated survivors, matching its chunking stages).
 
     Scale: chunk text never shuffles twice — the dup index moves
     (16-byte hash, doc_id) pairs, the verdict join is hash-keyed, and
-    the report is one per-doc aggregate."""
-    chunks = (
-        text_chunk_cdc(spark, sf_dir)
-        .withColumn("h", F.md5("chunk_text"))
-        .withColumn("nt", F.size(tokens("chunk_text")))
-        .select("doc_id", "h", "nt")
-    )
+    the report is one per-doc aggregate.  The (doc_id, h, nt) relation
+    is cached: dup and judged both consume it, and without the cache the
+    O(n)-per-doc CDC chunking projection runs twice over the corpus
+    (review-caught).  A caller-supplied batch ``docs`` uses a lazy
+    localCheckpoint instead (per-invocation input — a session cache
+    entry per call would leak)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    def _build() -> DataFrame:
+        return (
+            text_chunk_cdc(spark, sf_dir, docs=docs)
+            .withColumn("h", F.md5("chunk_text"))
+            .withColumn("nt", F.size(tokens("chunk_text")))
+            .select("doc_id", "h", "nt")
+        )
+
+    if docs is None:
+        chunks = shared_cache(spark, ("scrub_chunks", sf_dir), _build)
+    else:
+        chunks = _build().localCheckpoint(eager=False)
     dup = chunks.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("canon"),
@@ -788,11 +794,20 @@ def mixture_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     and integer token targets cannot drift with aggregation order.
 
     Scale: one per-source aggregate (|sources| rows) and two broadcast
-    scalars — the corpus is scanned once."""
+    scalars — the corpus is scanned once.  The |sources|-row aggregate
+    is cached: tot, scored and denom all reference it, and without the
+    cache each branch re-derives it from raw documents (4 corpus scans,
+    review-caught)."""
+    from streaming_amqp_spark.tables import shared_cache
+
     d = _docs(spark, sf_dir)
-    per_src = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens()).cast("long")).alias("src_tokens"),
+    per_src = shared_cache(
+        spark,
+        ("sqrt_temp_per_src", sf_dir),
+        lambda: d.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens()).cast("long")).alias("src_tokens"),
+        ),
     )
     tot = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
     p = F.col("src_tokens").cast("double") / F.col("total_tokens").cast(

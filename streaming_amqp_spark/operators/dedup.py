@@ -264,6 +264,23 @@ WHERE CAST(inter AS DOUBLE) / least(s1.n, s2.n) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+def band_rows_of(sh: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id[, extra…], band_idx, band_hash) LSH band rows of a shingle
+    relation — the single definition of the 16-hash / 4×4-band space,
+    shared by MinHash dedup and fuzzy contamination so the two can never
+    silently diverge on banding parameters."""
+    sig = sh.select(
+        "doc_id", *extra_cols, *minhash_signature(F.col("shingles"), 16)
+    )
+    banded = sig.select("doc_id", *extra_cols, *lsh_bands(16, 4))
+    return banded.selectExpr(
+        "doc_id",
+        *extra_cols,
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3)"
+        " AS (band_idx, band_hash)",
+    )
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
 ) -> DataFrame:
@@ -275,12 +292,7 @@ def dedup_minhash_lsh(
     """
     if sh is None:
         sh = _shared_shingles(spark, sf_dir)
-    sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), 16))
-    banded = sig.select("doc_id", *lsh_bands(16, 4))
-    band_rows = banded.selectExpr(
-        "doc_id",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_hash)",
-    )
+    band_rows = band_rows_of(sh)
     cand = (
         band_rows.alias("a")
         .join(

@@ -307,10 +307,11 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_samples = (F.octet_length(F.col("text").cast("binary")) / F.lit(2)).cast(
         "long"
     )
+    # the when() guard is the ONLY thing making the sequence legal for
+    # sub-frame docs (sequence(0, negative, +hop) throws; CaseWhen
+    # evaluates branches lazily per row) — same idiom as the CDC chunker
     starts = F.sequence(
-        F.lit(0),
-        F.greatest(n_samples - F.lit(AUDIO_FRAME), F.lit(-1)),
-        F.lit(AUDIO_HOP),
+        F.lit(0).cast("long"), n_samples - F.lit(AUDIO_FRAME), F.lit(AUDIO_HOP)
     )
     frame = F.explode(
         F.when(n_samples >= AUDIO_FRAME, starts).otherwise(

@@ -872,22 +872,32 @@ def events_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per day.  Sliding-window
     count-distinct has no running-sum shortcut (users repeat across
     days), so the standard exact formulation: dedupe to (user, day)
-    grain once, fan each user-day out to the ≤7 window days it serves
-    via a broadcast range join against the tiny day list, and
-    count-distinct per window day.  Shuffle volume is user-days × 7,
-    never raw events × 7."""
+    grain once, explode each user-day to EXACTLY the 7 window days it
+    serves (``sequence`` — a projection, not a join), count-distinct
+    per served day, and keep only days the corpus actually contains via
+    a broadcast semi-join against the tiny day list.  Shuffle volume is
+    user-days × 7, never raw events × 7, and no comparison is
+    user-days × |days| (the range-join formulation degrades to a
+    nested-loop of that size — review-caught)."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         F.date_trunc("day", F.col("ts")).alias("uday"), "user_id"
     ).distinct()
-    days = ud.select(F.col("uday").alias("day")).distinct()
-    joined = ud.join(
-        F.broadcast(days),
-        (F.col("uday") <= F.col("day"))
-        & (F.col("uday") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+    served = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("uday"),
+                F.col("uday") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
     )
-    return joined.groupBy("day").agg(
-        F.count_distinct("user_id").alias("dau_7d")
+    days = ud.select(F.col("uday").alias("day")).distinct()
+    return (
+        served.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau_7d"))
     )
 
 

@@ -243,6 +243,30 @@ def test_pq_adc_encoding_is_map_side(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_rolling_dau_has_no_nested_loop_join(spark, sf_dir):
+    """The 7-day window fan-out must be an exploded sequence + hash
+    join, never a range join that plans as BroadcastNestedLoopJoin
+    (user-days x |days| comparisons)."""
+    plan = _plan(spark, sf_dir, "events_rolling_dau_7d")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tiny_aggregate_reuse_is_cached(spark, sf_dir):
+    """Operators whose docstrings promise a bounded number of corpus
+    scans must actually cache the tiny aggregates every branch
+    re-references — without the cache Catalyst re-derives them from the
+    raw table per branch (7 scans for MAD, 4 for the mixture — caught
+    in review)."""
+    for name in (
+        "events_mad_anomaly",
+        "mixture_sqrt_temperature",
+        "text_scrub_dup_chunks",
+    ):
+        df = _QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, f"{name} lost its cache"
+
+
 def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
     """The eval-side band table is broadcast into the candidate join, so
     the training corpus's band rows never shuffle on the band key."""
