@@ -552,6 +552,33 @@ FROM cids GROUP BY doc_id, chunk_id
 """
 
 
+def _chunk_hash_relation(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None
+) -> DataFrame:
+    """(doc_id, h=md5(chunk_text), nt=token count) over the CDC chunks —
+    the shared input of ``dedup_chunk_cdc`` and ``text_scrub_dup_chunks``.
+    Session-cached for the registered corpus (each consumer branch would
+    otherwise re-run the O(n)-per-doc chunking); a caller-supplied batch
+    ``docs`` gets a lazy localCheckpoint (per-invocation input — a cache
+    entry per call would leak); a streaming ``docs`` passes through
+    uncached (nothing to reuse across a micro-batch)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    def _build() -> DataFrame:
+        return (
+            text_chunk_cdc(spark, sf_dir, docs=docs)
+            .withColumn("h", F.md5("chunk_text"))
+            .withColumn("nt", F.size(tokens("chunk_text")))
+            .select("doc_id", "h", "nt")
+        )
+
+    if docs is None:
+        return shared_cache(spark, ("scrub_chunks", sf_dir), _build)
+    if docs.isStreaming:
+        return _build()
+    return _build().localCheckpoint(eager=False)
+
+
 def dedup_chunk_cdc(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -566,10 +593,12 @@ def dedup_chunk_cdc(
     boundaries survive upstream edits, this catches documents that share
     paragraphs even when fixed-stride chunks would misalign.  Pass
     ``docs`` to index a pre-filtered corpus (the example pipeline hands
-    in its curated survivors)."""
-    chunks = text_chunk_cdc(spark, sf_dir, docs=docs)
+    in its curated survivors).  Consumes the same cached (doc_id, h)
+    relation as ``text_scrub_dup_chunks`` — running both in one session
+    chunks the corpus once."""
+    chunks = _chunk_hash_relation(spark, sf_dir, docs)
     return (
-        chunks.select(F.md5("chunk_text").alias("chunk_hash"), "doc_id")
+        chunks.select(F.col("h").alias("chunk_hash"), "doc_id")
         .groupBy("chunk_hash")
         .agg(
             F.count("*").alias("n_copies"),
@@ -611,20 +640,7 @@ def text_scrub_dup_chunks(
     (review-caught).  A caller-supplied batch ``docs`` uses a lazy
     localCheckpoint instead (per-invocation input — a session cache
     entry per call would leak)."""
-    from streaming_amqp_spark.tables import shared_cache
-
-    def _build() -> DataFrame:
-        return (
-            text_chunk_cdc(spark, sf_dir, docs=docs)
-            .withColumn("h", F.md5("chunk_text"))
-            .withColumn("nt", F.size(tokens("chunk_text")))
-            .select("doc_id", "h", "nt")
-        )
-
-    if docs is None:
-        chunks = shared_cache(spark, ("scrub_chunks", sf_dir), _build)
-    else:
-        chunks = _build().localCheckpoint(eager=False)
+    chunks = _chunk_hash_relation(spark, sf_dir, docs)
     dup = chunks.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("canon"),
