@@ -593,9 +593,11 @@ def dedup_chunk_cdc(
     boundaries survive upstream edits, this catches documents that share
     paragraphs even when fixed-stride chunks would misalign.  Pass
     ``docs`` to index a pre-filtered corpus (the example pipeline hands
-    in its curated survivors).  Consumes the same cached (doc_id, h)
-    relation as ``text_scrub_dup_chunks`` — running both in one session
-    chunks the corpus once."""
+    in its curated survivors).  For the registered corpus (docs=None)
+    this consumes the same session-cached (doc_id, h) relation as
+    ``text_scrub_dup_chunks``, so running both chunks the corpus once;
+    a caller-supplied ``docs`` is chunked per call (per-invocation
+    input — no session-cache key to share)."""
     chunks = _chunk_hash_relation(spark, sf_dir, docs)
     return (
         chunks.select(F.col("h").alias("chunk_hash"), "doc_id")

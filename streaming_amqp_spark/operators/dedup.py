@@ -526,7 +526,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused exchange); iterations needed = component diameter, which for
     near-dup clusters is tiny.  ``localCheckpoint`` truncates the lineage
     each round — the standard iterative-algorithm pattern on Spark (the
-    oracle computes the same fixpoint with a recursive CTE)."""
+    oracle computes the same fixpoint with a recursive CTE).
+
+    The converged labels are session-cached: the loop runs EAGERLY (a
+    changed-count action per iteration), so every composing operator
+    (keep-best, cluster sizes, the example pipeline) would otherwise pay
+    the full iterative job again per call (review-caught)."""
+    return shared_cache(
+        spark, ("dedup_clusters", sf_dir), lambda: _dedup_clusters(spark, sf_dir)
+    )
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id1", "id2")
     edges = pairs.union(
         pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))

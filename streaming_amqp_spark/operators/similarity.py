@@ -808,9 +808,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PCA_ITERS):
         with_v = emb.crossJoin(F.broadcast(vrow))
+        # bind u BELOW the explode: projected above Generate, the
+        # interpreted 64-term fold would re-evaluate once per exploded
+        # element (64x per vector) — review-caught, same trap as the
+        # HOF-lambda binding rule in text_chunk_cdc
         u = dot(F.col("embedding"), F.col("v"))
-        prods = with_v.select(
-            F.posexplode("embedding").alias("dim", "xval"), u.alias("u")
+        prods = with_v.withColumn("u", u).select(
+            F.posexplode("embedding").alias("dim", "xval"), "u"
         )
         p = F.round(F.col("xval").cast("double") * F.col("u"), 9).cast(
             "decimal(38,12)"

@@ -269,9 +269,14 @@ def test_tiny_aggregate_reuse_is_cached(spark, sf_dir):
 
 def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
     """The eval-side band table is broadcast into the candidate join, so
-    the training corpus's band rows never shuffle on the band key."""
+    the training corpus's band rows never shuffle on the band key.
+    Asserted on the band columns specifically — a bare 'some broadcast
+    join exists' check would pass even with the hint removed, since AQE
+    broadcasts other small sides at test scale (review-caught)."""
     plan = _plan(spark, sf_dir, "contamination_fuzzy")
     assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(band_idx" not in plan
+    assert "hashpartitioning(band_hash" not in plan
 
 
 _GLOBAL_WINDOW_ALLOWLIST = (
