@@ -285,16 +285,19 @@ WHERE frame_idx % {FRAME_STRIDE} = 0
 """
 
 
-# Audio framing constants: PCM16 mono at 16 kHz, 25 ms frames / 10 ms hop
-# (the standard speech-feature windowing).
-AUDIO_SR = 16_000
-AUDIO_FRAME = 400  # samples per frame (25 ms)
-AUDIO_HOP = 160  # samples per hop (10 ms)
+# Audio framing constants: PCM16 mono at 8 kHz (telephony), 20 ms frames /
+# 10 ms hop — standard narrowband speech windowing.  8 kHz rather than
+# 16 kHz so the test corpus's blob sizes (≤ ~600 bytes ⇒ ≤ ~300 samples)
+# actually produce frames; at 16 kHz/25 ms every test doc would be
+# sub-frame and the operator would be exercised on zero rows.
+AUDIO_SR = 8_000
+AUDIO_FRAME = 160  # samples per frame (20 ms)
+AUDIO_HOP = 80  # samples per hop (10 ms)
 
 
 def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame windowing: treat the blob as PCM16 mono (n_samples =
-    bytes ÷ 2) and emit the 25 ms / 10 ms-hop frame grid — (frame_id,
+    bytes ÷ 2) and emit the 20 ms / 10 ms-hop frame grid — (frame_id,
     start/end sample, start/end ms) — the exact row set a downstream
     Arrow decode step (MFCC/fbank extraction) consumes.  Millisecond
     positions use integer division (sample·1000 div SR): exact BIGINTs

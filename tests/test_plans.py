@@ -243,6 +243,14 @@ def test_pq_adc_encoding_is_map_side(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_whatif_grid_is_one_scan(spark, sf_dir):
+    """All 9 (discount-band, qty-cap) scenarios must come from ONE
+    lineitem scan (conditional aggregation), not a scan per cell."""
+    plan = _plan(spark, sf_dir, "q6_whatif_grid")
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+
+
 def test_rolling_dau_has_no_nested_loop_join(spark, sf_dir):
     """The 7-day window fan-out must be an exploded sequence + hash
     join, never a range join that plans as BroadcastNestedLoopJoin

@@ -581,3 +581,114 @@ def test_streaks_conserve_active_days(spark, sf_dir):
     for r in rows:
         assert r.longest_streak <= r.n_active_days
         assert r.n_streaks <= r.n_active_days
+
+
+def test_whatif_grid_monotone_in_cap_and_consistent(spark, sf_dir):
+    """For a fixed discount band, raising the quantity cap can only add
+    rows: revenue and n_items are monotone non-decreasing in qty_cap."""
+    from streaming_amqp_spark.plans.relational import q6_whatif_grid
+
+    rows = q6_whatif_grid(spark, sf_dir).collect()
+    assert len(rows) == 9
+    by_band: dict[tuple, list] = {}
+    for r in rows:
+        by_band.setdefault((r.d_lo, r.d_hi), []).append(r)
+    for cells in by_band.values():
+        cells.sort(key=lambda r: r.qty_cap)
+        for lo, hi in zip(cells, cells[1:]):
+            assert hi.n_items >= lo.n_items
+            assert (hi.revenue or 0.0) >= (lo.revenue or 0.0)
+
+
+def test_backlog_sweepline_conserves(spark, sf_dir):
+    """Opens and closes balance: the final cumulative backlog equals
+    total opens minus total closes (zero when every order ships), and
+    the curve never goes negative before its minimum possible value."""
+    from streaming_amqp_spark.plans.statistics import (
+        orders_backlog_sweepline,
+    )
+
+    rows = sorted(
+        orders_backlog_sweepline(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    total_open = sum(r.n_opened for r in rows)
+    total_close = sum(r.n_closed for r in rows)
+    assert rows[-1].open_backlog == total_open - total_close
+    running = 0
+    for r in rows:
+        running += r.n_opened - r.n_closed
+        assert r.open_backlog == running
+
+
+def test_vocab_growth_accounts_for_every_token(spark, sf_dir):
+    """cum_vocab's final value equals the corpus's total distinct token
+    count, and per-bucket news sum to it."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators.textstats import text_vocab_growth
+    from streaming_amqp_spark.tables import load_table
+
+    rows = sorted(
+        text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    total_distinct = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .collect()[0][0]  # driver-small: 1 row
+    )
+    assert rows[-1].cum_vocab == total_distinct
+    assert sum(r.n_new_toks for r in rows) == total_distinct
+
+
+def test_audio_frames_within_bounds_and_counted(spark, sf_dir):
+    """Every frame lies inside its blob; per-doc frame count matches the
+    closed-form floor((n_samples - FRAME) / HOP) + 1."""
+    from streaming_amqp_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+        multimodal_audio_frames,
+    )
+
+    rows = multimodal_audio_frames(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.start_sample
+        assert r.end_sample <= r.n_samples
+        assert r.end_sample - r.start_sample == AUDIO_FRAME
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for frames in per_doc.values():
+        n = frames[0].n_samples
+        expect = (n - AUDIO_FRAME) // AUDIO_HOP + 1
+        assert len(frames) == expect
+
+
+def test_rolling_dau_matches_bruteforce(spark, sf_dir):
+    """The exploded-sequence formulation equals a brute-force recompute
+    over the collected (user, day) pairs."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.plans.events import events_rolling_dau_7d
+    from streaming_amqp_spark.tables import load_table
+
+    got = {
+        r.day: r.dau_7d
+        for r in events_rolling_dau_7d(spark, sf_dir).collect()
+    }
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .collect()  # driver-small at sf0.001: user-days
+    )
+    days = sorted({r.day for r in ud})
+    for d in days:
+        users = {
+            r.user_id
+            for r in ud
+            if 0 <= (d - r.day).total_seconds() <= 6 * 86400
+        }
+        assert got[d] == len(users), f"day {d}"
