@@ -247,7 +247,9 @@ def test_whatif_grid_is_one_scan(spark, sf_dir):
     """All 9 (discount-band, qty-cap) scenarios must come from ONE
     lineitem scan (conditional aggregation), not a scan per cell."""
     plan = _plan(spark, sf_dir, "q6_whatif_grid")
-    assert plan.count("Scan parquet") == 1
+    # formatted explain prints each node twice (tree + detail section):
+    # ONE physical scan == exactly 2 string occurrences
+    assert plan.count("Scan parquet") == 2
     assert "HashAggregate" in plan
 
 
