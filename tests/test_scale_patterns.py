@@ -93,3 +93,49 @@ def test_bucketed_join_skips_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """Evidence for the 'AQE handles moderate skew' claim in SCALING.md:
+    with a deliberately skewed build side (one key owning ~98% of rows),
+    AQE's OptimizeSkewedJoin must split the hot partition — the executed
+    SortMergeJoin reports skew=true.  Thresholds are lowered for test
+    data sizes and restored afterward (at 100 TB the defaults fire)."""
+    confs = {
+        # tiny thresholds: the hot partition is ~200k rows but lz4
+        # shuffle compression shrinks it far below the 256MB default
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        left = spark.range(n).select(
+            F.when(F.col("id") % 100 < 98, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        # execute THIS DataFrame's own query execution (count() builds a
+        # separate one whose final adaptive plan we can't inspect); the
+        # join must be the result stage — a downstream aggregate imposes
+        # a distribution requirement under which AQE declines to split
+        # keep the distinct payload column: a k-only projection is all
+        # identical values and compresses below any sane skew threshold
+        joined = left.join(right, "k").select("k", "payload", "name")
+        assert len(joined.collect()) == n  # test-only materialization
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
