@@ -17,11 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_amqp_spark.functions.text import stopword_count, tokens
-from streaming_amqp_spark.operators.dedup import (
-    _SHINGLE_CTE,
-    JACCARD_THRESHOLD,
-    dedup_minhash_lsh,
-)
+from streaming_amqp_spark.operators.dedup import dedup_minhash_lsh
 from streaming_amqp_spark.tables import fan_out, load_table
 
 MIN_QUALITY = 0.55

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from streaming_amqp_spark.functions.vectors import cosine, dot, sql_cosine, sql_dot
+from streaming_amqp_spark.functions.vectors import cosine, dot, sql_cosine
 from streaming_amqp_spark.tables import load_table
 
 DIMS = 64

@@ -5,8 +5,6 @@ here long before it shows up as a 100 TB incident."""
 
 from __future__ import annotations
 
-import pytest
-
 import __spark_entry__ as entrymod
 
 _QUERIES = entrymod.queries()
