@@ -563,17 +563,25 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 
 
 def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order since 1998 — the churn list.  (The
+    original no-order-ever formulation was vacuously empty at every test
+    scale, so the anti-join never produced a row; the recency predicate
+    pushes into the orders scan and yields a real survivor set.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 _ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
 """
 
 
