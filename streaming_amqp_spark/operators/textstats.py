@@ -692,49 +692,70 @@ WHERE n_tok >= 1
 
 
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary-growth (Heaps'-law) curve: the corpus in 10 doc-id
-    deciles — new distinct tokens first introduced in each decile and the
-    cumulative vocabulary.  The dataset-card panel that shows whether a
-    corpus keeps contributing new vocabulary or has gone stale.
+    """Vocabulary-growth (Heaps'-law) curve at BIGRAM grain: the corpus in
+    16 md5-ordered slices — new distinct token bigrams first introduced in
+    each slice and the cumulative vocabulary.  The dataset-card panel that
+    shows whether a corpus keeps contributing new phrasing or has gone
+    stale.
 
-    Scale: each token contributes once at its first-occurrence doc
-    (min(doc_id) per token — one shuffle of (token, id) pairs with
-    map-side combine); deciles use exact integer division against the
-    broadcast max id; the running sum windows over 10 rows."""
+    Two deliberate choices keep the curve non-vacuous (ADVICE r4: the
+    token-grain/doc-id-decile version put the whole 31-token synthetic
+    vocabulary in decile 0, so the bucketing was never exercised):
+    - the vocabulary unit is the adjacent-token BIGRAM (~900 distinct in
+      the fixture vs 31 unigrams) — rare combinations keep appearing deep
+      into the corpus, which is the regime Heaps' law describes;
+    - corpus presentation order is the md5-shuffled doc order (key =
+      md5(doc_id) || '-' || doc_id, a deterministic total order), and a
+      doc's slice is the first hex digit of that key — 16 uniform buckets
+      with no global rank, no max-id join, no window over the corpus.
+
+    Scale: each bigram contributes once at its first-occurrence key
+    (min(key) per bigram — one shuffle of (bigram, key) pairs with
+    map-side combine); the running sum windows over 16 rows."""
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir)
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    d = _docs(spark, sf_dir).withColumn("toks", tokens())
+    t = F.col("toks")
+    key = F.concat(
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
     )
-    first = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    mx = d.agg(F.max("doc_id").alias("max_doc"))
+    bigrams = F.transform(
+        F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    ex = d.select(
+        key.alias("k"), F.explode(F.array_distinct(bigrams)).alias("big")
+    )
+    first = ex.groupBy("big").agg(F.min("k").alias("fk"))
     per = (
-        first.crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("(first_doc * 10) div (max_doc + 1)").alias("bucket")
-        )
+        first.select(F.substring("fk", 1, 1).alias("bucket"))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n_new_toks"))
+        .agg(F.count("*").alias("n_new_bigrams"))
     )
     w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return per.withColumn("cum_vocab", F.sum("n_new_toks").over(w))
+    return per.withColumn("cum_vocab", F.sum("n_new_bigrams").over(w))
 
 
 _VOCAB_GROWTH_SQL = """
-WITH ex AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-  FROM documents
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ex AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) || '-' || CAST(doc_id AS VARCHAR) AS k,
+         toks[i] || ' ' || toks[i + 1] AS big
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
 ),
-first AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY tok),
-mx AS (SELECT max(doc_id) AS max_doc FROM documents),
+first AS (SELECT big, min(k) AS fk FROM ex GROUP BY big),
 per AS (
-  SELECT (first_doc * 10) // (max_doc + 1) AS bucket,
-         count(*) AS n_new_toks
-  FROM first, mx GROUP BY 1
+  SELECT substring(fk, 1, 1) AS bucket, count(*) AS n_new_bigrams
+  FROM first GROUP BY 1
 )
-SELECT bucket, n_new_toks,
-       CAST(sum(n_new_toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+SELECT bucket, n_new_bigrams,
+       CAST(sum(n_new_bigrams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS cum_vocab
 FROM per
 """

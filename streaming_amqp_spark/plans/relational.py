@@ -210,7 +210,14 @@ def q6_whatif_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (discount-band, quantity-cap) scenario computed as a conditional
     DECIMAL sum inside ONE aggregate over one pushed-down scan, then
     unpivoted to a 9-row grid.  At 100 TB this replaces 9 full scans
-    with 1 — the parameter sweep costs columns, not reads."""
+    with 1 — the parameter sweep costs columns, not reads.
+
+    Band semantics (deliberate, ADVICE r4): each band is a CLOSED
+    interval (>= lo AND <= hi), mirroring q6's ``BETWEEN`` — every
+    scenario is a standalone what-if answer ("discount in [lo, hi]"),
+    not a partition of rows, so adjacent bands intentionally share
+    their endpoint (a row at l_discount = 0.04 belongs to both the
+    [0.02, 0.04] and [0.04, 0.06] scenarios in both engines)."""
     li = _t(spark, sf_dir, "lineitem")
     year = (
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")

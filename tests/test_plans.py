@@ -303,8 +303,8 @@ _GLOBAL_WINDOW_ALLOWLIST = (
     "sum(n_new_users#",
     # backlog sweep-line running sum: one row per DAY, not per order
     "sum(net_delta#",
-    # vocab-growth running sum: 10 decile rows, not per token
-    "sum(n_new_toks#",
+    # vocab-growth running sum: 16 md5-slice rows, not per bigram
+    "sum(n_new_bigrams#",
 )
 
 

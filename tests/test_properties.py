@@ -622,9 +622,11 @@ def test_backlog_sweepline_conserves(spark, sf_dir):
         assert r.open_backlog == running
 
 
-def test_vocab_growth_accounts_for_every_token(spark, sf_dir):
-    """cum_vocab's final value equals the corpus's total distinct token
-    count, and per-bucket news sum to it."""
+def test_vocab_growth_accounts_for_every_bigram(spark, sf_dir):
+    """cum_vocab's final value equals the corpus's total distinct bigram
+    count, per-bucket news sum to it, and — the non-vacuity guard ADVICE
+    r4 asked for — new vocabulary actually arrives in MORE THAN ONE
+    bucket, so the bucketing and running sum are genuinely exercised."""
     from pyspark.sql import functions as F
 
     from streaming_amqp_spark.operators.textstats import text_vocab_growth
@@ -633,14 +635,24 @@ def test_vocab_growth_accounts_for_every_token(spark, sf_dir):
     rows = sorted(
         text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket
     )
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    big = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
     total_distinct = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("tok"))
-        .agg(F.count_distinct("tok"))
+        .where(F.size(toks) >= 2)
+        .select(F.explode(big).alias("big"))
+        .agg(F.count_distinct("big"))
         .collect()[0][0]  # driver-small: 1 row
     )
+    assert len(rows) > 1, "Heaps curve collapsed into a single bucket"
     assert rows[-1].cum_vocab == total_distinct
-    assert sum(r.n_new_toks for r in rows) == total_distinct
+    assert sum(r.n_new_bigrams for r in rows) == total_distinct
 
 
 def test_audio_frames_within_bounds_and_counted(spark, sf_dir):
