@@ -352,6 +352,109 @@ GROUP BY l_returnflag
 """
 
 
+# Count-min sketch: CMS_D independent md5-derived hash rows of CMS_W
+# buckets (2 hex digits).  eps = e / W is the classic Cormode-Muthukrishnan
+# additive error bound: est <= true + eps * N (with prob 1 - e^-D over the
+# hash draw; our hashes are FIXED, so for a given dataset the booleans
+# below are deterministic — checkable, never flaky).
+CMS_D = 4
+CMS_W = 256
+CMS_EPS = 2.718281828459045 / CMS_W
+# Heavy-hitter threshold: 1.3x the MEAN per-key support.  A fixed row
+# fraction goes vacuous on this near-uniform fixture as N grows (at
+# sf0.1 no key holds 0.05% of 600k rows); a mean-relative threshold
+# keeps a non-empty, scale-stable tail at every sf.
+CMS_ALPHA = 1.3
+
+
+def _cms_hashes(key: F.Column) -> F.Column:
+    """The CMS_D (row, bucket) coordinates of a key: bucket = first two
+    hex digits of md5('<row>:' || key) — identical in DuckDB."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 2
+                ).alias("b"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over lineitem part keys, with the
+    sketch's two published guarantees reduced to oracle-checkable
+    booleans (the agg_approx_stats pattern): for every key whose exact
+    support >= CMS_PHI * N, (a) the CMS estimate never under-counts
+    (est >= true — the no-false-negative property heavy-hitter detection
+    rests on) and (b) est <= true + eps * N (the additive error bound).
+
+    Scale: the sketch is the 100 TB workhorse — D x W = 1024 counters of
+    fixed size built map-side in one pass, vs an O(distinct-keys) exact
+    aggregate.  Here the sketch is derived from the per-key aggregate
+    (CMS is linear, so summing per-key counts into cells is bit-identical
+    to counting rows into cells) because the exact side must exist anyway
+    to ground the booleans; at scale you would build the sketch directly
+    from rows and drop the exact side.  Everything downstream of the one
+    lineitem scan operates on the |keys|-row aggregate; the sketch and
+    the one-row total are broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    tot = exact.agg(
+        F.sum("true_cnt").alias("n_total"),
+        F.count("*").alias("n_keys"),
+    )
+    sketch = (
+        exact.select(
+            "true_cnt", F.explode(_cms_hashes(F.col("k").cast("string"))).alias("p")
+        )
+        .groupBy("p.r", "p.b")
+        .agg(F.sum("true_cnt").alias("cell"))
+    )
+    heavy = exact.crossJoin(F.broadcast(tot)).where(
+        F.col("true_cnt")
+        >= F.ceil(F.lit(CMS_ALPHA) * F.col("n_total") / F.col("n_keys"))
+    )
+    est = (
+        heavy.select(
+            "k",
+            "true_cnt",
+            "n_total",
+            F.explode(_cms_hashes(F.col("k").cast("string"))).alias("p"),
+        )
+        .select("k", "true_cnt", "n_total", "p.r", "p.b")
+        .join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("k", "true_cnt", "n_total")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.select(
+        F.col("k").alias("part_key"),
+        "true_cnt",
+        (F.col("est") >= F.col("true_cnt")).alias("cms_overestimates"),
+        (
+            F.col("est")
+            <= F.col("true_cnt") + F.lit(CMS_EPS) * F.col("n_total")
+        ).alias("cms_within_bound"),
+    )
+
+
+_CMS_SQL = f"""
+WITH exact AS (
+  SELECT l_partkey AS k, count(*) AS true_cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(true_cnt) AS BIGINT) AS n_total,
+               count(*) AS n_keys FROM exact)
+SELECT k AS part_key, CAST(true_cnt AS BIGINT) AS true_cnt,
+       TRUE AS cms_overestimates, TRUE AS cms_within_bound
+FROM exact, tot
+WHERE true_cnt >= ceil(CAST({CMS_ALPHA!r} AS DOUBLE) * n_total / n_keys)
+"""
+
+
 QUERIES = {
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_array_funcs": scalar_array_funcs,
@@ -362,6 +465,7 @@ QUERIES = {
     "scalar_conditional_funcs": scalar_conditional_funcs,
     "agg_variance_corr": agg_variance_corr,
     "agg_approx_stats": agg_approx_stats,
+    "agg_cms_heavy_hitters": agg_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -374,4 +478,5 @@ ORACLES = {
     "scalar_conditional_funcs": _CONDITIONAL_SQL,
     "agg_variance_corr": _VARIANCE_SQL,
     "agg_approx_stats": _APPROX_SQL,
+    "agg_cms_heavy_hitters": _CMS_SQL,
 }
