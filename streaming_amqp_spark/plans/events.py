@@ -1038,8 +1038,157 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------------- streaming batch twins
+# VERDICT r4 #5: surface the streaming-only semantics as oracled batch
+# queries so the driver's DuckDB gate attests them too.
+
+DEDUP_TWIN_DELAY_US = 24 * 3600 * 1_000_000  # 1 day, in exact microseconds
+
+
+def dedup_within_delay(
+    df: DataFrame, keys: list[str], ts_col: str, delay_us: int
+) -> DataFrame:
+    """Batch twin of ``streaming.windows.streaming_dedup``
+    (``dropDuplicatesWithinWatermark``): per key, walk events in
+    EVENT-TIME order and keep one iff it is >= ``delay_us`` after the
+    previously KEPT one (the kept event opens a suppression window;
+    suppressed duplicates do NOT extend it — exactly the state-expiry
+    semantics of the streaming operator under in-order arrival, which
+    ``tests/test_streaming.py`` ties to the live streaming path).
+
+    The greedy recurrence is inherently sequential per key, so it runs
+    as an ordered array fold (the EWMA/next-fit pattern): one shuffle on
+    the dedup key, then a per-key O(k) walk.  In streaming, k is bounded
+    by the watermark horizon; here by the key granularity.  Returns one
+    row per KEPT event: (*keys, kept_ts_us)."""
+    rows = df.select(*keys, F.unix_micros(F.col(ts_col)).alias("tus"))
+    per = rows.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("tus")).alias("ts_arr")
+    )
+    kept = F.aggregate(
+        F.col("ts_arr"),
+        F.struct(
+            F.lit(None).cast("long").alias("last"),
+            F.array().cast("array<long>").alias("kept"),
+        ),
+        lambda acc, x: F.when(
+            acc["last"].isNull()
+            | (x >= acc["last"] + F.lit(delay_us)),
+            F.struct(
+                x.alias("last"),
+                F.concat(acc["kept"], F.array(x)).alias("kept"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["kept"],
+    )
+    return per.select(*keys, F.explode(kept).alias("kept_ts_us"))
+
+
+def streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-dedup semantics over the events table: per (user_id,
+    event_type), keep the first event and every event at least one day
+    after the previously kept one — the batch-replayable definition of
+    dropDuplicatesWithinWatermark's keep/drop decision (see
+    ``dedup_within_delay``).  The oracle replays the identical greedy
+    walk as a recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_within_delay(
+        ev, ["user_id", "event_type"], "ts", DEDUP_TWIN_DELAY_US
+    )
+
+
+_DEDUP_TWIN_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_type, rn, tus, tus AS last_kept, TRUE AS kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.rn, e.tus,
+         CASE WHEN e.tus >= w.last_kept + {DEDUP_TWIN_DELAY_US}
+              THEN e.tus ELSE w.last_kept END,
+         e.tus >= w.last_kept + {DEDUP_TWIN_DELAY_US}
+  FROM ev e
+  JOIN walk w ON e.user_id = w.user_id
+             AND e.event_type = w.event_type
+             AND e.rn = w.rn + 1
+)
+SELECT user_id, event_type, tus AS kept_ts_us FROM walk WHERE kept
+"""
+
+
+def streaming_rollup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the continuous hourly rollup
+    (``streaming.rollup.hourly_rollup_agg``): the same (hour, address)
+    grain and measure set the streaming-maintained store carries, over
+    the events table (address ≡ event_type, numeric body ≡ value,
+    sender ≡ user_id).  Differences are exactly the oracle-portability
+    conventions: the value sum goes through exact DECIMAL (the streaming
+    store sums doubles), and the HLL sender estimate is reduced to a
+    within-3·rsd-of-exact boolean (the agg_approx_stats pattern) instead
+    of shipping the raw sketch value.  ``test_streaming_rollup_twin``
+    pins this query to the live rollup aggregation on the same envelope.
+
+    Scale: one scan, one partial-aggregated shuffle on (hour, address);
+    the single exact count-distinct rides the same aggregate (at 100 TB
+    the store keeps only the HLL column — fixed state per group)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("address"),
+        )
+        .agg(
+            F.count("*").alias("n_messages"),
+            dsum("value", "sum_value"),
+            F.max("value").alias("max_value"),
+            F.count_distinct("user_id").alias("exact_senders"),
+            F.approx_count_distinct("user_id").alias("apx"),
+        )
+    )
+    # Two-regime bound: 3·rsd relative error is HLL's published guarantee
+    # for large cardinalities; per-(hour, address) sender counts here are
+    # tiny (3-51), where the estimator works in its linear-counting
+    # regime with small ABSOLUTE error (observed ±4 at sf0.1) — so the
+    # claim is abs_err <= max(3·rsd·exact, 5).  Deterministic given the
+    # data (fixed sketch, fixed input), so checkable, never flaky.
+    within = F.abs(F.col("apx") - F.col("exact_senders")) <= F.greatest(
+        F.lit(3 * 0.05) * F.col("exact_senders"), F.lit(5.0)
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyyMMddHH").alias("hour"),
+        F.col("w.start").alias("window_start"),
+        "address",
+        "n_messages",
+        "sum_value",
+        "max_value",
+        "exact_senders",
+        within.alias("senders_within_bound"),
+    )
+
+
+_ROLLUP_TWIN_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hour,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type AS address,
+       count(*) AS n_messages,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       max(value) AS max_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_senders,
+       TRUE AS senders_within_bound
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "streaming_dedup_twin": streaming_dedup_twin,
+    "streaming_rollup_twin": streaming_rollup_twin,
     "events_cum_distinct_users": events_cum_distinct_users,
     "events_rolling_dau_7d": events_rolling_dau_7d,
     "events_conversion_latency": events_conversion_latency,
@@ -1063,6 +1212,8 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": _FUNNEL_SQL,
+    "streaming_dedup_twin": _DEDUP_TWIN_SQL,
+    "streaming_rollup_twin": _ROLLUP_TWIN_SQL,
     "events_cum_distinct_users": _CUM_DISTINCT_SQL,
     "events_rolling_dau_7d": _ROLLING_DAU_SQL,
     "events_conversion_latency": _CONVERSION_SQL,

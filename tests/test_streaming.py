@@ -882,3 +882,86 @@ def test_streaming_contamination_scan(amqp, tmp_path):
     out = _run_stream_to_memory(amqp, flagged, "contam_stream_out")
     ids = {r.message_id for r in out.collect()}
     assert ids == {"dirty"}
+
+
+def test_streaming_dedup_matches_batch_twin(amqp, tmp_path):
+    """The registered batch twin (plans.events.dedup_within_delay) makes
+    the same keep/drop decisions as the live dropDuplicatesWithinWatermark
+    path: kept events open a 60 s suppression window; suppressed
+    duplicates do not extend it; once the watermark passes the kept
+    event's expiry the key dedups anew.  In-order arrival, 2-message
+    micro-batches so the watermark actually advances between waves."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.plans.events import dedup_within_delay
+    from streaming_amqp_spark.streaming.windows import streaming_dedup
+
+    msgs = [  # (addr, ts-seconds): see expiry walk in the docstring
+        ("a", 0), ("a", 30),      # batch 1: keep a@0, drop a@30
+        ("w", 110), ("w", 130),   # batch 2: keep w@110, drop w@130;
+                                  #   raises the watermark to 70 > a's 60 expiry
+        ("w2", 135), ("w2", 140),  # batch 3: keep w2@135, drop w2@140;
+                                  #   state cleanup runs with wm 70 → evicts a
+        ("a", 150), ("a", 170),   # batch 4: keep a@150 anew, drop a@170
+    ]
+    spool = _write_spool(
+        tmp_path,
+        [
+            {
+                "message_id": f"x{i}",
+                "to_address": addr,
+                "body": "1",
+                "ingest_ts": f"2024-01-01T00:{s // 60:02d}:{s % 60:02d}",
+            }
+            for i, (addr, s) in enumerate(msgs)
+        ],
+    )
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .option("maxMessagesPerBatch", "2")
+        .load()
+    )
+    deduped = streaming_dedup(env, keys=["to_address"], watermark="1 minute")
+    out = _run_stream_to_memory(
+        amqp,
+        deduped.select("to_address", F.unix_micros("ingest_ts").alias("tus")),
+        "dedup_twin_out",
+    )
+    streamed = {(r.to_address, r.tus) for r in out.collect()}
+
+    batch = amqp.createDataFrame(
+        [(a, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}") for a, s in msgs],
+        "to_address string, ingest_ts string",
+    ).select("to_address", F.col("ingest_ts").cast("timestamp").alias("ingest_ts"))
+    twin = {
+        (r.to_address, r.kept_ts_us)
+        for r in dedup_within_delay(
+            batch, ["to_address"], "ingest_ts", 60 * 1_000_000
+        ).collect()
+    }
+    assert streamed == twin
+    assert len(twin) == 4  # a@0, w@110, w2@135, a@150
+
+
+def test_streaming_rollup_twin_matches_live_rollup(spark, sf_dir):
+    """The registered oracled twin carries the same (hour, address) grain
+    and agrees with the live hourly_rollup_agg on every shared measure
+    (count and max exactly; sum within the DECIMAL-vs-double ulp)."""
+    from streaming_amqp_spark.envelope import events_as_envelope
+    from streaming_amqp_spark.plans.events import streaming_rollup_twin
+    from streaming_amqp_spark.streaming.rollup import hourly_rollup_agg
+    from streaming_amqp_spark.tables import load_table
+
+    env = events_as_envelope(load_table(spark, sf_dir, "events"))
+    live = {(r.hour, r.address): r for r in hourly_rollup_agg(env).collect()}
+    twin = streaming_rollup_twin(spark, sf_dir).collect()
+    assert twin and len(twin) == len(live)
+    for r in twin:
+        lv = live[(r.hour, r.address)]
+        assert lv.n_messages == r.n_messages
+        assert lv.max_value == r.max_value
+        assert abs(lv.sum_value - r.sum_value) <= 1e-6 * max(
+            1.0, abs(r.sum_value)
+        )
