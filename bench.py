@@ -76,7 +76,6 @@ HEADLINE = [
     "text_token_entropy",
     "rfm_segmentation",
     "events_resample_15m",
-    "profile_table",
     # round-4 session-2 operators
     "dedup_containment",
     "dedup_keep_best",
@@ -88,6 +87,13 @@ HEADLINE = [
     "text_scrub_dup_chunks",
     "skew_key_report",
     "orders_backlog_sweepline",
+    # round-5 operators
+    "profile_table",
+    "agg_cms_heavy_hitters",
+    "dedup_substring_runs",
+    "streaming_dedup_twin",
+    "streaming_rollup_twin",
+    "text_vocab_growth",
 ]
 
 

@@ -555,8 +555,9 @@ FROM cids GROUP BY doc_id, chunk_id
 def _chunk_hash_relation(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None
 ) -> DataFrame:
-    """(doc_id, h=md5(chunk_text), nt=token count) over the CDC chunks —
-    the shared input of ``dedup_chunk_cdc`` and ``text_scrub_dup_chunks``.
+    """(doc_id, chunk_id, h=md5(chunk_text), nt=token count) over the CDC
+    chunks — the shared input of ``dedup_chunk_cdc``,
+    ``text_scrub_dup_chunks`` and ``dedup_substring_runs``.
     Session-cached for the registered corpus (each consumer branch would
     otherwise re-run the O(n)-per-doc chunking); a caller-supplied batch
     ``docs`` gets a lazy localCheckpoint (per-invocation input — a cache
@@ -569,7 +570,7 @@ def _chunk_hash_relation(
             text_chunk_cdc(spark, sf_dir, docs=docs)
             .withColumn("h", F.md5("chunk_text"))
             .withColumn("nt", F.size(tokens("chunk_text")))
-            .select("doc_id", "h", "nt")
+            .select("doc_id", "chunk_id", "h", "nt")
         )
 
     if docs is None:
@@ -689,6 +690,128 @@ SELECT doc_id,
          AS keep_ratio
 FROM judged
 GROUP BY doc_id
+"""
+
+
+# Frequency cap for substring-run matching: a chunk hash occurring more
+# than this many times across the corpus is boilerplate (license headers,
+# navigation chrome) — joining on it would fan out quadratically for zero
+# dedup signal.  Same role and value as dedup.MAX_SHINGLE_FREQ.
+MAX_CHUNK_MATCH_FREQ = 256
+
+
+def dedup_substring_runs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Exact-substring dedup at CDC-chunk grain (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring family, re-based on content-defined chunks — the
+    edit-stable unit this repo already indexes): for every document pair
+    sharing a CONSECUTIVE run of >= 2 identical chunks, report the
+    longest shared run (in chunks and tokens) and the total aligned
+    chunk matches.  A long run is verbatim copying; a suffix-automaton
+    finds it per pair in RAM, but at corpus scale the distributed shape
+    is alignment-diagonal detection:
+
+    matched chunk pairs (doc_a, doc_b, pos_a, pos_b) sharing md5(chunk)
+    lie on diagonal d = pos_a - pos_b; a CONSECUTIVE shared run is a
+    gap-free interval along one diagonal, found with the gaps-and-islands
+    trick (pos_a - row_number) inside each (pair, diagonal) window.
+
+    Scale: candidate generation is the (hash) equi-join on 16-byte chunk
+    hashes — never all pairs; hashes above MAX_CHUNK_MATCH_FREQ
+    occurrences are dropped first (broadcast anti-join), capping the
+    worst-case fan-out exactly like the shingle posting cap in
+    dedup_ngram_jaccard.  Windows partition by (doc_a, doc_b, diag) —
+    per-pair-sized, never corpus-sized.  Chunk text never shuffles:
+    only (hash, doc, position) triples move."""
+    chunks = _chunk_hash_relation(spark, sf_dir, docs)
+    common = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .where(F.col("occ") > MAX_CHUNK_MATCH_FREQ)
+        .select("h")
+    )
+    filt = chunks.join(F.broadcast(common), "h", "left_anti")
+    a = filt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("chunk_id").alias("pa"),
+        "h",
+        F.col("nt").alias("nt_a"),
+    )
+    b = filt.select(
+        F.col("doc_id").alias("doc_b"), F.col("chunk_id").alias("pb"), "h"
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pa",
+            "nt_a",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+        )
+    )
+    wn = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pairs.withColumn("island", F.col("pa") - F.row_number().over(wn))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run_chunks"),
+        F.sum("nt_a").alias("run_tokens"),
+    )
+    per = runs.groupBy("doc_a", "doc_b").agg(
+        F.max(F.struct("run_chunks", "run_tokens")).alias("best"),
+        F.sum("run_chunks").alias("n_aligned_chunks"),
+    )
+    return per.select(
+        "doc_a",
+        "doc_b",
+        F.col("best.run_chunks").alias("longest_run_chunks"),
+        F.col("best.run_tokens").alias("longest_run_tokens"),
+        "n_aligned_chunks",
+    ).where(F.col("longest_run_chunks") >= 2)
+
+
+_SUBSTRING_RUNS_SQL = f"""
+WITH chunks AS ({_CDC_SQL}),
+ch AS (
+  SELECT doc_id, chunk_id, md5(chunk_text) AS h,
+         len(string_split(chunk_text, ' ')) AS nt
+  FROM chunks
+),
+filt AS (
+  SELECT * FROM ch
+  WHERE h NOT IN (SELECT h FROM ch GROUP BY h
+                  HAVING count(*) > {MAX_CHUNK_MATCH_FREQ})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk_id AS pa,
+         a.nt AS nt_a, a.chunk_id - b.chunk_id AS diag
+  FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pa) AS island
+  FROM pairs
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, island,
+         count(*) AS run_chunks,
+         CAST(sum(nt_a) AS BIGINT) AS run_tokens
+  FROM isl GROUP BY 1, 2, 3, 4
+),
+per AS (
+  SELECT doc_a, doc_b, run_chunks, run_tokens,
+         CAST(sum(run_chunks) OVER (PARTITION BY doc_a, doc_b) AS BIGINT)
+           AS n_aligned_chunks,
+         row_number() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY run_chunks DESC, run_tokens DESC)
+           AS rk
+  FROM runs
+)
+SELECT doc_a, doc_b, run_chunks AS longest_run_chunks,
+       run_tokens AS longest_run_tokens, n_aligned_chunks
+FROM per WHERE rk = 1 AND run_chunks >= 2
 """
 
 
@@ -1220,6 +1343,7 @@ QUERIES = {
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
     "dedup_chunk_cdc": dedup_chunk_cdc,
+    "dedup_substring_runs": dedup_substring_runs,
     "text_scrub_dup_chunks": text_scrub_dup_chunks,
     "sample_topk_per_stratum": sample_topk_per_stratum,
 }
@@ -1239,6 +1363,7 @@ ORACLES = {
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
     "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,
+    "dedup_substring_runs": _SUBSTRING_RUNS_SQL,
     "text_scrub_dup_chunks": _SCRUB_SQL.format(cdc=_CDC_SQL),
     "sample_topk_per_stratum": _TOPK_STRATUM_SQL,
 }

@@ -704,3 +704,19 @@ def test_rolling_dau_matches_bruteforce(spark, sf_dir):
             if 0 <= (d - r.day).total_seconds() <= 6 * 86400
         }
         assert got[d] == len(users), f"day {d}"
+
+
+def test_substring_runs_are_real_runs(spark, sf_dir):
+    """Every reported pair has a genuine >= 2-chunk consecutive run; the
+    longest run never exceeds the pair's total aligned matches; run token
+    counts are at least one token per chunk; and the near-dup replica
+    structure of the fixture actually produces pairs (non-vacuity)."""
+    from streaming_amqp_spark.operators.curation import dedup_substring_runs
+
+    rows = dedup_substring_runs(spark, sf_dir).collect()
+    assert rows, "fixture should contain verbatim multi-chunk overlaps"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.longest_run_chunks >= 2
+        assert r.longest_run_tokens >= r.longest_run_chunks
+        assert r.n_aligned_chunks >= r.longest_run_chunks
