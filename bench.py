@@ -94,6 +94,7 @@ HEADLINE = [
     "streaming_dedup_twin",
     "streaming_rollup_twin",
     "text_vocab_growth",
+    "ann_pq_kmeans_recall",
 ]
 
 

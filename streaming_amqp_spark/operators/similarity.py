@@ -775,6 +775,362 @@ GROUP BY e.query_id
 """
 
 
+# ------------------------------------------- PQ k-means codebook training
+PQ_KM_ITERS = 2
+
+
+def _cvec_l2sq_spark(e, cvec, m: int):
+    """Squared L2 between subspace ``m`` of a 64-dim array and an 8-dim
+    codebook centroid, as the same left-associated chain as
+    ``_sub_l2sq_spark`` (spelled identically in the oracle)."""
+    terms = []
+    for j in range(1, PQ_SUB + 1):
+        d = F.element_at(e, m * PQ_SUB + j).cast("double") - F.element_at(
+            cvec, j
+        )
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _cvec_l2sq_sql(e: str, c: str, m_expr: str) -> str:
+    return " + ".join(
+        f"((CAST({e}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE) - {c}[{j}])"
+        f" * (CAST({e}[{m_expr} * {PQ_SUB} + {j}] AS DOUBLE) - {c}[{j}]))"
+        for j in range(1, PQ_SUB + 1)
+    )
+
+
+def _pq_init_codebook(emb: DataFrame) -> DataFrame:
+    """(m, code_id, cvec double[8]): the sub-vectors of the first PQ_K
+    vectors — the same deterministic seed ann_pq_adc's fixed codebook
+    uses, now as Lloyd's starting point."""
+
+    def sub_of(m: int):
+        return F.transform(
+            F.sequence(F.lit(m * PQ_SUB + 1), F.lit(m * PQ_SUB + PQ_SUB)),
+            lambda i: F.element_at(F.col("embedding"), i).cast("double"),
+        )
+
+    return (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").cast("long").alias("code_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            sub_of(m).alias("cvec"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("p.m", "code_id", "p.cvec")
+    )
+
+
+def _cb_onerow(cb_rows: DataFrame) -> DataFrame:
+    """The 128-row codebook as ONE broadcastable row, sorted by
+    (m, code_id) so subspace m occupies slice [m*PQ_K+1, PQ_K]."""
+    return cb_rows.agg(
+        F.sort_array(F.collect_list(F.struct("m", "code_id", "cvec"))).alias(
+            "cb"
+        )
+    )
+
+
+def _pq_assign(emb: DataFrame, cb_rows: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vector, subspace) against a trained
+    codebook: transform scores each code ONCE, array_min's field-wise
+    struct compare breaks ties to the lowest code_id (≡ the oracle's
+    ORDER BY d, code_id) — the _best_code convention."""
+    wc = emb.crossJoin(F.broadcast(_cb_onerow(cb_rows)))
+
+    def best(m: int):
+        scored = F.transform(
+            F.slice(F.col("cb"), m * PQ_K + 1, PQ_K),
+            lambda c: F.struct(
+                _cvec_l2sq_spark(F.col("embedding"), c["cvec"], m).alias("d"),
+                c["code_id"].alias("k"),
+            ),
+        )
+        return F.array_min(scored)["k"]
+
+    return wc.select(
+        "vec_id",
+        "embedding",
+        *[best(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+
+
+def _pq_train_kmeans(emb: DataFrame, iters: int = PQ_KM_ITERS) -> DataFrame:
+    """PQ_KM_ITERS Lloyd iterations per subspace: assign each sub-vector
+    to its nearest centroid, recompute centroids as the DECIMAL-exact
+    mean of their members (round(9) + DECIMAL(38,12) sums, the
+    embedding_pca_power convention, so partition layout cannot perturb
+    them); empty clusters keep their previous centroid.
+
+    Scale: one corpus scan per iteration (assignment is map-side against
+    the broadcast 128-row codebook) + one (m, code, dim)-keyed shuffle of
+    1024 partial-aggregated cells — the MLlib k-means shape.  The
+    codebook iterate is localCheckpoint'd per iteration so T iterations
+    cost T scans, not 2^T plan re-derivations."""
+    cb = cb0 = _pq_init_codebook(emb)
+    for _ in range(iters):
+        a = _pq_assign(emb, cb)
+        stacked = a.selectExpr(
+            "embedding",
+            "stack({n}, {args}) AS (m, code)".format(
+                n=PQ_M,
+                args=", ".join(f"{m}L, code{m}" for m in range(PQ_M)),
+            ),
+        )
+        vals = stacked.select(
+            "m",
+            "code",
+            F.explode(F.sequence(F.lit(1), F.lit(PQ_SUB))).alias("j"),
+            "embedding",
+        )
+        p = F.round(
+            F.element_at(
+                F.col("embedding"),
+                (F.col("m") * PQ_SUB + F.col("j")).cast("int"),
+            ).cast("double"),
+            9,
+        ).cast("decimal(38,12)")
+        means = vals.groupBy("m", "code", "j").agg(
+            (F.sum(p).cast("double") / F.count("*")).alias("mu")
+        )
+        mv = means.groupBy("m", F.col("code").alias("code_id")).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cvec_new")
+        )
+        cb = (
+            cb.join(mv, ["m", "code_id"], "left")
+            .select(
+                "m",
+                "code_id",
+                F.coalesce("cvec_new", F.col("cvec")).alias("cvec"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    del cb0
+    return cb
+
+
+def ann_pq_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means-trained PQ codebook itself, unpivoted to scalar rows
+    (m, code_id, dim, c) — every Lloyd step exactly oracle-checked (the
+    oracle unrolls the identical assignments and DECIMAL means as CTEs,
+    the embedding_pca_power pattern)."""
+    emb = _emb(spark, sf_dir)
+    cb = _pq_train_kmeans(emb)
+    return cb.select(
+        "m",
+        "code_id",
+        F.posexplode("cvec").alias("dim", "c"),
+    ).select("m", "code_id", F.col("dim").cast("long").alias("dim"), "c")
+
+
+def _pq_kmeans_cb_ctes(iters: int = PQ_KM_ITERS) -> str:
+    """CTE chain cb0 → cb{iters} replaying Lloyd bit-for-bit."""
+    chain = _cvec_l2sq_sql("e.embedding", "c.cvec", "c.m")
+    parts = [
+        f"""cb0 AS (
+  SELECT CAST(m.m AS BIGINT) AS m, CAST(e.vec_id AS BIGINT) AS code_id,
+         list_transform(range(1, {PQ_SUB + 1}),
+                        j -> CAST(e.embedding[m.m * {PQ_SUB} + j] AS DOUBLE))
+           AS cvec
+  FROM embeddings e, UNNEST(range(0, {PQ_M})) AS m(m)
+  WHERE e.vec_id < {PQ_K})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""assign{t} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, c.m, c.code_id AS code,
+           row_number() OVER (PARTITION BY e.vec_id, c.m
+                              ORDER BY {chain}, c.code_id) AS rk
+    FROM embeddings e, cb{t - 1} c)
+  WHERE rk = 1),
+means{t} AS (
+  SELECT a.m, a.code, j.j,
+         CAST(sum(CAST(round(CAST(e.embedding[a.m * {PQ_SUB} + j.j]
+                                  AS DOUBLE), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM assign{t} a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       UNNEST(range(1, {PQ_SUB + 1})) AS j(j)
+  GROUP BY 1, 2, 3),
+mv{t} AS (
+  SELECT m, code AS code_id, list(mu ORDER BY j) AS cvec_new
+  FROM means{t} GROUP BY 1, 2),
+cb{t} AS (
+  SELECT p.m, p.code_id, coalesce(n.cvec_new, p.cvec) AS cvec
+  FROM cb{t - 1} p
+  LEFT JOIN mv{t} n ON n.m = p.m AND n.code_id = p.code_id)"""
+        )
+    return ",\n".join(parts)
+
+
+def _pq_kmeans_codebook_oracle() -> str:
+    return f"""
+WITH {_pq_kmeans_cb_ctes()}
+SELECT m, code_id, CAST(j - 1 AS BIGINT) AS dim, cvec[j] AS c
+FROM cb{PQ_KM_ITERS}, UNNEST(range(1, {PQ_SUB + 1})) AS t(j)
+"""
+
+
+def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC under the TRAINED codebook against the exact
+    L2 top-k baseline — the measurement that justifies spending Lloyd
+    iterations: on this corpus mean recall doubles vs the fixed
+    codebook of ann_pq_recall at the driver/bench scales (0.30 vs 0.15
+    at sf0.01, 0.225 vs 0.125 at sf0.1 — asserted by
+    test_pq_kmeans_recall_beats_fixed; the 500-vector sf0.001 corpus is
+    inside sampling noise).  Same ADC shape as ann_pq_adc:
+    encoding is a pure scan against the broadcast codebook, the query
+    distance table is broadcast, DECIMAL-exact distance sums,
+    (dist, neighbor_id) tie-breaks."""
+    emb = _emb(spark, sf_dir)
+    cb = _pq_train_kmeans(emb)
+    enc = _pq_assign(emb, cb).selectExpr(
+        "vec_id",
+        "stack({n}, {args}) AS (m, code)".format(
+            n=PQ_M,
+            args=", ".join(f"{m}L, code{m}" for m in range(PQ_M)),
+        ),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wq = q.crossJoin(F.broadcast(_cb_onerow(cb)))
+
+    def qdists(m: int):
+        return F.transform(
+            F.slice(F.col("cb"), m * PQ_K + 1, PQ_K),
+            lambda c: F.struct(
+                F.lit(m).cast("long").alias("m"),
+                c["code_id"].alias("code_id"),
+                F.round(
+                    _cvec_l2sq_spark(F.col("q_emb"), c["cvec"], m), 6
+                ).alias("qdist"),
+            ),
+        )
+
+    qd = wq.select(
+        "query_id",
+        F.explode(F.concat(*[qdists(m) for m in range(PQ_M)])).alias("p"),
+    ).select("query_id", "p.m", "p.code_id", "p.qdist")
+    adc = (
+        enc.join(
+            F.broadcast(qd),
+            (enc.m == qd.m) & (enc.code == qd.code_id),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    approx = (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(float(PQ_TOPK))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _pq_kmeans_recall_oracle() -> str:
+    T = PQ_KM_ITERS
+    chain = _cvec_l2sq_sql("e.embedding", "c.cvec", "c.m")
+    chain_q = _cvec_l2sq_sql("q.embedding", "c.cvec", "c.m")
+    d_full = " + ".join(
+        "(" + _sub_l2sq_sql("q.embedding", "b.embedding", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_kmeans_cb_ctes()},
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, c.m, c.code_id AS code,
+           row_number() OVER (PARTITION BY e.vec_id, c.m
+                              ORDER BY {chain}, c.code_id) AS rk
+    FROM embeddings e, cb{T} c)
+  WHERE rk = 1),
+qd AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id, round({chain_q}, 6) AS qdist
+  FROM embeddings q, cb{T} c
+  WHERE q.vec_id < {N_QUERIES}),
+adc AS (
+  SELECT qd.query_id, enc.vec_id AS neighbor_id,
+         CAST(sum(CAST(qd.qdist AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+  FROM enc JOIN qd ON qd.m = enc.m AND qd.code_id = enc.code
+  WHERE enc.vec_id <> qd.query_id
+  GROUP BY 1, 2),
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_dist, neighbor_id)
+                    AS rank
+        FROM adc)
+  WHERE rank <= {PQ_TOPK}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {d_full}, b.vec_id) AS rank
+    FROM embeddings q
+    JOIN embeddings b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {PQ_TOPK})
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 # ------------------------------------------------------ PCA power iteration
 PCA_ITERS = 3
 # v0 = uniform unit vector; 1/8 = 0.125 is exact in binary, so both
@@ -887,6 +1243,8 @@ QUERIES = {
     "embedding_l2_normalize": embedding_l2_normalize,
     "ann_pq_adc": ann_pq_adc,
     "ann_pq_recall": ann_pq_recall,
+    "ann_pq_kmeans_codebook": ann_pq_kmeans_codebook,
+    "ann_pq_kmeans_recall": ann_pq_kmeans_recall,
     "embedding_pca_power": embedding_pca_power,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
@@ -902,6 +1260,8 @@ ORACLES = {
     "embedding_l2_normalize": _L2_NORM_SQL,
     "ann_pq_adc": _pq_oracle(),
     "ann_pq_recall": _pq_recall_oracle(),
+    "ann_pq_kmeans_codebook": _pq_kmeans_codebook_oracle(),
+    "ann_pq_kmeans_recall": _pq_kmeans_recall_oracle(),
     "embedding_pca_power": _pca_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
