@@ -43,36 +43,51 @@ _MODULES = (
     _tpch_extra,
 )
 
-# The driver only checks the first 50 registry entries per round.  Rounds 1-3
-# attested 100 of the 102 registered queries (CORRECTNESS_r02/r03); this list
-# rotates per round so every never-attested query lands in slots 1-50.
-# Round 4: text_chunk_cdc + sample_stratified_balanced (added in r3 after the
-# pinned window) and the new r4 queries take the slots of already-green r3
-# rows (text_bigram_counts, text_doc_frequency, ... — verdicts on record in
-# CORRECTNESS_r03.json).
+# The driver only checks the first 50 registry entries per round; the list
+# rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
+# query or its oracle must put that name in the window.
+# Round 5 composition:
+# - 7 queries modified in r4 AFTER their last driver verdict (VERDICT r4
+#   "What's wrong #1"): anti_join_idle_customers (re-formulated — its r2
+#   green was a vacuous 0-row match), q10_returned_items,
+#   text_repetition_stats, domain_mixture_weights, dedup_ngram_jaccard,
+#   dedup_minhash_lsh, dedup_clusters.
+# - 4 queries touched in r5: profile_table (HLL-bound reform),
+#   text_vocab_growth (bigram reform), dedup_chunk_cdc +
+#   text_scrub_dup_chunks (shared chunk relation now carries chunk_id).
+# - 6 new r5 queries: agg_cms_heavy_hitters, streaming_dedup_twin,
+#   streaming_rollup_twin, dedup_substring_runs, ann_pq_kmeans_codebook,
+#   ann_pq_kmeans_recall.
+# - 33 freshness slots for queries whose latest verdict is r2 (TPC-H set +
+#   join/window families); the remaining 15 r2-only names rotate in r6.
 _FIRST_50 = (
-    "text_gopher_rules", "corpus_len_histogram", "dedup_cross_source",
-    "embedding_l2_normalize", "window_first_last", "agg_bit_bool",
-    "layout_zorder_events", "text_boilerplate_prefixes",
-    "mixture_token_budget", "events_top_paths", "profile_table",
-    "events_resample_15m", "text_token_entropy", "rfm_segmentation",
-    "text_chunk_cdc", "sample_stratified_balanced", "dedup_chunk_cdc",
-    "text_tfidf_topk", "embedding_quantize_int8", "events_zscore_anomaly",
-    "sample_topk_per_stratum", "events_transition_counts",
-    "dedup_cluster_sizes", "text_unigram_logprob", "basket_brand_pairs",
-    "dedup_containment",
-    "dedup_keep_best", "multimodal_audio_frames", "multimodal_storage_report",
-    "contamination_fuzzy", "ann_pq_recall", "embedding_pca_power",
-    "ann_pq_adc", "skew_key_report", "events_rolling_dau_7d",
-    "events_mad_anomaly", "events_cum_distinct_users", "text_readability",
-    "events_conversion_latency", "events_user_streaks",
-    "mixture_sqrt_temperature",
-    "text_scrub_dup_chunks", "customer_order_gaps",
-    "events_dow_hour_heatmap", "orders_backlog_sweepline",
-    "q6_whatif_grid", "text_vocab_growth",
-    "revenue_mom_change",
-    "order_fulfillment_latency",
-    "agg_approx_stats",
+    # stale-verdict rotation (r4 modifications)
+    "anti_join_idle_customers", "q10_returned_items",
+    "text_repetition_stats", "domain_mixture_weights",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
+    # touched in r5
+    "profile_table", "text_vocab_growth", "dedup_chunk_cdc",
+    "text_scrub_dup_chunks",
+    # new in r5
+    "agg_cms_heavy_hitters", "streaming_dedup_twin", "streaming_rollup_twin",
+    "dedup_substring_runs", "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall",
+    # r2-freshness: TPC-H core
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue_ratio",
+    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    # r2-freshness: join/window/events families
+    "asof_join_error_purchase", "asof_join_forward",
+    "range_join_signup_clicks", "semi_join_big_orders",
+    "full_outer_nation_profile", "priciest_part_per_brand",
+    "events_funnel", "events_ewma", "events_retention",
+    "events_interval_join_binned", "window_topk_orders_per_customer",
+    "window_range_frame_7d",
 )
 
 
