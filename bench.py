@@ -373,7 +373,20 @@ def main() -> None:
         failed["_stream_scaleout_throughput"] = str(e)[:200]
     if failed:
         out["failed"] = failed
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Also persist in-repo: BENCH_r04's driver capture was truncated
+    # mid-JSON (VERDICT r4 "What's wrong #3") — the file copy makes the
+    # round's numbers lossless even if stdout capture clips.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout is still the contract
+    print(line)
     spark.stop()
 
 

@@ -386,12 +386,27 @@ def test_scan_fused_round4b_operators_have_no_exchange(spark, sf_dir):
         assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan[:800]}"
 
 
-def test_profile_table_is_single_scan(spark, sf_dir):
-    """profile_table's one-pass claim: exactly one parquet scan feeds all
-    per-column metrics (a per-column-scan regression shows up as 5)."""
+def test_profile_table_plan_shape(spark, sf_dir):
+    """The r5 reform's claims, pinned (VERDICT r4 #2):
+    - registered (exact-grounded) path: exactly TWO scans — the sketch
+      base aggregate plus the hash-only distinct-pair side — and, the
+      actual fix, NO 6-way row Expand and no Sort feeding an aggregate
+      (the old multi-distinct compiled to Expand + SortAggregate over
+      900k sorted rows);
+    - sketch path (exact=False, the 100 TB plan): exactly ONE scan,
+      no Expand, fixed-size HLL state."""
+    from streaming_amqp_spark.plans.statistics import profile_table
+
     # formatted explain prints every scan node twice (tree + detail)
     plan = _plan(spark, sf_dir, "profile_table")
-    assert plan.count("Scan parquet") == 2, plan[:800]
+    assert plan.count("Scan parquet") == 4, plan[:800]
+    assert "Expand" not in plan, plan[:800]
+    assert "Sort [" not in plan, plan[:800]
+
+    sk = profile_table(spark, sf_dir, exact=False)
+    skplan = sk._jdf.queryExecution().executedPlan().toString()
+    assert skplan.count("Scan parquet") == 1, skplan[:800]
+    assert "Expand" not in skplan, skplan[:800]
 
 
 def test_top_paths_is_take_ordered(spark, sf_dir):
