@@ -55,11 +55,12 @@ _MODULES = (
 # - 4 queries touched in r5: profile_table (HLL-bound reform),
 #   text_vocab_growth (bigram reform), dedup_chunk_cdc +
 #   text_scrub_dup_chunks (shared chunk relation now carries chunk_id).
-# - 6 new r5 queries: agg_cms_heavy_hitters, streaming_dedup_twin,
+# - 7 new r5 queries: agg_cms_heavy_hitters, streaming_dedup_twin,
 #   streaming_rollup_twin, dedup_substring_runs, ann_pq_kmeans_codebook,
-#   ann_pq_kmeans_recall.
+#   ann_pq_kmeans_recall, text_lang_confusion (in a freshness slot).
 # - 33 freshness slots for queries whose latest verdict is r2 (TPC-H set +
-#   join/window families); the remaining 15 r2-only names rotate in r6.
+#   join/window families); the remaining 16 r2-only names (incl.
+#   window_range_frame_7d) rotate in r6.
 _FIRST_50 = (
     # stale-verdict rotation (r4 modifications)
     "anti_join_idle_customers", "q10_returned_items",
@@ -87,7 +88,7 @@ _FIRST_50 = (
     "full_outer_nation_profile", "priciest_part_per_brand",
     "events_funnel", "events_ewma", "events_retention",
     "events_interval_join_binned", "window_topk_orders_per_customer",
-    "window_range_frame_7d",
+    "text_lang_confusion",
 )
 
 

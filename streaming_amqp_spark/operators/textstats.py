@@ -630,6 +630,91 @@ GROUP BY doc_id, n_tok
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level language-ID confusion matrix between TWO independent
+    heuristic classifiers (the disagreement panel a curation pipeline
+    reviews before trusting either label): per (true lang, prediction A,
+    prediction B) cell, the document count.
+
+    - Classifier A (function-word): 'en' iff any stopword occurs — the
+      text_lang_id rule.
+    - Classifier B (dominant-token): 'en' iff the doc's single most
+      frequent token (ties → lexicographically smallest, so the mode is
+      deterministic in both engines) is a stopword.
+
+    On this shared-vocabulary synthetic corpus neither classifier can be
+    *right*; what the matrix exercises is the machinery — two per-row
+    classifiers fused into one scan, a 3-key cell aggregate, and
+    off-diagonal cells that actually occur (docs where a stopword
+    appears but does not dominate split A and B).
+
+    Scale: both classifiers are pure array expressions over the bound
+    token array (no shuffle, no UDF); the only Exchange is the
+    |cells|-row final aggregate.  The mode computation is O(u·n) per doc
+    (u = within-doc distinct tokens) — bounded by document length, not
+    corpus size."""
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.size(tokens()) >= 1)
+        .withColumn("toks", tokens())
+        .withColumn("dt", F.array_distinct(tokens()))
+    )
+    t = F.col("toks")
+    mode = F.array_min(
+        F.transform(
+            F.col("dt"),
+            lambda y: F.struct(
+                (
+                    -F.size(F.filter(t, lambda x: x == y))
+                ).alias("negcnt"),
+                y.alias("tok"),
+            ),
+        )
+    )["tok"]
+    pred_fw = (
+        F.when(stopword_count(t) > 0, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_fw")
+    )
+    pred_mode = (
+        F.when(mode.isin(*STOPWORDS), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_mode")
+    )
+    return (
+        d.select("lang", pred_fw, pred_mode)
+        .groupBy("lang", "pred_fw", "pred_mode")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+),
+sc AS (
+  SELECT lang, toks,
+         len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS n_stop,
+         list_max(list_transform(list_distinct(toks),
+                  y -> len(list_filter(toks, x -> x = y)))) AS mc
+  FROM t
+),
+md AS (
+  SELECT lang, n_stop,
+         list_min(list_filter(list_distinct(toks),
+                  y -> len(list_filter(toks, x -> x = y)) = mc)) AS mode
+  FROM sc
+)
+SELECT lang,
+       CASE WHEN n_stop > 0 THEN 'en' ELSE 'unknown' END AS pred_fw,
+       CASE WHEN mode IN ({_SW_LIST}) THEN 'en' ELSE 'unknown' END
+         AS pred_mode,
+       count(*) AS n_docs
+FROM md GROUP BY 1, 2, 3
+"""
+
+
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability signal: syllables estimated as vowel
     groups (``[aeiou]+`` runs — the standard cheap heuristic), sentences
@@ -772,6 +857,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
+    "text_lang_confusion": text_lang_confusion,
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
@@ -789,6 +875,7 @@ ORACLES = {
     "text_token_stats": _TOKEN_STATS_SQL,
     "text_quality_score": _QUALITY_SQL,
     "text_lang_id": _LANG_SQL,
+    "text_lang_confusion": _LANG_CONFUSION_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
