@@ -60,7 +60,8 @@ _MODULES = (
 #   ann_pq_kmeans_recall, text_lang_confusion (in a freshness slot).
 # - 33 freshness slots for queries whose latest verdict is r2 (TPC-H set +
 #   join/window families); the remaining 16 r2-only names (incl.
-#   window_range_frame_7d) rotate in r6.
+#   window_range_frame_7d, events_retention) rotate in r6; embedding_pca_power
+#   re-enters (r5 localCheckpoint change).
 _FIRST_50 = (
     # stale-verdict rotation (r4 modifications)
     "anti_join_idle_customers", "q10_returned_items",
@@ -86,7 +87,7 @@ _FIRST_50 = (
     "asof_join_error_purchase", "asof_join_forward",
     "range_join_signup_clicks", "semi_join_big_orders",
     "full_outer_nation_profile", "priciest_part_per_brand",
-    "events_funnel", "events_ewma", "events_retention",
+    "events_funnel", "events_ewma", "embedding_pca_power",
     "events_interval_join_binned", "window_topk_orders_per_customer",
     "text_lang_confusion",
 )
