@@ -775,6 +775,282 @@ GROUP BY e.query_id
 """
 
 
+# -------------------------------------- two-stage retrieval (IVF -> PQ-ADC)
+NPROBE = 2  # clusters probed per query (multi-probe IVF)
+
+
+def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval shape — BOTH ANN tiers composed: an IVF
+    coarse probe shortlists ~NPROBE/K of the corpus, and the shortlist is
+    re-ranked by PQ-ADC code distances, so query time touches centroids
+    + 8-byte codes + the candidate id list, never a full vector.  Output
+    per query: shortlist size, hits against the exact-L2 top-k baseline,
+    recall@k — the panel that tunes (nprobe, codebook) against latency.
+
+    Scale: phase 1 is Q×K against broadcast centroids; phase 2 joins the
+    broadcast probe table on the cluster key (label-partition pruning —
+    at 100 TB the candidate scan reads only probed partitions); the ADC
+    re-rank shuffles map-side-combined DECIMAL sums for candidate pairs
+    only (|cands| ≪ N·Q).  The exact baseline exists to measure recall
+    and is dropped at scale.  The fixed deterministic codebook keeps the
+    oracle chain identical to ann_pq_adc's; the k-means-trained codebook
+    (_pq_train_kmeans) drops in without changing the shape."""
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias(
+                "v"
+            )
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pv", lambda s: s["v"]).alias("centroid"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored_c = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "c_label",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("c_cos"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_label")
+    )
+    probe = (
+        scored_c.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= NPROBE)
+        .select("query_id", F.col("c_label").alias("probe_label"))
+    )
+    cand = (
+        emb.join(F.broadcast(probe), emb.label == probe.probe_label)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count("*").alias("n_candidates")
+    )
+    # PQ encoding + query distance table: identical to ann_pq_adc
+    cb = (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.struct("code_id", "cemb"))).alias(
+                "cb"
+            )
+        )
+    )
+    with_cb = emb.crossJoin(F.broadcast(cb))
+
+    def _best_code(m: int):
+        scored = F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                _sub_l2sq_spark(F.col("embedding"), c["cemb"], m).alias("d"),
+                c["code_id"].cast("long").alias("k"),
+            ),
+        )
+        return F.array_min(scored)
+
+    enc = with_cb.select(
+        "vec_id",
+        *[_best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)],
+    ).selectExpr(
+        "vec_id",
+        "stack({n}, {args}) AS (m, code)".format(
+            n=PQ_M, args=", ".join(f"{m}, code{m}" for m in range(PQ_M))
+        ),
+    )
+    cb_rows = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
+    )
+    qd = (
+        q.crossJoin(F.broadcast(cb_rows))
+        .select(
+            "query_id",
+            "code_id",
+            *[
+                F.round(
+                    _sub_l2sq_spark(F.col("q_emb"), F.col("cemb"), m), 6
+                ).alias(f"qd{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .selectExpr(
+            "query_id",
+            "code_id",
+            "stack({n}, {args}) AS (m, qdist)".format(
+                n=PQ_M, args=", ".join(f"{m}, qd{m}" for m in range(PQ_M))
+            ),
+        )
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(
+            F.broadcast(qd),
+            ["query_id", "m"],
+        )
+        .where(F.col("code") == F.col("code_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(shortlist, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(float(PQ_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .join(ncand, "query_id")
+        .select("query_id", "n_candidates", "n_hit", "recall_at_k")
+    )
+
+
+def _two_stage_oracle() -> str:
+    dot_qc = " + ".join(
+        f"(CAST(q.embedding[{i}] AS DOUBLE) * c.centroid[{i}])"
+        for i in range(1, DIMS + 1)
+    )
+    norm_c = " + ".join(
+        f"(c.centroid[{i}] * c.centroid[{i}])" for i in range(1, DIMS + 1)
+    )
+    norm_q = " + ".join(
+        f"(CAST(q.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE))"
+        for i in range(1, DIMS + 1)
+    )
+    d_ec = _sub_l2sq_sql("e.embedding", "c.cemb", "m.m")
+    d_qc = _sub_l2sq_sql("q.embedding", "c.cemb", "m.m")
+    d_full = " + ".join(
+        "(" + _sub_l2sq_sql("q.embedding", "b.embedding", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH cent AS (
+  SELECT label AS c_label,
+         list(v ORDER BY pos) AS centroid
+  FROM (SELECT label, i - 1 AS pos,
+               round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS v
+        FROM embeddings, UNNEST(range(1, {DIMS + 1})) AS t(i)
+        GROUP BY label, i - 1)
+  GROUP BY label
+),
+probe AS (
+  SELECT query_id, c_label AS probe_label FROM (
+    SELECT q.vec_id AS query_id, c.c_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({dot_qc}) / (sqrt({norm_q}) * sqrt({norm_c})) DESC,
+                      c.c_label) AS rk
+    FROM embeddings q, cent c
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rk <= {NPROBE}
+),
+cand AS (
+  SELECT p.query_id, b.vec_id
+  FROM probe p JOIN embeddings b
+    ON b.label = p.probe_label AND b.vec_id <> p.query_id
+),
+ncand AS (
+  SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1
+),
+cbr AS (
+  SELECT vec_id AS code_id, embedding AS cemb FROM embeddings
+  WHERE vec_id < {PQ_K}
+),
+dists AS (
+  SELECT e.vec_id, m.m, c.code_id, {d_ec} AS d
+  FROM embeddings e, UNNEST(range(0, {PQ_M})) AS m(m), cbr c
+),
+enc AS (
+  SELECT vec_id, m, code_id AS code FROM (
+    SELECT vec_id, m, code_id,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code_id) AS rk
+    FROM dists)
+  WHERE rk = 1
+),
+qd AS (
+  SELECT q.vec_id AS query_id, m.m, c.code_id, round({d_qc}, 6) AS qdist
+  FROM embeddings q, UNNEST(range(0, {PQ_M})) AS m(m), cbr c
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         CAST(sum(CAST(qd.qdist AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+  FROM cand
+  JOIN enc ON enc.vec_id = cand.vec_id
+  JOIN qd ON qd.query_id = cand.query_id AND qd.m = enc.m
+         AND qd.code_id = enc.code
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_dist, neighbor_id)
+                    AS rank
+        FROM adc)
+  WHERE rank <= {PQ_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {d_full}, b.vec_id) AS rank
+    FROM embeddings q
+    JOIN embeddings b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {PQ_TOPK}
+)
+SELECT e.query_id, n.n_candidates,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(count(s.neighbor_id) AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k
+FROM exact e
+LEFT JOIN shortlist s
+  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+JOIN ncand n ON n.query_id = e.query_id
+GROUP BY e.query_id, n.n_candidates
+"""
+
+
 # ------------------------------------------- PQ k-means codebook training
 PQ_KM_ITERS = 2
 
@@ -1251,6 +1527,7 @@ QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_pq_kmeans_codebook": ann_pq_kmeans_codebook,
     "ann_pq_kmeans_recall": ann_pq_kmeans_recall,
+    "ann_two_stage_recall": ann_two_stage_recall,
     "embedding_pca_power": embedding_pca_power,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
@@ -1268,6 +1545,7 @@ ORACLES = {
     "ann_pq_recall": _pq_recall_oracle(),
     "ann_pq_kmeans_codebook": _pq_kmeans_codebook_oracle(),
     "ann_pq_kmeans_recall": _pq_kmeans_recall_oracle(),
+    "ann_two_stage_recall": _two_stage_oracle(),
     "embedding_pca_power": _pca_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
