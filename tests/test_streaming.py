@@ -965,3 +965,67 @@ def test_streaming_rollup_twin_matches_live_rollup(spark, sf_dir):
         assert abs(lv.sum_value - r.sum_value) <= 1e-6 * max(
             1.0, abs(r.sum_value)
         )
+
+
+def test_continuous_cms_store_equals_batch_sketch(amqp, tmp_path):
+    """The continuously-maintained CMS store (two waves through one
+    checkpoint, stop/restart between them) equals the one-shot batch
+    sketch over all messages — CMS linearity makes the complete-mode
+    overwrite store exactly mergeable — and point estimates from the
+    store never under-count."""
+    from streaming_amqp_spark.streaming.cms import (
+        cms_cell_agg,
+        cms_estimate,
+        start_continuous_cms,
+    )
+
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def msgs(lo, hi):
+        return [
+            {
+                "message_id": f"m{i}",
+                "to_address": f"addr{i % 7}",  # skewed key space
+                "body": "1",
+                "ingest_ts": "2024-01-01T00:00:01",
+            }
+            for i in range(lo, hi)
+        ]
+
+    def run_wave(messages, fname):
+        _write_spool(tmp_path, messages, fname=fname)
+        env = (
+            amqp.readStream.format("amqp")
+            .option("transport", "spool")
+            .option("spooldir", str(tmp_path / "spool"))
+            .load()
+        )
+        q = start_continuous_cms(env, store, ckpt, key_col="to_address")
+        q.processAllAvailable()
+        q.stop()
+
+    run_wave(msgs(0, 40), "000.jsonl")
+    run_wave(msgs(40, 100), "001.jsonl")  # restart from the same checkpoint
+
+    stored = {
+        (r.r, r.b): r.cell for r in amqp.read.parquet(store).collect()
+    }
+    env_all = amqp.createDataFrame(
+        [(f"addr{i % 7}",) for i in range(100)], "to_address string"
+    )
+    batch = {
+        (r.r, r.b): r.cell
+        for r in cms_cell_agg(env_all, "to_address").collect()
+    }
+    assert stored == batch
+
+    keys = amqp.createDataFrame(
+        [(f"addr{i}",) for i in range(7)], "to_address string"
+    )
+    true_counts = {f"addr{i}": len([j for j in range(100) if j % 7 == i])
+                   for i in range(7)}
+    for r in cms_estimate(
+        amqp.read.parquet(store), keys, "to_address"
+    ).collect():
+        assert r.est >= true_counts[r.k]  # CMS never under-counts
