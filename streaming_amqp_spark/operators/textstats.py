@@ -630,6 +630,116 @@ GROUP BY doc_id, n_tok
 """
 
 
+BPE_MERGES = 3  # learned merge steps (each oracle-unrolled as CTEs)
+BPE_JOIN = "+"  # joiner for merged tokens (absent from the corpus vocab)
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pair-merge vocabulary induction at word grain: BPE_MERGES
+    iterations of (count adjacent token pairs across the corpus → take
+    the most frequent pair, ties → lexicographic → merge every
+    left-to-right occurrence corpus-wide).  Output is the learned merge
+    table (step, tok_a, tok_b, pair_count) — the artifact a tokenizer
+    training run ships.
+
+    The merge step is CROSS-ENGINE-DETERMINISTIC via a string rewrite
+    both engines implement identically (left-to-right, non-overlapping
+    replace): the text is space-doubled and padded so every token
+    boundary carries two spaces, the pattern ' x  y ' consumes one space
+    on each side, and the replacement ' x+y ' restores them — which
+    makes consecutive matches ("x y x y") merge BOTH pairs, exactly the
+    greedy token-level BPE semantics, and overlapping chains ("a a a")
+    merge left-to-right once.
+
+    Scale: each iteration is one pair-count aggregate (map-side
+    combined, shuffling (x, y) token pairs) + a corpus-wide projection
+    (the replace chain — no shuffle).  The chosen pair is a ONE-ROW
+    localCheckpoint'd broadcast, so step k's lineage is the raw corpus
+    plus k tiny broadcasts: T merges cost T scans.  At 100 TB you would
+    persist the rewritten corpus between steps; the learned-merge logic
+    is unchanged."""
+    cur = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        d = cur.withColumn("toks", F.split("text", " "))
+        t = F.col("toks")
+        pair_idx = F.when(
+            F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        ex = d.select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("x"),
+                        F.element_at(t, i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+        best = (
+            ex.groupBy("x", "y")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("x").alias("tok_a"),
+                F.col("y").alias("tok_b"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        doubled = F.concat(
+            F.lit(" "), F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")
+        )
+        rep = F.concat(
+            F.lit(" "), F.col("x"), F.lit(BPE_JOIN), F.col("y"), F.lit(" ")
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.trim(
+                F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))
+            ).alias("text"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_oracle() -> str:
+    parts = ["t0 AS (SELECT doc_id, text FROM documents)"]
+    selects = []
+    for s in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{s} AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, count(*) AS c
+  FROM (SELECT string_split(text, ' ') AS toks FROM t{s - 1}) d,
+       UNNEST(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2),
+b{s} AS (SELECT x, y, c FROM p{s} ORDER BY c DESC, x, y LIMIT 1),
+t{s} AS (
+  SELECT doc_id,
+         trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+                              ' ' || b.x || '  ' || b.y || ' ',
+                              ' ' || b.x || '{BPE_JOIN}' || b.y || ' '),
+                      '  ', ' ')) AS text
+  FROM t{s - 1}, b{s} b)""")
+        selects.append(
+            f"SELECT {s} AS step, x AS tok_a, y AS tok_b,"
+            f" CAST(c AS BIGINT) AS pair_count FROM b{s}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level language-ID confusion matrix between TWO independent
     heuristic classifiers (the disagreement panel a curation pipeline
@@ -858,6 +968,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_lang_confusion": text_lang_confusion,
+    "text_bpe_merges": text_bpe_merges,
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
@@ -876,6 +987,7 @@ ORACLES = {
     "text_quality_score": _QUALITY_SQL,
     "text_lang_id": _LANG_SQL,
     "text_lang_confusion": _LANG_CONFUSION_SQL,
+    "text_bpe_merges": _bpe_oracle(),
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
