@@ -95,6 +95,9 @@ HEADLINE = [
     "streaming_rollup_twin",
     "text_vocab_growth",
     "ann_pq_kmeans_recall",
+    "ann_two_stage_recall",
+    "text_bpe_merges",
+    "text_lang_confusion",
 ]
 
 
