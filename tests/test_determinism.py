@@ -28,6 +28,9 @@ _QUERIES = entrymod.queries()
 #   embedding_pca_power       iterative DECIMAL cross-row reductions
 #   ann_pq_adc                DECIMAL ADC sums + rank tie-breaks
 #   dedup_minhash_lsh         md5 banding + jaccard verify
+#   ann_pq_kmeans_codebook    Lloyd iterations: DECIMAL means + argmin ties
+#   streaming_dedup_twin      greedy ordered fold over collected arrays
+#   text_bpe_merges           iterated global argmax + corpus rewrite
 _CASES = (
     "q1_pricing_summary",
     "agg_percentiles",
@@ -37,6 +40,9 @@ _CASES = (
     "embedding_pca_power",
     "ann_pq_adc",
     "dedup_minhash_lsh",
+    "ann_pq_kmeans_codebook",
+    "streaming_dedup_twin",
+    "text_bpe_merges",
 )
 
 
