@@ -634,30 +634,10 @@ BPE_MERGES = 3  # learned merge steps (each oracle-unrolled as CTEs)
 BPE_JOIN = "+"  # joiner for merged tokens (absent from the corpus vocab)
 
 
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-style pair-merge vocabulary induction at word grain: BPE_MERGES
-    iterations of (count adjacent token pairs across the corpus → take
-    the most frequent pair, ties → lexicographic → merge every
-    left-to-right occurrence corpus-wide).  Output is the learned merge
-    table (step, tok_a, tok_b, pair_count) — the artifact a tokenizer
-    training run ships.
-
-    The merge step is CROSS-ENGINE-DETERMINISTIC via a string rewrite
-    both engines implement identically (left-to-right, non-overlapping
-    replace): the text is space-doubled and padded so every token
-    boundary carries two spaces, the pattern ' x  y ' consumes one space
-    on each side, and the replacement ' x+y ' restores them — which
-    makes consecutive matches ("x y x y") merge BOTH pairs, exactly the
-    greedy token-level BPE semantics, and overlapping chains ("a a a")
-    merge left-to-right once.
-
-    Scale: each iteration is one pair-count aggregate (map-side
-    combined, shuffling (x, y) token pairs) + a corpus-wide projection
-    (the replace chain — no shuffle).  The chosen pair is a ONE-ROW
-    localCheckpoint'd broadcast, so step k's lineage is the raw corpus
-    plus k tiny broadcasts: T merges cost T scans.  At 100 TB you would
-    persist the rewritten corpus between steps; the learned-merge logic
-    is unchanged."""
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the BPE_MERGES learning loop; returns (per-step one-row merge
+    DataFrames, the final rewritten corpus).  Shared by the merge-table
+    query and the compression panel so both ride one lineage."""
     cur = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = []
     for step in range(1, BPE_MERGES + 1):
@@ -708,10 +688,64 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))
             ).alias("text"),
         )
+    return merges, cur
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pair-merge vocabulary induction at word grain: BPE_MERGES
+    iterations of (count adjacent token pairs across the corpus -> take
+    the most frequent pair, ties -> lexicographic -> merge every
+    left-to-right occurrence corpus-wide).  Output is the learned merge
+    table (step, tok_a, tok_b, pair_count) — the artifact a tokenizer
+    training run ships.
+
+    The merge step is CROSS-ENGINE-DETERMINISTIC via a string rewrite
+    both engines implement identically (left-to-right, non-overlapping
+    replace): the text is space-doubled and padded so every token
+    boundary carries two spaces, the pattern ' x  y ' consumes one space
+    on each side, and the replacement ' x+y ' restores them — which
+    makes consecutive matches ("x y x y") merge BOTH pairs, exactly the
+    greedy token-level BPE semantics, and overlapping chains ("a a a")
+    merge left-to-right once.
+
+    Scale: each iteration is one pair-count aggregate (map-side
+    combined, shuffling (x, y) token pairs) + a corpus-wide projection
+    (the replace chain — no shuffle).  The chosen pair is a ONE-ROW
+    localCheckpoint'd broadcast, so step k's lineage is the raw corpus
+    plus k tiny broadcasts: T merges cost T scans.  At 100 TB you would
+    persist the rewritten corpus between steps; the learned-merge logic
+    is unchanged."""
+    merges, _ = _bpe_learn(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merges APPLIED: per document, token count before and
+    after the BPE_MERGES rewrites and the fraction of positions saved —
+    the panel that decides whether the induced vocabulary pays for
+    itself (sequence-length reduction is the whole point of BPE in a
+    training pipeline).  Rides the same lineage as text_bpe_merges (the
+    rewritten corpus is the loop's other output); one extra projection +
+    a doc-keyed join, no new corpus scans."""
+    _, final = _bpe_learn(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens_raw")
+    )
+    enc = final.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens_bpe")
+    )
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        (
+            (F.col("n_tokens_raw") - F.col("n_tokens_bpe")).cast("double")
+            / F.col("n_tokens_raw")
+        ).alias("saved_ratio"),
+    )
 
 
 def _bpe_oracle() -> str:
@@ -738,6 +772,32 @@ t{s} AS (
     return (
         "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
     )
+
+
+def _bpe_compression_oracle() -> str:
+    parts = ["t0 AS (SELECT doc_id, text FROM documents)"]
+    for s in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{s} AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, count(*) AS c
+  FROM (SELECT string_split(text, ' ') AS toks FROM t{s - 1}) d,
+       UNNEST(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2),
+b{s} AS (SELECT x, y, c FROM p{s} ORDER BY c DESC, x, y LIMIT 1),
+t{s} AS (
+  SELECT doc_id,
+         trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+                              ' ' || b.x || '  ' || b.y || ' ',
+                              ' ' || b.x || '{BPE_JOIN}' || b.y || ' '),
+                      '  ', ' ')) AS text
+  FROM t{s - 1}, b{s} b)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT r.doc_id,
+       len(string_split(r.text, ' ')) AS n_tokens_raw,
+       len(string_split(e.text, ' ')) AS n_tokens_bpe,
+       CAST(len(string_split(r.text, ' ')) - len(string_split(e.text, ' '))
+            AS DOUBLE) / len(string_split(r.text, ' ')) AS saved_ratio
+FROM t0 r JOIN t{BPE_MERGES} e USING (doc_id)
+""")
 
 
 def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,6 +1029,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_lang_confusion": text_lang_confusion,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_compression": text_bpe_compression,
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
@@ -988,6 +1049,7 @@ ORACLES = {
     "text_lang_id": _LANG_SQL,
     "text_lang_confusion": _LANG_CONFUSION_SQL,
     "text_bpe_merges": _bpe_oracle(),
+    "text_bpe_compression": _bpe_compression_oracle(),
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,
