@@ -61,7 +61,8 @@ _MODULES = (
 # - 33 freshness slots for queries whose latest verdict is r2 (TPC-H set +
 #   join/window families); the remaining 16 r2-only names (incl.
 #   window_range_frame_7d, events_retention, events_ewma,
-#   events_interval_join_binned, events_funnel) rotate in r6;
+#   events_interval_join_binned, events_funnel,
+#   full_outer_nation_profile) rotate in r6;
 #   embedding_pca_power re-enters (r5 localCheckpoint change);
 #   ann_two_stage_recall is new in r5.
 _FIRST_50 = (
@@ -88,7 +89,7 @@ _FIRST_50 = (
     # r2-freshness: join/window/events families
     "asof_join_error_purchase", "asof_join_forward",
     "range_join_signup_clicks", "semi_join_big_orders",
-    "full_outer_nation_profile", "priciest_part_per_brand",
+    "ann_ivf_kmeans_recall", "priciest_part_per_brand",
     "text_bpe_compression", "ann_two_stage_recall", "embedding_pca_power",
     "text_bpe_merges", "window_topk_orders_per_customer",
     "text_lang_confusion",

@@ -98,6 +98,8 @@ HEADLINE = [
     "ann_two_stage_recall",
     "text_bpe_merges",
     "text_lang_confusion",
+    "ann_ivf_kmeans_recall",
+    "text_bpe_compression",
 ]
 
 

@@ -775,6 +775,265 @@ GROUP BY e.query_id
 """
 
 
+# ------------------------------------- IVF with k-means-refined centroids
+IVF_KM_ITERS = 2
+
+
+def _ivf_km_centroids(emb: DataFrame, iters: int = IVF_KM_ITERS) -> DataFrame:
+    """(cl, centroid double[64]): the label means refined by ``iters``
+    full-dimension Lloyd steps — label partitions are an arbitrary
+    bootstrap; the trained coarse quantizer is what real IVF ships.
+    Same determinism recipe as _pq_train_kmeans: left-chain L2
+    assignment with array_min struct tie-breaks (ties → smallest cl ≡
+    ORDER BY d, cl), DECIMAL-exact means, empty clusters keep their
+    centroid, the K-row iterate localCheckpoint'd per iteration.
+
+    Scale: one corpus scan per iteration against the broadcast K-row
+    codebook + one (cl, dim)-keyed 640-cell shuffle — the MLlib k-means
+    shape at K=|labels|."""
+    cb = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias(
+                "v"
+            )
+        )
+        .groupBy(F.col("label").alias("cl"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cl", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    for _ in range(iters):
+        a = _ivf_km_assign(emb, cb)
+        vals = a.select(
+            "cl", F.posexplode("embedding").alias("dim", "val")
+        )
+        p = F.round(F.col("val").cast("double"), 9).cast("decimal(38,12)")
+        means = vals.groupBy("cl", "dim").agg(
+            (F.sum(p).cast("double") / F.count("*")).alias("mu")
+        )
+        newc = means.groupBy("cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s["mu"],
+            ).alias("centroid_new")
+        )
+        cb = (
+            cb.join(newc, "cl", "left")
+            .select(
+                "cl",
+                F.coalesce("centroid_new", F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb
+
+
+def _ivf_km_assign(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cl): nearest trained centroid by full-dim L2."""
+    one = cb.agg(
+        F.sort_array(F.collect_list(F.struct("cl", "centroid"))).alias("cbs")
+    )
+    scored = F.transform(
+        F.col("cbs"),
+        lambda c: F.struct(
+            _l2sq_full_spark(F.col("embedding"), c["centroid"]).alias("d"),
+            c["cl"].alias("cl"),
+        ),
+    )
+    return emb.crossJoin(F.broadcast(one)).select(
+        "vec_id", "embedding", F.array_min(scored)["cl"].alias("cl")
+    )
+
+
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF search under the TRAINED coarse quantizer: probe
+    the nearest refined centroid, search exactly (full-dim L2) inside
+    that cluster's ASSIGNED members only, measure against the exact-L2
+    top-k baseline.  Output per query: probed-cluster size, hits,
+    recall — vs `ann_ivf_recall`, which runs the same panel on the raw
+    label partitions this quantizer bootstraps from.
+
+    Scale: probing is Q×K against the broadcast trained centroids; the
+    candidate scan reads one cluster (at 100 TB the assignment is a
+    partition column, so this is partition pruning); the exact baseline
+    exists only to measure recall."""
+    emb = _emb(spark, sf_dir)
+    cb = _ivf_km_centroids(emb)
+    assigned = _ivf_km_assign(emb, cb).select("vec_id", "cl")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    one = cb.agg(
+        F.sort_array(F.collect_list(F.struct("cl", "centroid"))).alias("cbs")
+    )
+    probe_scored = F.transform(
+        F.col("cbs"),
+        lambda c: F.struct(
+            _l2sq_full_spark(F.col("q_emb"), c["centroid"]).alias("d"),
+            c["cl"].alias("cl"),
+        ),
+    )
+    probe = q.crossJoin(F.broadcast(one)).select(
+        "query_id", "q_emb", F.array_min(probe_scored)["cl"].alias("probe_cl")
+    )
+    cand = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(probe), F.col("cl") == F.col("probe_cl"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    ncand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
+    )
+    wk = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    found = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    all_scored = (
+        emb.crossJoin(F.broadcast(q.select("query_id", "q_emb")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = (
+        all_scored.withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(found, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                / F.lit(float(PQ_TOPK))
+            ).alias("recall_at_k"),
+        )
+        .join(ncand, "query_id")
+        .select("query_id", "n_candidates", "n_hit", "recall_at_k")
+    )
+
+
+def _ivf_kmeans_cb_ctes(iters: int = IVF_KM_ITERS) -> str:
+    """CTE chain icb0 → icb{iters}: label-mean bootstrap + Lloyd."""
+    d_full = " + ".join(
+        "(" + _sub_l2sq_sql("e.embedding", "c.centroid", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    parts = [
+        f"""icb0 AS MATERIALIZED (
+  SELECT label AS cl, list(v ORDER BY pos) AS centroid
+  FROM (SELECT label, i - 1 AS pos,
+               round(sum(CAST(embedding[i] AS DOUBLE)) / count(*), 6) AS v
+        FROM embeddings, UNNEST(range(1, {DIMS + 1})) AS t(i)
+        GROUP BY label, i - 1)
+  GROUP BY label)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""iassign{t} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_full}, c.cl) AS rk
+    FROM embeddings e, icb{t - 1} c)
+  WHERE rk = 1),
+imeans{t} AS MATERIALIZED (
+  SELECT a.cl, j.j - 1 AS dim,
+         CAST(sum(CAST(round(CAST(e.embedding[j.j] AS DOUBLE), 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+  FROM iassign{t} a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       UNNEST(range(1, {DIMS + 1})) AS j(j)
+  GROUP BY 1, 2),
+imv{t} AS (
+  SELECT cl, list(mu ORDER BY dim) AS centroid_new
+  FROM imeans{t} GROUP BY 1),
+icb{t} AS MATERIALIZED (
+  SELECT p.cl, coalesce(n.centroid_new, p.centroid) AS centroid
+  FROM icb{t - 1} p LEFT JOIN imv{t} n ON n.cl = p.cl)"""
+        )
+    return ",\n".join(parts)
+
+
+def _ivf_kmeans_recall_oracle() -> str:
+    T = IVF_KM_ITERS
+    d_ec = " + ".join(
+        "(" + _sub_l2sq_sql("e.embedding", "c.centroid", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    d_qc = " + ".join(
+        "(" + _sub_l2sq_sql("q.embedding", "c.centroid", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    d_qb = " + ".join(
+        "(" + _sub_l2sq_sql("q.embedding", "b.embedding", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {_ivf_kmeans_cb_ctes()},
+final_assign AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_ec}, c.cl) AS rk
+    FROM embeddings e, icb{T} c)
+  WHERE rk = 1),
+probe AS (
+  SELECT query_id, cl AS probe_cl FROM (
+    SELECT q.vec_id AS query_id, c.cl,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d_qc}, c.cl) AS rk
+    FROM embeddings q, icb{T} c
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rk = 1),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN final_assign a ON a.cl = p.probe_cl
+  WHERE a.vec_id <> p.query_id),
+ncand AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY 1),
+found AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {d_qb}, b.vec_id) AS rank
+    FROM cand c
+    JOIN embeddings b ON b.vec_id = c.vec_id
+    JOIN embeddings q ON q.vec_id = c.query_id)
+  WHERE rank <= {PQ_TOPK}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d_qb}, b.vec_id) AS rank
+    FROM embeddings q
+    JOIN embeddings b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {PQ_TOPK})
+SELECT e.query_id, n.n_candidates,
+       CAST(count(f.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(count(f.neighbor_id) AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k
+FROM exact e
+LEFT JOIN found f
+  ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id
+JOIN ncand n ON n.query_id = e.query_id
+GROUP BY e.query_id, n.n_candidates
+"""
+
+
 # -------------------------------------- two-stage retrieval (IVF -> PQ-ADC)
 NPROBE = 2  # clusters probed per query (multi-probe IVF)
 
@@ -1528,6 +1787,7 @@ QUERIES = {
     "ann_pq_kmeans_codebook": ann_pq_kmeans_codebook,
     "ann_pq_kmeans_recall": ann_pq_kmeans_recall,
     "ann_two_stage_recall": ann_two_stage_recall,
+    "ann_ivf_kmeans_recall": ann_ivf_kmeans_recall,
     "embedding_pca_power": embedding_pca_power,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
@@ -1546,6 +1806,7 @@ ORACLES = {
     "ann_pq_kmeans_codebook": _pq_kmeans_codebook_oracle(),
     "ann_pq_kmeans_recall": _pq_kmeans_recall_oracle(),
     "ann_two_stage_recall": _two_stage_oracle(),
+    "ann_ivf_kmeans_recall": _ivf_kmeans_recall_oracle(),
     "embedding_pca_power": _pca_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
