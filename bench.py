@@ -120,6 +120,7 @@ SF1_SPOT = [
     "text_repetition_stats",
     "dedup_minhash_lsh",
     "events_sessionize_30m",
+    "dedup_substring_runs",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
