@@ -62,7 +62,8 @@ _MODULES = (
 #   join/window families); the remaining 16 r2-only names (incl.
 #   window_range_frame_7d, events_retention, events_ewma,
 #   events_interval_join_binned, events_funnel,
-#   full_outer_nation_profile) rotate in r6;
+#   full_outer_nation_profile, range_join_signup_clicks) rotate in r6;
+#   ann_pq_recall re-enters (r5 shared-baseline refactor);
 #   embedding_pca_power re-enters (r5 localCheckpoint change);
 #   ann_two_stage_recall is new in r5.
 _FIRST_50 = (
@@ -88,7 +89,7 @@ _FIRST_50 = (
     "q22_sales_opportunity",
     # r2-freshness: join/window/events families
     "asof_join_error_purchase", "asof_join_forward",
-    "range_join_signup_clicks", "semi_join_big_orders",
+    "ann_pq_recall", "semi_join_big_orders",
     "ann_ivf_kmeans_recall", "priciest_part_per_brand",
     "text_bpe_compression", "ann_two_stage_recall", "embedding_pca_power",
     "text_bpe_merges", "window_topk_orders_per_customer",

@@ -697,38 +697,57 @@ def _l2sq_full_spark(e, q):
     return out
 
 
+def _exact_l2_topk(spark, sf_dir: str) -> DataFrame:
+    """The exact full-dimension L2 top-k baseline (query_id, neighbor_id)
+    shared by every recall panel (PQ fixed / PQ k-means / two-stage /
+    IVF k-means).  Session-cached: four panels grounding against the
+    same truth used to each recompute the |Q|-broadcast scan
+    (Catalyst does not CSE across separate DataFrame trees — the
+    events_mad_anomaly lesson); now the baseline is one cached
+    PQ_TOPK*|Q|-row relation per sf_dir."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    def _build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        q = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        scored = (
+            emb.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias(
+                    "d"
+                ),
+            )
+        )
+        we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(we))
+            .where(F.col("rank") <= PQ_TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    return shared_cache(spark, ("exact_l2_topk", sf_dir), _build)
+
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the PQ-ADC path against the exact L2 top-k baseline —
     the compression-loss measurement that decides the (M, K) codebook
     budget.  Both sides are deterministic, so the recall itself is
-    oracle-checked.  The exact side broadcasts the |Q|-row query set and
-    keeps per-query top-k (TakeOrdered shape), the same constant-output
-    pattern as knn_cosine_topk.
+    oracle-checked.  The exact side is the shared cached baseline
+    (_exact_l2_topk).
 
     Expectation note: the synthetic corpus's embeddings are i.i.d. random,
     the hardest case for PQ (no cluster structure for 8-byte codes to
     exploit) — measured recall here is low BY CONSTRUCTION, and that
     measurement is exactly what this operator exists to surface before a
     codebook ships."""
-    emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_l2_topk(spark, sf_dir)
     approx = ann_pq_adc(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
@@ -897,21 +916,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    all_scored = (
-        emb.crossJoin(F.broadcast(q.select("query_id", "q_emb")))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
-        )
-    )
-    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    exact = (
-        all_scored.withColumn("rank", F.row_number().over(we))
-        .where(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_l2_topk(spark, sf_dir)
     return (
         exact.join(found, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1173,21 +1178,7 @@ def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .withColumn("hit", F.lit(1))
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
-        )
-    )
-    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    exact = (
-        scored.withColumn("rank", F.row_number().over(we))
-        .where(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_l2_topk(spark, sf_dir)
     return (
         exact.join(shortlist, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1584,21 +1575,7 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .withColumn("hit", F.lit(1))
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _l2sq_full_spark(F.col("q_emb"), F.col("embedding")).alias("d"),
-        )
-    )
-    we = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    exact = (
-        scored.withColumn("rank", F.row_number().over(we))
-        .where(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_l2_topk(spark, sf_dir)
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
