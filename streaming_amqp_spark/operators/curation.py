@@ -693,6 +693,107 @@ GROUP BY doc_id
 """
 
 
+def text_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain-shift matrix over sources: smoothed unigram
+    cross-entropy H(a, b) = -Σ_t p_a(t)·ln p_b(t) (add-one smoothing
+    over the global vocabulary) and KL(a‖b) = H(a, b) − H(a, a) for
+    every ordered source pair — the language-model-free divergence
+    panel mixture planning reads before reweighting sources (a source
+    whose KL against the rest is high contributes novel text; near-zero
+    rows are redundant).
+
+    Determinism: probabilities are exact-integer ratios divided in
+    DOUBLE (identical in both engines), ln is the one transcendental
+    both engines round identically (established by
+    text_unigram_logprob), and the vocab-sized sum goes through
+    round(12) + DECIMAL(38,14) so accumulation order cannot perturb it.
+
+    Scale: ONE corpus scan builds the (source, term) count table
+    (map-side combined, vocab×sources keys); everything after operates
+    on the tiny smoothed grid (|sources|·|vocab| rows, session-cached —
+    the a/b sides and the self-entropy would otherwise each re-derive
+    the corpus scan) and the |sources|² output."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    def _grid() -> DataFrame:
+        ex = _docs(spark, sf_dir).select(
+            "source", F.explode(tokens()).alias("term")
+        )
+        cnt = ex.groupBy("source", "term").agg(F.count("*").alias("c"))
+        totals = ex.groupBy("source").agg(F.count("*").alias("n"))
+        vocab = ex.select("term").distinct()
+        vsize = vocab.agg(F.count("*").alias("v"))
+        return (
+            totals.crossJoin(F.broadcast(vocab))
+            .join(cnt, ["source", "term"], "left")
+            .crossJoin(F.broadcast(vsize))
+            .select(
+                "source",
+                "term",
+                (
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                ).alias("p"),
+            )
+        )
+
+    grid = shared_cache(spark, ("domain_grid", sf_dir), _grid)
+    a = grid.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    t = F.round(-F.col("pa") * F.log(F.col("pb")), 12).cast("decimal(38,14)")
+    h = (
+        a.join(b, "term")
+        .select("source_a", "source_b", t.alias("t"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("t").cast("double").alias("cross_entropy"))
+        .localCheckpoint(eager=False)
+    )
+    hself = h.where(F.col("source_a") == F.col("source_b")).select(
+        F.col("source_a").alias("sa"), F.col("cross_entropy").alias("h_self")
+    )
+    return h.join(F.broadcast(hself), h.source_a == hself.sa).select(
+        "source_a",
+        "source_b",
+        "cross_entropy",
+        (F.col("cross_entropy") - F.col("h_self")).alias("kl_divergence"),
+    )
+
+
+_DIVERGENCE_SQL = """
+WITH ex AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT source, term, count(*) AS c FROM ex GROUP BY 1, 2),
+totals AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+vocab AS (SELECT DISTINCT term FROM ex),
+vs AS (SELECT count(*) AS v FROM vocab),
+grid AS MATERIALIZED (
+  SELECT t.source, w.term,
+         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+           / CAST(t.n + vs.v AS DOUBLE) AS p
+  FROM totals t
+  CROSS JOIN vocab w
+  CROSS JOIN vs
+  LEFT JOIN cnt c ON c.source = t.source AND c.term = w.term
+),
+h AS MATERIALIZED (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(CAST(round(-a.p * ln(b.p), 12) AS DECIMAL(38,14)))
+              AS DOUBLE) AS cross_entropy
+  FROM grid a JOIN grid b USING (term)
+  GROUP BY 1, 2
+)
+SELECT h.source_a, h.source_b, h.cross_entropy,
+       h.cross_entropy - s.cross_entropy AS kl_divergence
+FROM h
+JOIN h s ON s.source_a = h.source_a AND s.source_b = s.source_a
+"""
+
+
 # Frequency cap for substring-run matching: a chunk hash occurring more
 # than this many times across the corpus is boilerplate (license headers,
 # navigation chrome) — joining on it would fan out quadratically for zero
@@ -1339,6 +1440,7 @@ QUERIES = {
     "text_repetition_stats": text_repetition_stats,
     "pack_docs_nextfit": pack_docs_nextfit,
     "domain_mixture_weights": domain_mixture_weights,
+    "text_domain_divergence": text_domain_divergence,
     "mixture_sqrt_temperature": mixture_sqrt_temperature,
     "text_chunk_cdc": text_chunk_cdc,
     "sample_stratified_balanced": sample_stratified_balanced,
@@ -1359,6 +1461,7 @@ ORACLES = {
     "text_repetition_stats": _REPEAT_SQL,
     "pack_docs_nextfit": _PACK_SQL,
     "domain_mixture_weights": _MIX_SQL,
+    "text_domain_divergence": _DIVERGENCE_SQL,
     "mixture_sqrt_temperature": _SQRT_TEMP_SQL,
     "text_chunk_cdc": _CDC_SQL,
     "sample_stratified_balanced": _STRATIFIED_SQL,
