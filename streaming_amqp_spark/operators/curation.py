@@ -916,6 +916,116 @@ FROM per WHERE rk = 1 AND run_chunks >= 2
 """
 
 
+# Composed removal policy thresholds (both bite on the fixture: ~20 docs
+# each at every test sf — probed, not guessed).
+RUN_TOKENS_DROP = 16  # drop the doc_b side of pairs sharing a run this long
+SCRUB_KEEP_FLOOR = 0.5  # drop docs mostly made of non-canonical chunks
+
+
+def curate_substring_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 dedup operators composed into an actual REMOVAL
+    policy (reports alone don't curate a corpus): drop (a) the higher-id
+    side of every pair sharing a verbatim chunk-run of >=
+    RUN_TOKENS_DROP tokens (exact-substring dedup as a keep/drop rule)
+    and (b) any document whose canonical-chunk keep ratio falls below
+    SCRUB_KEEP_FLOOR (CCNet-style paragraph-scrub floor), then report
+    the surviving corpus per source with its post-scrub token counts.
+
+    Scale: both policies consume the SAME session-cached (doc, chunk)
+    relation, so the corpus is chunked once; the run policy's only heavy
+    step is the capped chunk-hash equi-join; everything else is
+    doc-keyed joins and a |sources|-row aggregate — one Catalyst tree,
+    no intermediate materialization."""
+    runs = dedup_substring_runs(spark, sf_dir)
+    losers = (
+        runs.where(F.col("longest_run_tokens") >= RUN_TOKENS_DROP)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    scrub = text_scrub_dup_chunks(spark, sf_dir)
+    kept = scrub.where(F.col("keep_ratio") >= SCRUB_KEEP_FLOOR).join(
+        losers, "doc_id", "left_anti"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return kept.join(src, "doc_id").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_kept").alias("total_tokens_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_SUBSTRING_POLICY_SQL = f"""
+WITH chunks AS MATERIALIZED ({_CDC_SQL}),
+ch AS MATERIALIZED (
+  SELECT doc_id, chunk_id, md5(chunk_text) AS h,
+         len(string_split(chunk_text, ' ')) AS nt
+  FROM chunks
+),
+filt AS (
+  SELECT * FROM ch
+  WHERE h NOT IN (SELECT h FROM ch GROUP BY h
+                  HAVING count(*) > {MAX_CHUNK_MATCH_FREQ})
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk_id AS pa,
+         a.nt AS nt_a, a.chunk_id - b.chunk_id AS diag
+  FROM filt a JOIN filt b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pa) AS island
+  FROM pairs
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, island,
+         count(*) AS run_chunks,
+         CAST(sum(nt_a) AS BIGINT) AS run_tokens
+  FROM isl GROUP BY 1, 2, 3, 4
+),
+per_pair AS (
+  SELECT doc_a, doc_b, run_chunks, run_tokens,
+         row_number() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY run_chunks DESC, run_tokens DESC)
+           AS rk
+  FROM runs
+),
+losers AS (
+  -- the policy keys off each pair's LONGEST run (the dedup_substring_runs
+  -- output row), not any run — mirror the struct-max exactly
+  SELECT DISTINCT doc_b AS doc_id FROM per_pair
+  WHERE rk = 1 AND run_chunks >= 2 AND run_tokens >= {RUN_TOKENS_DROP}
+),
+dup AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canon
+  FROM ch GROUP BY h
+),
+judged AS (
+  SELECT c.doc_id, c.nt,
+         CASE WHEN d.n_docs = 1 OR c.doc_id = d.canon THEN 1 ELSE 0 END
+           AS keep
+  FROM ch c JOIN dup d USING (h)
+),
+scrub AS (
+  SELECT doc_id,
+         CAST(sum(nt * keep) AS BIGINT) AS n_tokens_kept,
+         CAST(sum(nt * keep) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+           AS keep_ratio
+  FROM judged GROUP BY doc_id
+),
+kept AS (
+  SELECT s.doc_id, s.n_tokens_kept FROM scrub s
+  WHERE s.keep_ratio >= {SCRUB_KEEP_FLOOR!r}
+    AND s.doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(k.n_tokens_kept) AS BIGINT) AS total_tokens_kept,
+       min(d.doc_id) AS min_doc_id
+FROM kept k JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 SAMPLE_PER_STRATUM = 3
 
 
@@ -1446,6 +1556,7 @@ QUERIES = {
     "sample_stratified_balanced": sample_stratified_balanced,
     "dedup_chunk_cdc": dedup_chunk_cdc,
     "dedup_substring_runs": dedup_substring_runs,
+    "curate_substring_policy": curate_substring_policy,
     "text_scrub_dup_chunks": text_scrub_dup_chunks,
     "sample_topk_per_stratum": sample_topk_per_stratum,
 }
@@ -1467,6 +1578,7 @@ ORACLES = {
     "sample_stratified_balanced": _STRATIFIED_SQL,
     "dedup_chunk_cdc": _CHUNK_DEDUP_SQL,
     "dedup_substring_runs": _SUBSTRING_RUNS_SQL,
+    "curate_substring_policy": _SUBSTRING_POLICY_SQL,
     "text_scrub_dup_chunks": _SCRUB_SQL.format(cdc=_CDC_SQL),
     "sample_topk_per_stratum": _TOPK_STRATUM_SQL,
 }
