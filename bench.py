@@ -311,7 +311,7 @@ def _scaleout_msgs_per_sec(
     return round(sum(c for _, c in wave2[1:]) / dt, 1)
 
 
-def _timed_min(df, base_iters: int = 2, max_iters: int = 4) -> float:
+def _timed_min(df, base_iters: int = 2, max_iters: int = 3) -> float:
     """Min over timed noop-sink executions of an already-warmed plan.
 
     The container shares a host: A/B probes of the SAME commit have shown
@@ -319,7 +319,9 @@ def _timed_min(df, base_iters: int = 2, max_iters: int = 4) -> float:
     hit one iteration, but a contention window spanning both still records
     a phantom regression.  So: if the two timed runs disagree by >1.4x
     (plan execution is deterministic — that spread is host noise, not the
-    query), take up to two extra runs and keep the min."""
+    query), take ONE extra run and keep the min (capped at 3: the extra
+    runs fire exactly when the host is slow, and the whole 69-query bench
+    must still fit the driver's wall-clock budget)."""
     times: list[float] = []
     for _ in range(max_iters):
         t0 = time.perf_counter()
@@ -362,6 +364,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    _persist(out | ({"failed": failed} if failed else {}))  # core numbers
+    # are on disk before the slower extras run — a driver timeout during
+    # the probes can no longer lose the round's record (BENCH_r04 lesson)
     try:
         out["sf1_spot"] = _sf1_spot(spark, queries, timings)
     except Exception as e:  # scaling probe must never sink the record
@@ -369,8 +374,11 @@ def main() -> None:
         failed["_sf1_spot"] = str(e)[:200]
     # throughput probes are capability metrics on a shared host: a single
     # run can land in a contention window (observed 13.5k vs 39k msg/s on
-    # an identical commit minutes apart) — best-of-2 is the honest figure
-    def _best_of_2(fn, key):
+    # an identical commit minutes apart).  Re-probe ONCE only when the
+    # first figure is implausibly low for this code path (keeps the
+    # common-case wall time at one run — the whole bench must fit the
+    # driver's budget).
+    def _probe(fn, key, floor):
         best = None
         for _ in range(2):
             try:
@@ -380,20 +388,27 @@ def main() -> None:
                 r = None
             if r is not None and (best is None or r > best):
                 best = r
+            if best is not None and best >= floor:
+                break
         return best
 
-    out["stream_msgs_per_sec"] = _best_of_2(
-        _stream_msgs_per_sec, "_stream_throughput"
+    out["stream_msgs_per_sec"] = _probe(
+        _stream_msgs_per_sec, "_stream_throughput", 25_000
     )
-    out["stream_scaleout_msgs_per_sec"] = _best_of_2(
-        _scaleout_msgs_per_sec, "_stream_scaleout_throughput"
+    out["stream_scaleout_msgs_per_sec"] = _probe(
+        _scaleout_msgs_per_sec, "_stream_scaleout_throughput", 100_000
     )
     if failed:
         out["failed"] = failed
+    print(_persist(out))
+    spark.stop()
+
+
+def _persist(out: dict) -> str:
+    """Write the record to BENCH_LOCAL.json (BENCH_r04's driver capture
+    was truncated mid-JSON — the file copy makes the numbers lossless)
+    and return the JSON line."""
     line = json.dumps(out)
-    # Also persist in-repo: BENCH_r04's driver capture was truncated
-    # mid-JSON (VERDICT r4 "What's wrong #3") — the file copy makes the
-    # round's numbers lossless even if stdout capture clips.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -403,8 +418,7 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout is still the contract
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":
