@@ -413,3 +413,12 @@ def test_top_paths_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_top_paths")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_substring_policy_reuses_cached_chunks(spark, sf_dir):
+    """curate_substring_policy's 'corpus chunked once' claim: both the
+    run-policy branch and the scrub branch must read the session-cached
+    chunk relation (InMemoryTableScan in the executed plan), not re-run
+    the O(n)-per-doc CDC chunking projection."""
+    plan = _plan(spark, sf_dir, "curate_substring_policy")
+    assert plan.count("InMemoryTableScan") >= 2, plan[:900]

@@ -752,3 +752,40 @@ def test_ivf_kmeans_recall_beats_label_partitions(spark, sf_dir):
     ]
     label = [r.recall_at_k for r in ann_ivf_recall(spark, sf_dir).collect()]
     assert sum(trained) / len(trained) > sum(label) / len(label)
+
+
+def test_cms_actually_collides(spark):
+    """The CMS bound booleans must not be vacuous: with 2000 keys in
+    4x256 cells, collisions are structural — a healthy sketch
+    OVERESTIMATES most keys (if est == true everywhere the min-of-cells
+    machinery is untested).  Checked at sf0.01, the driver-gate scale."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.plans.scalars import _cms_hashes
+    from streaming_amqp_spark.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    sketch = (
+        exact.select(
+            "true_cnt",
+            F.explode(_cms_hashes(F.col("k").cast("string"))).alias("p"),
+        )
+        .groupBy("p.r", "p.b")
+        .agg(F.sum("true_cnt").alias("cell"))
+    )
+    kb = exact.select(
+        "k",
+        "true_cnt",
+        F.explode(_cms_hashes(F.col("k").cast("string"))).alias("p"),
+    ).select("k", "true_cnt", "p.r", "p.b")
+    est = (
+        kb.join(sketch, ["r", "b"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    n_over = est.where(F.col("est") > F.col("true_cnt")).count()
+    n_total = est.count()
+    assert n_over > n_total // 2, (n_over, n_total)
