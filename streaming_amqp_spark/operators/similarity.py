@@ -1406,7 +1406,7 @@ def _pq_train_kmeans(emb: DataFrame, iters: int = PQ_KM_ITERS) -> DataFrame:
     1024 partial-aggregated cells — the MLlib k-means shape.  The
     codebook iterate is localCheckpoint'd per iteration so T iterations
     cost T scans, not 2^T plan re-derivations."""
-    cb = cb0 = _pq_init_codebook(emb)
+    cb = _pq_init_codebook(emb)
     for _ in range(iters):
         a = _pq_assign(emb, cb)
         stacked = a.selectExpr(
@@ -1447,7 +1447,6 @@ def _pq_train_kmeans(emb: DataFrame, iters: int = PQ_KM_ITERS) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    del cb0
     return cb
 
 
