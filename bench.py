@@ -188,7 +188,9 @@ def _sf1_spot(spark, queries, sf01_timings: dict[str, float]) -> dict:
     for name in SF1_SPOT:
         df = queries[name](spark, sf1)
         df.write.format("noop").mode("overwrite").save()  # warm-up
-        best = _timed_min(df)
+        # no noise-retry at 10x data: a slope reading tolerates host noise
+        # better than the bench tolerates blowing the driver's wall clock
+        best = _timed_min(df, max_iters=2)
         t01 = sf01_timings.get(name)
         out[name] = {
             "sf01": t01,
