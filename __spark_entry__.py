@@ -64,7 +64,8 @@ _MODULES = (
 #   events_interval_join_binned, events_funnel,
 #   full_outer_nation_profile, range_join_signup_clicks) rotate in r6;
 #   ann_pq_recall re-enters (r5 shared-baseline refactor);
-#   asof_join_forward + semi_join_big_orders join the r6 freshness list;
+#   asof_join_forward + semi_join_big_orders + asof_join_error_purchase
+#   join the r6 freshness list;
 #   embedding_pca_power re-enters (r5 localCheckpoint change);
 #   ann_two_stage_recall is new in r5.
 _FIRST_50 = (
@@ -89,7 +90,7 @@ _FIRST_50 = (
     "q20_potential_promotion", "q21_waiting_suppliers",
     "q22_sales_opportunity",
     # r2-freshness: join/window/events families
-    "asof_join_error_purchase", "text_domain_divergence",
+    "sample_weighted_bernoulli", "text_domain_divergence",
     "ann_pq_recall", "curate_substring_policy",
     "ann_ivf_kmeans_recall", "priciest_part_per_brand",
     "text_bpe_compression", "ann_two_stage_recall", "embedding_pca_power",

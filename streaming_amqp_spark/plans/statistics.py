@@ -60,6 +60,97 @@ WHERE {_BUCKET_SQL} = '0'
 """
 
 
+# u in [0,1) from the first 8 md5 hex digits, as the identical 8-term
+# left-associated double sum in both engines (no hex→int cast needed:
+# DuckDB has no conv(); digit positions come from strpos/locate).
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _uniform_expr_spark() -> str:
+    return " + ".join(
+        f"((locate(substring(_h, {k}, 1), '{_HEXDIGITS}') - 1)"
+        f" / {16.0 ** k!r})"
+        for k in range(1, 9)
+    )
+
+
+def _uniform_expr_sql(h: str) -> str:
+    return " + ".join(
+        f"((strpos('{_HEXDIGITS}', substring({h}, {k}, 1)) - 1)"
+        f" / {16.0 ** k!r})"
+        for k in range(1, 9)
+    )
+
+
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling — keep each document with
+    probability equal to its type-token ratio (a quality-proportional
+    inclusion rule): doc kept iff u(doc) < w(doc), where u is a uniform
+    [0,1) value derived from md5(doc_id) digit-by-digit (identical
+    8-term double sum in both engines — no RNG, no hex→int cast) and w
+    is the exact-integer-ratio weight.  Completes the sampling family
+    (uniform / stratified / top-k / split are all hash-based already).
+
+    Per source the panel reports kept counts against the DECIMAL-exact
+    expected value Σw with a 3·sqrt(expected)+1 concentration boolean —
+    the unbiasedness sanity a weighted sampler ships with (deterministic
+    given the data: u is a hash, not a draw).
+
+    Scale: the keep decision is a pure per-row predicate that fuses into
+    the scan (same property as sample_deterministic — reproducible under
+    retries, speculation and any partitioning); the only shuffle is the
+    |sources|-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+    base = d.withColumn(
+        "_h", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("_u", F.expr(_uniform_expr_spark())).withColumn("_w", w)
+    agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("_u") < F.col("_w")).cast("long")).alias("n_sampled"),
+        F.sum(F.round(F.col("_w"), 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("expected_sampled"),
+    )
+    within = F.abs(
+        F.col("n_sampled") - F.col("expected_sampled")
+    ) <= F.lit(3.0) * F.sqrt(F.col("expected_sampled")) + F.lit(1.0)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_sampled",
+        "expected_sampled",
+        within.alias("within_3sigma"),
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT source,
+         {_uniform_expr_sql("md5(CAST(doc_id AS VARCHAR))")} AS u,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CAST(round(w, 9) AS DECIMAL(38,12))) AS DOUBLE)
+         AS expected_sampled,
+       abs(CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT)
+           - CAST(sum(CAST(round(w, 9) AS DECIMAL(38,12))) AS DOUBLE))
+         <= 3.0 * sqrt(CAST(sum(CAST(round(w, 9) AS DECIMAL(38,12)))
+                            AS DOUBLE)) + 1.0
+         AS within_3sigma
+FROM b
+GROUP BY source
+"""
+
+
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-split the corpus 75/12.5/12.5 (hex digits 0-b / c-d / e-f) and
     report per-split volume — the reproducible train/val/test assignment."""
@@ -620,6 +711,7 @@ FROM orders"""
 
 QUERIES = {
     "sample_deterministic": sample_deterministic,
+    "sample_weighted_bernoulli": sample_weighted_bernoulli,
     "profile_table": profile_table,
     "split_train_val_test": split_train_val_test,
     "agg_percentiles": agg_percentiles,
@@ -634,6 +726,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_deterministic": _SAMPLE_SQL,
+    "sample_weighted_bernoulli": _WEIGHTED_SAMPLE_SQL,
     "profile_table": _PROFILE_SQL,
     "split_train_val_test": _SPLIT_SQL,
     "agg_percentiles": _PCTL_SQL,
