@@ -1029,3 +1029,99 @@ def test_continuous_cms_store_equals_batch_sketch(amqp, tmp_path):
         amqp.read.parquet(store), keys, "to_address"
     ).collect():
         assert r.est >= true_counts[r.k]  # CMS never under-counts
+
+
+def test_streaming_sessions_match_batch_islands(amqp, tmp_path):
+    """The two sessionization algorithms agree: streaming session_window
+    (state-merged, closed by the watermark) produces exactly the sessions
+    the batch gaps-and-islands rule (events_sessionize_30m's lag +
+    cumulative-split, here at 30 s gap) finds on the same rows — per
+    session: same first-event time, same event count, and the streaming
+    session_end is last_event + gap by construction."""
+    from pyspark.sql import Window as W
+
+    from streaming_amqp_spark.streaming.windows import session_agg
+
+    data = [  # (user, second): no gap lands exactly on the 30 s boundary
+        ("u1", 0), ("u1", 10), ("u1", 25),   # session: 3 events @ 0
+        ("u1", 70), ("u1", 80),              # gap 45 -> new session @ 70
+        ("u2", 5),                            # singleton @ 5
+        ("u2", 50),                           # gap 45 -> singleton @ 50
+    ]
+
+    def ts(s):
+        return f"2024-01-01T00:{s // 60:02d}:{s % 60:02d}"
+
+    _write_spool(
+        tmp_path,
+        [
+            {"message_id": f"s{i}", "to_address": u, "body": "1",
+             "ingest_ts": ts(s)}
+            for i, (u, s) in enumerate(data)
+        ],
+    )
+    # sentinel in a second micro-batch advances the watermark far past
+    # every session end so append mode emits them all as CLOSED
+    _write_spool(
+        tmp_path,
+        [{"message_id": "wm", "to_address": "wm", "body": "1",
+          "ingest_ts": ts(500)}],
+        fname="001.jsonl",
+    )
+    env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", str(tmp_path / "spool"))
+        .load()
+    )
+    out = session_agg(
+        env,
+        [F.count("*").alias("n_events")],
+        gap="30 seconds",
+        keys=["to_address"],
+        watermark="0 seconds",
+    )
+    rows = _run_stream_to_memory(amqp, out, "session_twin_out").collect()
+    streamed = {
+        (r.to_address, r.session_start, r.n_events)
+        for r in rows
+        if r.to_address != "wm"
+    }
+    for r in rows:  # session_window end = last event + gap
+        assert (r.session_end - r.session_start).total_seconds() >= 30
+
+    batch = amqp.createDataFrame(
+        [(u, ts(s).replace("T", " ")) for u, s in data],
+        "to_address string, ingest_ts string",
+    ).select(
+        "to_address", F.col("ingest_ts").cast("timestamp").alias("ingest_ts")
+    )
+    w_order = W.partitionBy("to_address").orderBy("ingest_ts")
+    w_run = w_order.rowsBetween(W.unboundedPreceding, 0)
+    islands = (
+        batch.withColumn("prev", F.lag("ingest_ts").over(w_order))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.col("ingest_ts").cast("double")
+                    - F.col("prev").cast("double")
+                    > 30.0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w_run))
+        .groupBy("to_address", "sid")
+        .agg(
+            F.min("ingest_ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    expected = {
+        (r.to_address, r.session_start, r.n_events)
+        for r in islands.collect()
+    }
+    assert streamed == expected
+    assert len(expected) == 4
