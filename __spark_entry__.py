@@ -46,34 +46,38 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round 5 composition:
+# Round-5 window (163 registered total):
 # - 7 queries modified in r4 AFTER their last driver verdict (VERDICT r4
-#   "What's wrong #1"): anti_join_idle_customers (re-formulated — its r2
-#   green was a vacuous 0-row match), q10_returned_items,
-#   text_repetition_stats, domain_mixture_weights, dedup_ngram_jaccard,
-#   dedup_minhash_lsh, dedup_clusters.
-# - 4 queries touched in r5: profile_table (HLL-bound reform),
-#   text_vocab_growth (bigram reform), dedup_chunk_cdc +
-#   text_scrub_dup_chunks (shared chunk relation now carries chunk_id).
-# - 7 new r5 queries: agg_cms_heavy_hitters, streaming_dedup_twin,
-#   streaming_rollup_twin, dedup_substring_runs, ann_pq_kmeans_codebook,
-#   ann_pq_kmeans_recall, text_lang_confusion (in a freshness slot).
-# - 33 freshness slots for queries whose latest verdict is r2 (TPC-H set +
-#   join/window families); the remaining 16 r2-only names (incl.
-#   window_range_frame_7d, events_retention, events_ewma,
-#   events_interval_join_binned, events_funnel,
-#   full_outer_nation_profile, range_join_signup_clicks) rotate in r6;
-#   ann_pq_recall re-enters (r5 shared-baseline refactor);
-#   asof_join_forward + semi_join_big_orders + asof_join_error_purchase
-#   join the r6 freshness list;
-#   embedding_pca_power re-enters (r5 localCheckpoint change);
-#   ann_two_stage_recall is new in r5.
+#   "What's wrong #1") — incl. the re-formulated anti_join_idle_customers
+#   whose r2 green was a vacuous 0-row match.
+# - 6 touched in r5: profile_table (HLL-bound reform), text_vocab_growth
+#   (bigram reform), dedup_chunk_cdc + text_scrub_dup_chunks (chunk
+#   relation now carries chunk_id), ann_pq_recall (shared-baseline
+#   refactor), embedding_pca_power (iterate localCheckpoint).
+# - 14 new in r5: agg_cms_heavy_hitters, streaming_dedup_twin,
+#   streaming_rollup_twin, dedup_substring_runs, curate_substring_policy,
+#   ann_pq_kmeans_codebook, ann_pq_kmeans_recall, ann_two_stage_recall,
+#   ann_ivf_kmeans_recall, text_lang_confusion, text_bpe_merges,
+#   text_bpe_compression, text_domain_divergence,
+#   sample_weighted_bernoulli.
+# - 23 freshness slots for queries whose latest verdict is r2 (the TPC-H
+#   core + priciest_part_per_brand + window_topk_orders_per_customer).
+# Remaining r2-only names queue for the r6 window: agg_cube_lineitem,
+# agg_distinct_by_segment, agg_grouping_sets_orders, agg_percentiles,
+# agg_rollup_region_nation, asof_join_error_purchase, asof_join_forward,
+# events_ewma, events_funnel, events_interval_join_binned,
+# events_retention, events_window_5s_max, full_outer_nation_profile,
+# hist_order_totalprice, pivot_status_by_priority,
+# range_join_signup_clicks, sample_deterministic,
+# scalar_function_showcase, semi_join_big_orders, set_ops_nation_presence,
+# sort_limit_top_lineitems, split_train_val_test, window_lag_event_delta,
+# window_range_frame_7d, window_running_revenue.
 _FIRST_50 = (
     # stale-verdict rotation (r4 modifications)
     "anti_join_idle_customers", "q10_returned_items",
     "text_repetition_stats", "domain_mixture_weights",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
-    # touched in r5
+    # touched in r5 (incl. re-entries after refactors)
     "profile_table", "text_vocab_growth", "dedup_chunk_cdc",
     "text_scrub_dup_chunks",
     # new in r5
@@ -89,13 +93,14 @@ _FIRST_50 = (
     "q18_large_volume_customers", "q19_disjunctive_predicates",
     "q20_potential_promotion", "q21_waiting_suppliers",
     "q22_sales_opportunity",
-    # r2-freshness: join/window/events families
+    # new in r5 (continued) + r5 re-entries
     "sample_weighted_bernoulli", "text_domain_divergence",
     "ann_pq_recall", "curate_substring_policy",
-    "ann_ivf_kmeans_recall", "priciest_part_per_brand",
-    "text_bpe_compression", "ann_two_stage_recall", "embedding_pca_power",
-    "text_bpe_merges", "window_topk_orders_per_customer",
+    "ann_ivf_kmeans_recall", "text_bpe_compression",
+    "ann_two_stage_recall", "embedding_pca_power", "text_bpe_merges",
     "text_lang_confusion",
+    # r2-freshness: remaining slots
+    "priciest_part_per_brand", "window_topk_orders_per_customer",
 )
 
 
