@@ -57,18 +57,18 @@ _MODULES = (
 # - 14 new in r5: agg_cms_heavy_hitters, streaming_dedup_twin,
 #   streaming_rollup_twin, dedup_substring_runs, curate_substring_policy,
 #   ann_pq_kmeans_codebook, ann_pq_kmeans_recall, ann_two_stage_recall,
-#   ann_ivf_kmeans_recall, text_lang_confusion, text_bpe_merges,
-#   text_bpe_compression, text_domain_divergence,
+#   ann_ivf_kmeans_recall, ann_ivf_balance, text_lang_confusion,
+#   text_bpe_merges, text_bpe_compression, text_domain_divergence,
 #   sample_weighted_bernoulli.
-# - 23 freshness slots for queries whose latest verdict is r2 (the TPC-H
-#   core + priciest_part_per_brand + window_topk_orders_per_customer).
+# - 22 freshness slots for queries whose latest verdict is r2 (the TPC-H
+#   core + window_topk_orders_per_customer).
 # Remaining r2-only names queue for the r6 window: agg_cube_lineitem,
 # agg_distinct_by_segment, agg_grouping_sets_orders, agg_percentiles,
 # agg_rollup_region_nation, asof_join_error_purchase, asof_join_forward,
 # events_ewma, events_funnel, events_interval_join_binned,
 # events_retention, events_window_5s_max, full_outer_nation_profile,
 # hist_order_totalprice, pivot_status_by_priority,
-# range_join_signup_clicks, sample_deterministic,
+# priciest_part_per_brand, range_join_signup_clicks, sample_deterministic,
 # scalar_function_showcase, semi_join_big_orders, set_ops_nation_presence,
 # sort_limit_top_lineitems, split_train_val_test, window_lag_event_delta,
 # window_range_frame_7d, window_running_revenue.
@@ -99,8 +99,9 @@ _FIRST_50 = (
     "ann_ivf_kmeans_recall", "text_bpe_compression",
     "ann_two_stage_recall", "embedding_pca_power", "text_bpe_merges",
     "text_lang_confusion",
-    # r2-freshness: remaining slots
-    "priciest_part_per_brand", "window_topk_orders_per_customer",
+    "ann_ivf_balance",
+    # r2-freshness: remaining slot
+    "window_topk_orders_per_customer",
 )
 
 

@@ -1039,6 +1039,69 @@ GROUP BY e.query_id, n.n_candidates
 """
 
 
+def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health panel of the trained IVF index: per cluster — member count,
+    corpus share, and the DECIMAL-exact mean squared distance to the
+    centroid.  This is the report that tunes K: at 100 TB a skewed
+    cluster is a skewed partition (one probe scans it all), and a high
+    mean distance says the coarse quantizer under-fits.  Reuses the
+    trained centroids and assignment of ann_ivf_kmeans_recall; one
+    corpus scan + a K-row aggregate."""
+    emb = _emb(spark, sf_dir)
+    cb = _ivf_km_centroids(emb)
+    a = _ivf_km_assign(emb, cb)
+    d2 = _l2sq_full_spark(F.col("embedding"), F.col("centroid"))
+    per = (
+        a.join(F.broadcast(cb), "cl")
+        .select("cl", F.round(d2, 9).cast("decimal(38,12)").alias("d2"))
+        .groupBy("cl")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("d2").cast("double") / F.count("*")).alias("mean_l2sq"),
+        )
+    )
+    tot = emb.agg(F.count("*").alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cl",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("n_total").cast("double")).alias(
+            "share"
+        ),
+        "mean_l2sq",
+    )
+
+
+def _ivf_balance_oracle() -> str:
+    T = IVF_KM_ITERS
+    d_ec = " + ".join(
+        "(" + _sub_l2sq_sql("e.embedding", "c.centroid", str(m)) + ")"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {_ivf_kmeans_cb_ctes()},
+final_assign AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d_ec}, c.cl) AS rk
+    FROM embeddings e, icb{T} c)
+  WHERE rk = 1),
+per AS (
+  SELECT a.cl, count(*) AS n_vecs,
+         CAST(sum(CAST(round({d_ec}, 9) AS DECIMAL(38,12))) AS DOUBLE)
+           / count(*) AS mean_l2sq
+  FROM final_assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN icb{T} c ON c.cl = a.cl
+  GROUP BY a.cl),
+tot AS (SELECT count(*) AS n_total FROM embeddings)
+SELECT cl, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       mean_l2sq
+FROM per, tot
+"""
+
+
 # -------------------------------------- two-stage retrieval (IVF -> PQ-ADC)
 NPROBE = 2  # clusters probed per query (multi-probe IVF)
 
@@ -1764,6 +1827,7 @@ QUERIES = {
     "ann_pq_kmeans_recall": ann_pq_kmeans_recall,
     "ann_two_stage_recall": ann_two_stage_recall,
     "ann_ivf_kmeans_recall": ann_ivf_kmeans_recall,
+    "ann_ivf_balance": ann_ivf_balance,
     "embedding_pca_power": embedding_pca_power,
     "ann_ivf_recall": ann_ivf_recall,
     "knn_cosine_topk": knn_cosine_topk,
@@ -1783,6 +1847,7 @@ ORACLES = {
     "ann_pq_kmeans_recall": _pq_kmeans_recall_oracle(),
     "ann_two_stage_recall": _two_stage_oracle(),
     "ann_ivf_kmeans_recall": _ivf_kmeans_recall_oracle(),
+    "ann_ivf_balance": _ivf_balance_oracle(),
     "embedding_pca_power": _pca_oracle(),
     "ann_ivf_recall": _recall_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
