@@ -798,6 +798,29 @@ GROUP BY e.query_id
 IVF_KM_ITERS = 2
 
 
+def _ivf_km_trained(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-cached (trained centroids, final assignment) for the
+    registered corpus — ann_ivf_kmeans_recall and ann_ivf_balance both
+    consume them, and without the cache each would re-run the Lloyd
+    lineage and the corpus-wide assignment scan (the
+    _chunk_hash_relation discipline)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    cb = shared_cache(
+        spark,
+        ("ivf_km_centroids", sf_dir),
+        lambda: _ivf_km_centroids(_emb(spark, sf_dir)),
+    )
+    assigned = shared_cache(
+        spark,
+        ("ivf_km_assign", sf_dir),
+        lambda: _ivf_km_assign(_emb(spark, sf_dir), cb).select(
+            "vec_id", "cl"
+        ),
+    )
+    return cb, assigned
+
+
 def _ivf_km_centroids(emb: DataFrame, iters: int = IVF_KM_ITERS) -> DataFrame:
     """(cl, centroid double[64]): the label means refined by ``iters``
     full-dimension Lloyd steps — label partitions are an arbitrary
@@ -880,8 +903,7 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition column, so this is partition pruning); the exact baseline
     exists only to measure recall."""
     emb = _emb(spark, sf_dir)
-    cb = _ivf_km_centroids(emb)
-    assigned = _ivf_km_assign(emb, cb).select("vec_id", "cl")
+    cb, assigned = _ivf_km_trained(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1048,8 +1070,8 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained centroids and assignment of ann_ivf_kmeans_recall; one
     corpus scan + a K-row aggregate."""
     emb = _emb(spark, sf_dir)
-    cb = _ivf_km_centroids(emb)
-    a = _ivf_km_assign(emb, cb)
+    cb, assigned = _ivf_km_trained(spark, sf_dir)
+    a = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
     d2 = _l2sq_full_spark(F.col("embedding"), F.col("centroid"))
     per = (
         a.join(F.broadcast(cb), "cl")
@@ -1513,13 +1535,24 @@ def _pq_train_kmeans(emb: DataFrame, iters: int = PQ_KM_ITERS) -> DataFrame:
     return cb
 
 
+def _pq_trained(spark, sf_dir: str) -> DataFrame:
+    """Session-cached trained PQ codebook — the codebook query and the
+    recall panel both consume it (one Lloyd run per sf per session)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    return shared_cache(
+        spark,
+        ("pq_km_codebook", sf_dir),
+        lambda: _pq_train_kmeans(_emb(spark, sf_dir)),
+    )
+
+
 def ann_pq_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-means-trained PQ codebook itself, unpivoted to scalar rows
     (m, code_id, dim, c) — every Lloyd step exactly oracle-checked (the
     oracle unrolls the identical assignments and DECIMAL means as CTEs,
     the embedding_pca_power pattern)."""
-    emb = _emb(spark, sf_dir)
-    cb = _pq_train_kmeans(emb)
+    cb = _pq_trained(spark, sf_dir)
     return cb.select(
         "m",
         "code_id",
@@ -1588,7 +1621,7 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance table is broadcast, DECIMAL-exact distance sums,
     (dist, neighbor_id) tie-breaks."""
     emb = _emb(spark, sf_dir)
-    cb = _pq_train_kmeans(emb)
+    cb = _pq_trained(spark, sf_dir)
     enc = _pq_assign(emb, cb).selectExpr(
         "vec_id",
         "stack({n}, {args}) AS (m, code)".format(
