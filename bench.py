@@ -100,6 +100,10 @@ HEADLINE = [
     "text_lang_confusion",
     "ann_ivf_kmeans_recall",
     "text_bpe_compression",
+    "ann_ivf_balance",
+    "curate_substring_policy",
+    "text_domain_divergence",
+    "sample_weighted_bernoulli",
 ]
 
 
