@@ -1166,6 +1166,108 @@ LIMIT 20
 """
 
 
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pairs: support, confidence and
+    lift for the top-20 co-purchased brand pairs — the measure set that
+    separates "frequent because popular" (lift ≈ 1) from genuinely
+    associated brands (lift ≫ 1).  Every ratio is a division of exact
+    integer counts, evaluated in the identical order in both engines.
+
+    Scale: same two-exchange shape as basket_brand_pairs (per-order
+    brand sets gathered once, pairs expanded map-side) plus two
+    broadcast joins against the |brands|-row marginals and the one-row
+    order total."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    bs = F.col("brands")
+    pairs = F.flatten(
+        F.transform(
+            bs,
+            lambda b1, i: F.transform(
+                F.slice(bs, i + 2, F.size(bs)),
+                lambda b2: F.struct(b1.alias("brand1"), b2.alias("brand2")),
+            ),
+        )
+    )
+    n_ab = (
+        per_order.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.brand1").alias("brand1"), F.col("p.brand2").alias("brand2")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = ob.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    tot = per_order.agg(F.count("*").alias("n_orders"))
+    out = (
+        n_ab.join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand1"),
+                                    F.col("n_brand").alias("n_a"))),
+            "brand1",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand2"),
+                                    F.col("n_brand").alias("n_b"))),
+            "brand2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    support = F.col("n_ab").cast("double") / F.col("n_orders")
+    confidence = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = confidence / (F.col("n_b").cast("double") / F.col("n_orders"))
+    return (
+        out.select(
+            "brand1",
+            "brand2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            support.alias("support"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand1", "brand2")
+        .limit(20)
+    )
+
+
+_BASKET_LIFT_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n_ab AS (
+  SELECT a.p_brand AS brand1, b.p_brand AS brand2, count(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+marg AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT p.brand1, p.brand2,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(a.n_brand AS BIGINT) AS n_a,
+       CAST(b.n_brand AS BIGINT) AS n_b,
+       CAST(p.n_ab AS DOUBLE) / t.n_orders AS support,
+       CAST(p.n_ab AS DOUBLE) / a.n_brand AS confidence,
+       (CAST(p.n_ab AS DOUBLE) / a.n_brand)
+         / (CAST(b.n_brand AS DOUBLE) / t.n_orders) AS lift
+FROM n_ab p
+JOIN marg a ON a.p_brand = p.brand1
+JOIN marg b ON b.p_brand = p.brand2
+CROSS JOIN tot t
+ORDER BY p.n_ab DESC, p.brand1, p.brand2
+LIMIT 20
+"""
+
+
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-window variants: first_value over the running frame,
     last_value / nth_value(2) over the full-partition frame, per customer
@@ -1361,6 +1463,7 @@ QUERIES = {
     "agg_bit_bool": agg_bit_bool,
     "rfm_segmentation": rfm_segmentation,
     "basket_brand_pairs": basket_brand_pairs,
+    "basket_brand_lift": basket_brand_lift,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1400,6 +1503,7 @@ ORACLES = {
     "agg_bit_bool": _BIT_BOOL_SQL,
     "rfm_segmentation": _RFM_SQL,
     "basket_brand_pairs": _BASKET_SQL,
+    "basket_brand_lift": _BASKET_LIFT_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,

@@ -709,8 +709,108 @@ FROM orders"""
 )
 
 
+SEASONAL_TOP_K = 10
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly ranking: per (day, hour) event-count
+    cell, the deviation from the (day-of-week, hour) SEASONAL baseline
+    (mean/sd across the weeks in range) as a z-score, reporting the
+    TOP-K most anomalous cells — the upgrade over
+    events_zscore_anomaly's global baseline that stops flagging every
+    ordinary Monday-morning peak.  Ranked rather than thresholded BY
+    DESIGN: a fixed sigma cut is domain-specific and goes vacuous on a
+    well-behaved corpus (this fixture's max |z| is ~2.0 at every sf);
+    the on-call review list is "the K worst cells", whatever their z.
+
+    Determinism: counts are exact integers; mean/variance come from the
+    exact (k, sum n, sum n^2) triple with the division and subtraction
+    spelled in the identical order in both engines; dow is the portable
+    days-since-a-known-Monday arithmetic (events_dow_hour_heatmap);
+    ranking ties break on (day, hour).
+
+    Scale: one shuffle to (day, hour) cells (bounded by the time range,
+    not event volume), a broadcast join against the 168-row seasonal
+    baseline, and a TakeOrdered top-K."""
+    ev = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),  # a Monday
+        ),
+        F.lit(7),
+    )
+    cells = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        dow.alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    base = cells.groupBy("dow", "hour").agg(
+        F.count("*").alias("k"),
+        F.sum("n_events").alias("sn"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sn2"),
+    )
+    mean = F.col("sn").cast("double") / F.col("k")
+    var = F.col("sn2").cast("double") / F.col("k") - mean * mean
+    joined = cells.join(F.broadcast(base), ["dow", "hour"]).select(
+        "day",
+        "hour",
+        "n_events",
+        mean.alias("expected"),
+        F.sqrt(var).alias("sd"),
+    )
+    return (
+        joined.where(F.col("sd") > 0)
+        .select(
+            "day",
+            "hour",
+            "n_events",
+            "expected",
+            (
+                (F.col("n_events") - F.col("expected")) / F.col("sd")
+            ).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "day", "hour")
+        .limit(SEASONAL_TOP_K)
+    )
+
+
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         ((datediff('day', DATE '2024-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7
+           AS dow,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT dow, hour, count(*) AS k,
+         CAST(sum(n_events) AS BIGINT) AS sn,
+         CAST(sum(n_events * n_events) AS BIGINT) AS sn2
+  FROM cells GROUP BY 1, 2
+),
+joined AS (
+  SELECT c.day, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
+         CAST(b.sn AS DOUBLE) / b.k AS expected,
+         sqrt(CAST(b.sn2 AS DOUBLE) / b.k
+              - (CAST(b.sn AS DOUBLE) / b.k) * (CAST(b.sn AS DOUBLE) / b.k))
+           AS sd
+  FROM cells c JOIN base b ON b.dow = c.dow AND b.hour = c.hour
+)
+SELECT day, hour, n_events, expected,
+       (n_events - expected) / sd AS z
+FROM joined
+WHERE sd > 0
+ORDER BY abs((n_events - expected) / sd) DESC, day, hour
+LIMIT 10
+"""
+
+
 QUERIES = {
     "sample_deterministic": sample_deterministic,
+    "events_seasonal_anomaly": events_seasonal_anomaly,
     "sample_weighted_bernoulli": sample_weighted_bernoulli,
     "profile_table": profile_table,
     "split_train_val_test": split_train_val_test,
@@ -726,6 +826,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_deterministic": _SAMPLE_SQL,
+    "events_seasonal_anomaly": _SEASONAL_SQL,
     "sample_weighted_bernoulli": _WEIGHTED_SAMPLE_SQL,
     "profile_table": _PROFILE_SQL,
     "split_train_val_test": _SPLIT_SQL,
