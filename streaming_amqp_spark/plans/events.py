@@ -582,6 +582,113 @@ FROM (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
 """
 
 
+# Holt smoothing constants: 0.5 is exact in binary, so both engines run
+# the identical recurrence without a rounding step.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level + trend) exponential smoothing of the daily
+    event-count series, with the one-step-ahead forecast and its error
+    per day — the trend-aware upgrade over events_ewma's flat smoothing
+    and the standard short-horizon load forecast.
+
+    The coupled recurrence (level feeds trend feeds level) cannot be a
+    window function and exceeds list_reduce's same-type constraint, so:
+    Spark runs it as an ordered array fold carrying a (level, trend,
+    rows) struct accumulator; the oracle replays it as a recursive CTE —
+    both spell the l' and b' arithmetic in the identical order, and
+    alpha = beta = 0.5 keeps every operation binary-exact.
+
+    Scale: the fold input is the DAY-grain series — bounded by the time
+    range (30 rows here, 36.5k rows for a century), never event volume;
+    the only heavy step is the one day-keyed count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    one = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    arr = F.col("arr")
+    row_t = (
+        "array<struct<day:date,y:double,forecast:double,err:double,"
+        "level:double,trend:double>>"
+    )
+    init = F.struct(
+        F.element_at(arr, 1)["y"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array().cast(row_t).alias("out"),
+    )
+
+    def step(acc, s):
+        fc = acc["l"] + acc["b"]
+        lp = F.lit(HOLT_ALPHA) * s["y"] + F.lit(1.0 - HOLT_ALPHA) * (
+            acc["l"] + acc["b"]
+        )
+        bp = (
+            F.lit(HOLT_BETA)
+            * (
+                (
+                    F.lit(HOLT_ALPHA) * s["y"]
+                    + F.lit(1.0 - HOLT_ALPHA) * (acc["l"] + acc["b"])
+                )
+                - acc["l"]
+            )
+            + F.lit(1.0 - HOLT_BETA) * acc["b"]
+        )
+        row = F.struct(
+            s["day"].alias("day"),
+            s["y"].alias("y"),
+            fc.alias("forecast"),
+            (s["y"] - fc).alias("err"),
+            lp.alias("level"),
+            bp.alias("trend"),
+        )
+        return F.struct(
+            lp.alias("l"),
+            bp.alias("b"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1), init, step, lambda acc: acc["out"]
+    )
+    return (
+        one.select(F.explode(folded).alias("r"))
+        .select("r.day", "r.y", "r.forecast", "r.err", "r.level", "r.trend")
+    )
+
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+ord AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+walk AS (
+  SELECT rn, day, y, y AS l, CAST(0 AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS err
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.y,
+         {HOLT_ALPHA} * o.y + {1.0 - HOLT_ALPHA} * (w.l + w.b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * o.y
+                         + {1.0 - HOLT_ALPHA} * (w.l + w.b)) - w.l)
+           + {1.0 - HOLT_BETA} * w.b,
+         w.l + w.b,
+         o.y - (w.l + w.b)
+  FROM ord o JOIN walk w ON o.rn = w.rn + 1
+)
+SELECT day, y, fc AS forecast, err, l AS level, b AS trend
+FROM walk WHERE rn >= 2
+"""
+
+
 def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (first-order Markov counts): for each
     user's time-ordered event stream, count (prev_type → type) pairs and
@@ -1199,6 +1306,7 @@ QUERIES = {
     "events_transition_counts": events_transition_counts,
     "events_retention": events_retention,
     "events_ewma": events_ewma,
+    "events_holt_daily": events_holt_daily,
     "events_interval_join_binned": events_interval_join_binned,
     "events_window_5s_max": events_window_5s_max,
     "envelope_map_functions": envelope_map_functions,
@@ -1224,6 +1332,7 @@ ORACLES = {
     "events_transition_counts": _TRANSITION_SQL,
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,
+    "events_holt_daily": _HOLT_SQL,
     "events_interval_join_binned": _INTERVAL_BINNED_SQL,
     "events_window_5s_max": _W5S_SQL,
     "envelope_map_functions": _MAP_FUNCS_SQL,
