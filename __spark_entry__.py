@@ -63,7 +63,8 @@ _MODULES = (
 # - 22 freshness slots for queries whose latest verdict is r2 (the TPC-H
 #   core + window_topk_orders_per_customer).
 # Registered AFTER the r5 window froze (local sf0.001 gate now; r6 window
-# verdicts): basket_brand_lift, events_seasonal_anomaly, events_holt_daily.
+# verdicts): basket_brand_lift, events_seasonal_anomaly, events_holt_daily,
+# orders_cohort_ltv.
 # Remaining r2-only names queue for the r6 window: agg_cube_lineitem,
 # agg_distinct_by_segment, agg_grouping_sets_orders, agg_percentiles,
 # agg_rollup_region_nation, asof_join_error_purchase, asof_join_forward,

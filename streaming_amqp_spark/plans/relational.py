@@ -1166,6 +1166,76 @@ LIMIT 20
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, and
+    for every months-since-acquisition offset the cohort's order count,
+    revenue, and cumulative revenue — the canonical retention-economics
+    panel.  Month arithmetic is exact integers (year*12 + month), the
+    revenue sums are exact DECIMAL, and the cumulative sum re-enters
+    DECIMAL inside the per-cohort window so accumulation order cannot
+    perturb it.
+
+    Scale: one shuffle builds the per-customer cohort (min-month agg,
+    map-side combined), the fact join is on the customer key, the
+    triangle aggregate is |cohorts|×|offsets| rows, and the running-sum
+    window partitions by cohort — never a global window."""
+    o = _t(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    j = o.withColumn("ym", ym).join(first, "o_custkey")
+    per = j.groupBy(
+        "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    w = (
+        W.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return per.select(
+        ((F.col("cohort_ym") - 1) / F.lit(12)).cast("long").alias(
+            "cohort_year"
+        ),
+        (F.pmod(F.col("cohort_ym") - 1, F.lit(12)) + 1)
+        .cast("long")
+        .alias("cohort_month"),
+        "month_offset",
+        "n_orders",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH ym AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym
+  FROM orders
+),
+first AS (SELECT o_custkey, min(ym) AS cohort_ym FROM ym GROUP BY 1),
+per AS (
+  SELECT f.cohort_ym, y.ym - f.cohort_ym AS month_offset,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM ym y JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT CAST((cohort_ym - 1) // 12 AS BIGINT) AS cohort_year,
+       CAST(((cohort_ym - 1) % 12) + 1 AS BIGINT) AS cohort_month,
+       CAST(month_offset AS INTEGER) AS month_offset,
+       n_orders, revenue,
+       CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+              OVER (PARTITION BY cohort_ym ORDER BY month_offset
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM per
+"""
+
+
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over the basket pairs: support, confidence and
     lift for the top-20 co-purchased brand pairs — the measure set that
@@ -1464,6 +1534,7 @@ QUERIES = {
     "rfm_segmentation": rfm_segmentation,
     "basket_brand_pairs": basket_brand_pairs,
     "basket_brand_lift": basket_brand_lift,
+    "orders_cohort_ltv": orders_cohort_ltv,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1504,6 +1575,7 @@ ORACLES = {
     "rfm_segmentation": _RFM_SQL,
     "basket_brand_pairs": _BASKET_SQL,
     "basket_brand_lift": _BASKET_LIFT_SQL,
+    "orders_cohort_ltv": _COHORT_LTV_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
