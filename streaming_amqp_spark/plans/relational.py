@@ -1166,6 +1166,84 @@ LIMIT 20
 """
 
 
+def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple linear regression of line price on quantity —
+    slope, intercept and R² computed FROM EXACT MOMENTS: the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact (x is an
+    integer-valued quantity; y is 2-decimal money, so Σy and Σxy are
+    DECIMAL-exact), and the closed-form combination runs in the
+    identical double-op order in both engines — distributed OLS with no
+    iteration and no per-row residual pass.
+
+    Scale: one scan, one |brands|-key partial-aggregated shuffle —
+    regression over 100 TB costs the same as a grouped sum.  (The same
+    sufficient-statistics trick is how MLlib's linear regression
+    aggregates; here it is fully oracle-checked.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    # round(9): Σy² at DECIMAL(38,4) scales past 2^53, and the engines'
+    # decimal→double casts then differ in the last ulp (Spark rounds the
+    # exact decimal, DuckDB divides a rounded int128) — 1e-19 relative,
+    # far below the rounding unit, so round(9) is stable (the
+    # embedding_centroids convention).
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+_OLS_SQL = """
+WITH m AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 9) AS intercept,
+       round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS r2
+FROM m
+"""
+
+
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort LTV triangle: customers grouped by first-order month, and
     for every months-since-acquisition offset the cohort's order count,
@@ -1535,6 +1613,7 @@ QUERIES = {
     "basket_brand_pairs": basket_brand_pairs,
     "basket_brand_lift": basket_brand_lift,
     "orders_cohort_ltv": orders_cohort_ltv,
+    "ols_quantity_price": ols_quantity_price,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1576,6 +1655,7 @@ ORACLES = {
     "basket_brand_pairs": _BASKET_SQL,
     "basket_brand_lift": _BASKET_LIFT_SQL,
     "orders_cohort_ltv": _COHORT_LTV_SQL,
+    "ols_quantity_price": _OLS_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
