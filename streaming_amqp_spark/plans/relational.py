@@ -1166,6 +1166,134 @@ LIMIT 20
 """
 
 
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the brand co-purchase graph (edges = basket
+    co-occurrence counts, symmetric) — link analysis on top of the
+    basket machinery: which brands sit at the CENTER of purchasing
+    behavior, not merely which pairs are frequent.
+
+    Determinism (the dedup_clusters / PCA iterative recipe): per-edge
+    contributions r·(w/out) are doubles computed in identical order,
+    then the per-node sum — the one order-sensitive reduction — goes
+    through round(12) + DECIMAL(38,14); the damping constants are spelled
+    with their exact double reprs in both engines; the rank iterate is a
+    |brands|-row localCheckpoint'd relation.
+
+    Scale: the edge list is built once (two exchanges, the
+    basket_brand_pairs shape); each iteration is one keyed join of the
+    edge list against the broadcast rank vector + one dst-keyed
+    partial-aggregated shuffle — the standard distributed PageRank
+    shape, bounded by |edges| per iteration."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    bs = F.col("brands")
+    up = F.flatten(
+        F.transform(
+            bs,
+            lambda b1, i: F.transform(
+                F.slice(bs, i + 2, F.size(bs)),
+                lambda b2: F.struct(b1.alias("s"), b2.alias("d")),
+            ),
+        )
+    )
+    half = (
+        per_order.select(F.explode(up).alias("p"))
+        .groupBy(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    edges = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=False)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = edges.join(outw, "src")
+    nodes = edges.select(F.col("src").alias("brand")).distinct()
+    nrow = nodes.agg(F.count("*").alias("nn"))
+    r = nodes.crossJoin(F.broadcast(nrow)).select(
+        "brand", (F.lit(1.0) / F.col("nn").cast("double")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = e.join(F.broadcast(r), e.src == r.brand).select(
+            "dst",
+            F.round(
+                F.col("r")
+                * (F.col("w").cast("double") / F.col("wout").cast("double")),
+                12,
+            )
+            .cast("decimal(38,14)")
+            .alias("c"),
+        )
+        agg = contrib.groupBy("dst").agg(
+            F.sum("c").cast("double").alias("s")
+        )
+        r = (
+            nodes.join(agg, nodes.brand == agg.dst, "left")
+            .crossJoin(F.broadcast(nrow))
+            .select(
+                "brand",
+                (
+                    F.lit(1.0 - PR_DAMP) / F.col("nn").cast("double")
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.select("brand", F.col("r").alias("pagerank"))
+
+
+def _pagerank_oracle() -> str:
+    one_minus_d = repr(1.0 - PR_DAMP)
+    d = repr(PR_DAMP)
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey) a
+  JOIN (SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey) b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS brand FROM edges),
+nn AS (SELECT count(*) AS nn FROM nodes),
+r0 AS (SELECT brand, CAST(1.0 AS DOUBLE) / CAST(nn AS DOUBLE) AS r
+       FROM nodes, nn)"""
+    ]
+    for t in range(1, PR_ITERS + 1):
+        parts.append(f"""c{t} AS (
+  SELECT e.dst,
+         CAST(round(r.r * (CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE)),
+                    12) AS DECIMAL(38,14)) AS c
+  FROM edges e
+  JOIN r{t - 1} r ON r.brand = e.src
+  JOIN outw o ON o.src = e.src),
+s{t} AS (SELECT dst, CAST(sum(c) AS DOUBLE) AS s FROM c{t} GROUP BY 1),
+r{t} AS MATERIALIZED (
+  SELECT n.brand,
+         CAST('{one_minus_d}' AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+           + CAST('{d}' AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN s{t} s ON s.dst = n.brand)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT brand, r AS pagerank FROM r{PR_ITERS}"
+    )
+
+
 def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand simple linear regression of line price on quantity —
     slope, intercept and R² computed FROM EXACT MOMENTS: the five
@@ -1614,6 +1742,7 @@ QUERIES = {
     "basket_brand_lift": basket_brand_lift,
     "orders_cohort_ltv": orders_cohort_ltv,
     "ols_quantity_price": ols_quantity_price,
+    "brand_graph_pagerank": brand_graph_pagerank,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1656,6 +1785,7 @@ ORACLES = {
     "basket_brand_lift": _BASKET_LIFT_SQL,
     "orders_cohort_ltv": _COHORT_LTV_SQL,
     "ols_quantity_price": _OLS_SQL,
+    "brand_graph_pagerank": _pagerank_oracle(),
     "q3_shipping_priority": _Q3_SQL,
     "q4_order_priority": _Q4_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
