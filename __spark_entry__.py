@@ -64,7 +64,8 @@ _MODULES = (
 #   core + window_topk_orders_per_customer).
 # Registered AFTER the r5 window froze (local sf0.001 gate now; r6 window
 # verdicts): basket_brand_lift, events_seasonal_anomaly, events_holt_daily,
-# orders_cohort_ltv, ols_quantity_price, brand_graph_pagerank.
+# orders_cohort_ltv, ols_quantity_price, brand_graph_pagerank,
+# events_cusum_daily.
 # Remaining r2-only names queue for the r6 window: agg_cube_lineitem,
 # agg_distinct_by_segment, agg_grouping_sets_orders, agg_percentiles,
 # agg_rollup_region_nation, asof_join_error_purchase, asof_join_forward,

@@ -689,6 +689,115 @@ FROM walk WHERE rn >= 2
 """
 
 
+def events_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistics on the daily event-count
+    series: S⁺_t = max(0, S⁺_{t-1} + (y_t − μ)), S⁻_t symmetric, with μ
+    the series mean — the classic drift detector that accumulates small
+    persistent shifts a per-day z-score never flags.  Output per day:
+    count, both CUSUM statistics, and each one's running maximum (the
+    alarm statistic a threshold would compare against).
+
+    Determinism: μ = exact-integer sum ÷ count (one IEEE division); the
+    recurrences run as an ordered array fold with a struct accumulator
+    (the events_holt_daily pattern), replayed in the oracle as a
+    recursive CTE with the max/addition arithmetic spelled identically.
+
+    Scale: fold input is the day-grain series — bounded by the time
+    range, never event volume; one day-keyed count shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    one = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("n").cast("double").alias("y")))
+        ).alias("arr"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mu"),
+    )
+    arr, mu = F.col("arr"), F.col("mu")
+    row_t = (
+        "array<struct<day:date,n_events:double,cusum_pos:double,"
+        "cusum_neg:double,max_pos:double,max_neg:double>>"
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("mp"),
+        F.lit(0.0).alias("mn"),
+        F.array().cast(row_t).alias("out"),
+    )
+
+    def step(acc, s):
+        sp = F.greatest(F.lit(0.0), acc["sp"] + (s["y"] - mu))
+        sn = F.greatest(F.lit(0.0), acc["sn"] + (mu - s["y"]))
+        mp = F.greatest(acc["mp"], sp)
+        mn = F.greatest(acc["mn"], sn)
+        row = F.struct(
+            s["day"].alias("day"),
+            s["y"].alias("n_events"),
+            sp.alias("cusum_pos"),
+            sn.alias("cusum_neg"),
+            mp.alias("max_pos"),
+            mn.alias("max_neg"),
+        )
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            mp.alias("mp"),
+            mn.alias("mn"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = F.aggregate(arr, init, step, lambda acc: acc["out"])
+    return (
+        one.select(F.explode(folded).alias("r"))
+        .select(
+            "r.day",
+            "r.n_events",
+            "r.cusum_pos",
+            "r.cusum_neg",
+            "r.max_pos",
+            "r.max_neg",
+        )
+    )
+
+
+_CUSUM_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+mu AS (
+  SELECT CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) AS mu FROM daily
+),
+ord AS (SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+walk AS (
+  SELECT o.rn, o.day, o.y,
+         greatest(CAST(0.0 AS DOUBLE), 0.0 + (o.y - m.mu)) AS sp,
+         greatest(CAST(0.0 AS DOUBLE), 0.0 + (m.mu - o.y)) AS sn,
+         greatest(CAST(0.0 AS DOUBLE),
+                  greatest(CAST(0.0 AS DOUBLE), 0.0 + (o.y - m.mu))) AS mp,
+         greatest(CAST(0.0 AS DOUBLE),
+                  greatest(CAST(0.0 AS DOUBLE), 0.0 + (m.mu - o.y))) AS mn
+  FROM ord o, mu m WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.y,
+         greatest(CAST(0.0 AS DOUBLE), w.sp + (o.y - m.mu)),
+         greatest(CAST(0.0 AS DOUBLE), w.sn + (m.mu - o.y)),
+         greatest(w.mp,
+                  greatest(CAST(0.0 AS DOUBLE), w.sp + (o.y - m.mu))),
+         greatest(w.mn,
+                  greatest(CAST(0.0 AS DOUBLE), w.sn + (m.mu - o.y)))
+  FROM ord o JOIN walk w ON o.rn = w.rn + 1
+  CROSS JOIN mu m
+)
+SELECT day, y AS n_events, sp AS cusum_pos, sn AS cusum_neg,
+       mp AS max_pos, mn AS max_neg
+FROM walk
+"""
+
+
 def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (first-order Markov counts): for each
     user's time-ordered event stream, count (prev_type → type) pairs and
@@ -1307,6 +1416,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_ewma": events_ewma,
     "events_holt_daily": events_holt_daily,
+    "events_cusum_daily": events_cusum_daily,
     "events_interval_join_binned": events_interval_join_binned,
     "events_window_5s_max": events_window_5s_max,
     "envelope_map_functions": envelope_map_functions,
@@ -1333,6 +1443,7 @@ ORACLES = {
     "events_retention": _RETENTION_SQL,
     "events_ewma": _EWMA_SQL,
     "events_holt_daily": _HOLT_SQL,
+    "events_cusum_daily": _CUSUM_SQL,
     "events_interval_join_binned": _INTERVAL_BINNED_SQL,
     "events_window_5s_max": _W5S_SQL,
     "envelope_map_functions": _MAP_FUNCS_SQL,
