@@ -392,8 +392,11 @@ def main() -> None:
             except Exception as e:
                 failed[key] = str(e)[:200]
                 r = None
-            if r is not None and (best is None or r > best):
-                best = r
+            if r is not None:
+                failed.pop(key, None)  # a later success supersedes an
+                # earlier attempt's failure record (ADVICE r5)
+                if best is None or r > best:
+                    best = r
             if best is not None and best >= floor:
                 break
         return best

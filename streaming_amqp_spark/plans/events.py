@@ -1268,9 +1268,13 @@ def dedup_within_delay(
     (``dropDuplicatesWithinWatermark``): per key, walk events in
     EVENT-TIME order and keep one iff it is >= ``delay_us`` after the
     previously KEPT one (the kept event opens a suppression window;
-    suppressed duplicates do NOT extend it — exactly the state-expiry
-    semantics of the streaming operator under in-order arrival, which
-    ``tests/test_streaming.py`` ties to the live streaming path).
+    suppressed duplicates do NOT extend it).  Equivalence to the
+    streaming operator needs more than in-order arrival: the live path
+    only re-admits a key once the WATERMARK has advanced past the kept
+    event's expiry (kept_ts + delay), so the twin matches exactly when
+    the watermark has crossed each kept event's expiry before the next
+    candidate for that key arrives — the regime
+    ``test_streaming_dedup_matches_batch_twin`` constructs (ADVICE r5).
 
     The greedy recurrence is inherently sequential per key, so it runs
     as an ordered array fold (the EWMA/next-fit pattern): one shuffle on

@@ -677,17 +677,21 @@ def profile_table(
         .groupBy("cid")
         .agg(F.count("*").alias("n_distinct"))
     )
+    # LEFT join + coalesce keeps the row-per-column contract even for an
+    # all-NULL column (no distinct pairs → no dist row, but the oracle
+    # emits n_distinct=0 for it; ADVICE r5).
+    n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct")
     within = (
-        F.abs(F.col("approx_distinct") - F.col("n_distinct"))
-        <= F.lit(_PROFILE_HLL_BOUND) * F.col("n_distinct")
+        F.abs(F.col("approx_distinct") - F.coalesce(F.col("n_distinct"), F.lit(0)))
+        <= F.lit(_PROFILE_HLL_BOUND) * F.coalesce(F.col("n_distinct"), F.lit(0))
     )
     return (
-        stacked.join(F.broadcast(dist), "cid")
+        stacked.join(F.broadcast(dist), "cid", "left")
         .select(
             "column_name",
             "n_rows",
             "n_null",
-            "n_distinct",
+            n_distinct,
             within.alias("dist_within_bound"),
             "min_val",
             "max_val",
