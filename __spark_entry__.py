@@ -46,66 +46,51 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-5 window (163 registered total):
-# - 7 queries modified in r4 AFTER their last driver verdict (VERDICT r4
-#   "What's wrong #1") — incl. the re-formulated anti_join_idle_customers
-#   whose r2 green was a vacuous 0-row match.
-# - 6 touched in r5: profile_table (HLL-bound reform), text_vocab_growth
-#   (bigram reform), dedup_chunk_cdc + text_scrub_dup_chunks (chunk
-#   relation now carries chunk_id), ann_pq_recall (shared-baseline
-#   refactor), embedding_pca_power (iterate localCheckpoint).
-# - 14 new in r5: agg_cms_heavy_hitters, streaming_dedup_twin,
-#   streaming_rollup_twin, dedup_substring_runs, curate_substring_policy,
-#   ann_pq_kmeans_codebook, ann_pq_kmeans_recall, ann_two_stage_recall,
-#   ann_ivf_kmeans_recall, ann_ivf_balance, text_lang_confusion,
-#   text_bpe_merges, text_bpe_compression, text_domain_divergence,
-#   sample_weighted_bernoulli.
-# - 22 freshness slots for queries whose latest verdict is r2 (the TPC-H
-#   core + window_topk_orders_per_customer).
-# Registered AFTER the r5 window froze (local sf0.001 gate now; r6 window
-# verdicts): basket_brand_lift, events_seasonal_anomaly, events_holt_daily,
-# orders_cohort_ltv, ols_quantity_price, brand_graph_pagerank,
-# events_cusum_daily.
-# Remaining r2-only names queue for the r6 window: agg_cube_lineitem,
-# agg_distinct_by_segment, agg_grouping_sets_orders, agg_percentiles,
-# agg_rollup_region_nation, asof_join_error_purchase, asof_join_forward,
-# events_ewma, events_funnel, events_interval_join_binned,
-# events_retention, events_window_5s_max, full_outer_nation_profile,
-# hist_order_totalprice, pivot_status_by_priority,
-# priciest_part_per_brand, range_join_signup_clicks, sample_deterministic,
-# scalar_function_showcase, semi_join_big_orders, set_ops_nation_presence,
-# sort_limit_top_lineitems, split_train_val_test, window_lag_event_delta,
-# window_range_frame_7d, window_running_revenue.
+# Round-6 window (175 registered total; r5 verdicts: 50/50 green, so every
+# query's latest driver verdict is green and 164/171 pre-r6 names are
+# attested).  Composition, per VERDICT r5 #1 / PARITY.md "Round-6 window
+# plan":
+# - 7 late-r5 registrations with NO driver verdict yet: basket_brand_lift,
+#   orders_cohort_ltv, events_seasonal_anomaly, events_holt_daily,
+#   events_cusum_daily, ols_quantity_price, brand_graph_pagerank.
+# - 26 names whose only verdict is r2 (freshness; the full list the r5
+#   comment enumerated).
+# - 4 new in r6: events_cusum_alarms (CUSUM change-point decision),
+#   streaming_cms_topk_twin (continuous-CMS heavy-hitter serving twin),
+#   scd_priority_asof (SCD-2 dimension + as-of fact join),
+#   text_bpe_vocab (learned-merge APPLY path, also lifted to streaming).
+# - 1 touched in r6: profile_table (all-NULL-column left-join fix,
+#   ADVICE r5).
+# - 12 r3-freshness fills (oldest-verdict names, alphabetical).
 _FIRST_50 = (
-    # stale-verdict rotation (r4 modifications)
-    "anti_join_idle_customers", "q10_returned_items",
-    "text_repetition_stats", "domain_mixture_weights",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters",
-    # touched in r5 (incl. re-entries after refactors)
-    "profile_table", "text_vocab_growth", "dedup_chunk_cdc",
-    "text_scrub_dup_chunks",
-    # new in r5
-    "agg_cms_heavy_hitters", "streaming_dedup_twin", "streaming_rollup_twin",
-    "dedup_substring_runs", "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall",
-    # r2-freshness: TPC-H core
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_revenue_ratio",
-    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q20_potential_promotion", "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    # new in r5 (continued) + r5 re-entries
-    "sample_weighted_bernoulli", "text_domain_divergence",
-    "ann_pq_recall", "curate_substring_policy",
-    "ann_ivf_kmeans_recall", "text_bpe_compression",
-    "ann_two_stage_recall", "embedding_pca_power", "text_bpe_merges",
-    "text_lang_confusion",
-    "ann_ivf_balance",
-    # r2-freshness: remaining slot
-    "window_topk_orders_per_customer",
+    # never-attested (registered after the r5 window froze)
+    "basket_brand_lift", "orders_cohort_ltv", "events_seasonal_anomaly",
+    "events_holt_daily", "events_cusum_daily", "ols_quantity_price",
+    "brand_graph_pagerank",
+    # new in r6
+    "events_cusum_alarms", "streaming_cms_topk_twin", "scd_priority_asof",
+    "text_bpe_vocab",
+    # touched in r6 (ADVICE r5 fix)
+    "profile_table",
+    # r2-freshness (only verdict is r2)
+    "agg_cube_lineitem", "agg_distinct_by_segment",
+    "agg_grouping_sets_orders", "agg_percentiles",
+    "agg_rollup_region_nation", "asof_join_error_purchase",
+    "asof_join_forward", "events_ewma", "events_funnel",
+    "events_interval_join_binned", "events_retention",
+    "events_window_5s_max", "full_outer_nation_profile",
+    "hist_order_totalprice", "pivot_status_by_priority",
+    "priciest_part_per_brand", "range_join_signup_clicks",
+    "sample_deterministic", "scalar_function_showcase",
+    "semi_join_big_orders", "set_ops_nation_presence",
+    "sort_limit_top_lineitems", "split_train_val_test",
+    "window_lag_event_delta", "window_range_frame_7d",
+    "window_running_revenue",
+    # r3-freshness fills
+    "agg_minmax_by", "agg_variance_corr", "ann_ivf_recall",
+    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_candidate_pairs",
+    "contamination_check", "curate_documents", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_recall", "dedup_simhash_buckets",
 )
 
 

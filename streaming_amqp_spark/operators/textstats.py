@@ -748,6 +748,114 @@ def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_merge_array(merges_df: DataFrame) -> DataFrame:
+    """The learned merge table as a ONE-ROW static relation holding the
+    step-ordered array of (step, tok_a, tok_b) structs — the broadcastable
+    tokenizer artifact ``apply_bpe_merges`` consumes."""
+    return merges_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct("step", "tok_a", "tok_b"))
+        ).alias("bpe_merges")
+    )
+
+
+def apply_bpe_merges(
+    df: DataFrame, text_col: str, merges_one_row: DataFrame,
+    out_col: str = "bpe_text",
+) -> DataFrame:
+    """Apply a learned BPE merge table as a PURE PROJECTION (VERDICT r5
+    #3): fold the step-ordered merge array over the text with the exact
+    left-to-right space-doubling rewrite ``_bpe_learn`` trains with, so
+    apply(raw) == the training loop's rewritten corpus
+    (``test_bpe_apply_matches_training_rewrite``).
+
+    Because tokenization is a projection over a broadcast one-row static
+    side, this works UNCHANGED on streaming DataFrames — the learned
+    tokenizer lifted onto the live envelope path (stream-static
+    broadcast join; ``test_streaming_bpe_apply_matches_batch``), the
+    converter-as-projection shape of AMQPBodyFunction.scala:29-41.
+
+    Scale: T merges = T string rewrites fused into ONE projection in a
+    single stage — no shuffle, no per-step corpus scan (unlike training,
+    which must re-count pairs between steps); the merge table is one
+    broadcast row."""
+
+    def step(acc, m):
+        doubled = F.concat(
+            F.lit(" "), F.replace(acc, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(
+            F.lit(" "), m["tok_a"], F.lit("  "), m["tok_b"], F.lit(" ")
+        )
+        rep = F.concat(
+            F.lit(" "), m["tok_a"], F.lit(BPE_JOIN), m["tok_b"], F.lit(" ")
+        )
+        return F.trim(
+            F.replace(F.replace(doubled, pat, rep), F.lit("  "), F.lit(" "))
+        )
+
+    return (
+        df.join(F.broadcast(merges_one_row))
+        .withColumn(
+            out_col,
+            F.aggregate(
+                F.col("bpe_merges"), F.col(text_col).cast("string"), step
+            ),
+        )
+        .drop("bpe_merges")
+    )
+
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The effective vocabulary AFTER applying the learned merges via the
+    serving-path projection (``apply_bpe_merges``, the same expression
+    the streaming lift runs): per final token, its corpus frequency and
+    whether it is a learned merge product.  This attests the APPLY path
+    end-to-end through the driver's oracle — the oracle rewrites the
+    corpus with the identical per-step replace chain, so a divergence
+    between apply() and the training rewrite would hash-mismatch here.
+
+    Scale: training's T pair-count aggregates as in text_bpe_merges,
+    then ONE apply scan (no shuffle) + one token-count aggregate."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    mdf = merges[0]
+    for m in merges[1:]:
+        mdf = mdf.unionAll(m)
+    marr = bpe_merge_array(mdf.select("step", "tok_a", "tok_b"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    applied = apply_bpe_merges(docs, "text", marr)
+    return (
+        applied.select(F.explode(F.split("bpe_text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("is_merged", F.col("token").contains(BPE_JOIN))
+    )
+
+
+def _bpe_vocab_oracle() -> str:
+    parts = ["t0 AS (SELECT doc_id, text FROM documents)"]
+    for s in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{s} AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, count(*) AS c
+  FROM (SELECT string_split(text, ' ') AS toks FROM t{s - 1}) d,
+       UNNEST(range(1, len(toks))) AS u(i)
+  GROUP BY 1, 2),
+b{s} AS (SELECT x, y, c FROM p{s} ORDER BY c DESC, x, y LIMIT 1),
+t{s} AS (
+  SELECT doc_id,
+         trim(replace(replace(' ' || replace(text, ' ', '  ') || ' ',
+                              ' ' || b.x || '  ' || b.y || ' ',
+                              ' ' || b.x || '{BPE_JOIN}' || b.y || ' '),
+                      '  ', ' ')) AS text
+  FROM t{s - 1}, b{s} b)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       contains(token, '{BPE_JOIN}') AS is_merged
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM t{BPE_MERGES})
+GROUP BY 1
+""")
+
+
 def _bpe_oracle() -> str:
     parts = ["t0 AS (SELECT doc_id, text FROM documents)"]
     selects = []
@@ -1030,6 +1138,7 @@ QUERIES = {
     "text_lang_confusion": text_lang_confusion,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_compression": text_bpe_compression,
+    "text_bpe_vocab": text_bpe_vocab,
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_simhash": text_simhash,
@@ -1050,6 +1159,7 @@ ORACLES = {
     "text_lang_confusion": _LANG_CONFUSION_SQL,
     "text_bpe_merges": _bpe_oracle(),
     "text_bpe_compression": _bpe_compression_oracle(),
+    "text_bpe_vocab": _bpe_vocab_oracle(),
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_simhash": _simhash_oracle(),
     "text_tfidf_topk": _TFIDF_SQL,

@@ -722,6 +722,117 @@ WHERE e.event_type = 'error'
 """
 
 
+def scd_priority_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension reconstruction + as-of fact join (VERDICT r5 #5),
+    the classic warehouse shape: each customer's order-priority history
+    IS a slowly-changing dimension (a version becomes effective at its
+    order date and is superseded by the customer's next order), and
+    every lineitem shipment joins to the version PREVAILING at its ship
+    date.  Output per prevailing priority: shipment count, exact-DECIMAL
+    revenue, and n_changed = shipments whose prevailing priority differs
+    from their own order's priority — the SCD effect itself (0 would
+    mean the as-of collapsed to the plain equality join; at sf0.01 it is
+    thousands — customers order again between a shipment's order and
+    ship dates).
+
+    No interval table is materialized: dimension versions and facts are
+    tagged, unioned, and swept by ONE customer-partitioned window
+    carrying the last dimension attribute forward (the
+    asof_join_error_purchase union+window pattern — one shuffle on
+    custkey, no per-row subquery, no range join).  Ties are total:
+    same-instant versions resolve by orderkey, and a version dated at a
+    fact's exact timestamp precedes it (kind sorts dimension first) —
+    `<=` as-of semantics.
+
+    Scale: the fact->orders equi-join shuffles on orderkey (both sides
+    big — the layout bucketing would co-locate it); the sweep is one
+    custkey shuffle.  State per customer during the window is one
+    string, independent of history length.
+
+    The fixture ships some lines BEFORE their customer's first order
+    date (ship dates are synthesized independently), so a NULL-prevailing
+    group legitimately exists — the "fact precedes every dimension
+    version" branch every production as-of join must define.  It keeps
+    priority NULL and counts as changed (null-safe inequality: IS
+    DISTINCT FROM in the oracle, negated eqNullSafe here)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("dim_pr"),
+        F.lit(None).cast("string").alias("own_pr"),
+        F.lit(None).cast("double").alias("ep"),
+        F.lit(None).cast("double").alias("disc"),
+    )
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_shipdate").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.col("l_orderkey").alias("ok"),
+        F.lit(None).cast("string").alias("dim_pr"),
+        F.col("o_orderpriority").alias("own_pr"),
+        F.col("l_extendedprice").alias("ep"),
+        F.col("l_discount").alias("disc"),
+    )
+    w = (
+        W.partitionBy("ck")
+        .orderBy("ts", "kind", "ok")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = dim.unionByName(facts).withColumn(
+        "prevailing", F.last("dim_pr", ignorenulls=True).over(w)
+    )
+    rev = dec("ep") * (F.lit(1).cast("decimal(8,2)") - dec("disc"))
+    return (
+        swept.where(F.col("kind") == 1)
+        .groupBy(F.col("prevailing").alias("priority"))
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum(
+                (~F.col("prevailing").eqNullSafe(F.col("own_pr"))).cast("long")
+            ).alias("n_changed"),
+            dsum(rev, "revenue"),
+        )
+    )
+
+
+_SCD_ASOF_SQL = """
+WITH dim AS (
+  SELECT o_custkey AS ck, o_orderdate AS ts, 0 AS kind, o_orderkey AS ok,
+         o_orderpriority AS dim_pr, CAST(NULL AS VARCHAR) AS own_pr,
+         CAST(NULL AS DOUBLE) AS ep, CAST(NULL AS DOUBLE) AS disc
+  FROM orders
+),
+fact AS (
+  SELECT o.o_custkey AS ck, l.l_shipdate AS ts, 1 AS kind,
+         l.l_orderkey AS ok, CAST(NULL AS VARCHAR) AS dim_pr,
+         o.o_orderpriority AS own_pr, l.l_extendedprice AS ep,
+         l.l_discount AS disc
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+u AS (SELECT * FROM dim UNION ALL SELECT * FROM fact),
+w AS (
+  SELECT *, last_value(dim_pr IGNORE NULLS) OVER (
+    PARTITION BY ck ORDER BY ts, kind, ok
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS prevailing
+  FROM u
+)
+SELECT prevailing AS priority,
+       count(*) AS n_shipments,
+       CAST(sum(CASE WHEN prevailing IS DISTINCT FROM own_pr
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CAST(ep AS DECIMAL(18,2))
+                * (1 - CAST(disc AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM w
+WHERE kind = 1
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Aggregation forms: rollup / cube / grouping sets / distinct / pivot
 # --------------------------------------------------------------------------
@@ -1760,6 +1871,7 @@ QUERIES = {
     "range_join_signup_clicks": range_join_signup_clicks,
     "asof_join_error_purchase": asof_join_error_purchase,
     "asof_join_forward": asof_join_forward,
+    "scd_priority_asof": scd_priority_asof,
     "agg_rollup_region_nation": agg_rollup_region_nation,
     "agg_cube_lineitem": agg_cube_lineitem,
     "agg_grouping_sets_orders": agg_grouping_sets_orders,
@@ -1803,6 +1915,7 @@ ORACLES = {
     "range_join_signup_clicks": _RANGE_SQL,
     "asof_join_error_purchase": _ASOF_SQL,
     "asof_join_forward": _ASOF_FWD_SQL,
+    "scd_priority_asof": _SCD_ASOF_SQL,
     "agg_rollup_region_nation": _ROLLUP_SQL,
     "agg_cube_lineitem": _CUBE_SQL,
     "agg_grouping_sets_orders": _GROUPING_SETS_SQL,

@@ -62,6 +62,21 @@ def start_continuous_cms(
     )
 
 
+CMS_TOPK_K = 20
+
+
+def cms_topk(store: DataFrame, keys: DataFrame, key_col: str, k: int = CMS_TOPK_K) -> DataFrame:
+    """Heavy-hitter extraction from the continuous store (VERDICT r5 #2,
+    the SpaceSaving use-case): estimate every candidate key against the
+    maintained sketch, return the top-k by estimate (ties broken by key —
+    deterministic).  orderBy+limit plans as TakeOrderedAndProject (per-
+    partition top-k + a k-row driver merge), so the candidate relation can
+    be arbitrarily large; the store side stays a 1024-row broadcast.
+    Batch twin: ``plans.events.streaming_cms_topk_twin`` (driver-oracled)."""
+    est = cms_estimate(store, keys, key_col)
+    return est.orderBy(F.col("est").desc(), "k").limit(k)
+
+
 def cms_estimate(store: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-query the sketch store: per key, min over its CMS_D cells.
     The store (1024 rows) broadcasts; keys can be any relation."""

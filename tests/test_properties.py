@@ -789,3 +789,38 @@ def test_cms_actually_collides(spark):
     n_over = est.where(F.col("est") > F.col("true_cnt")).count()
     n_total = est.count()
     assert n_over > n_total // 2, (n_over, n_total)
+
+
+def test_bpe_apply_matches_training_rewrite(spark):
+    """apply_bpe_merges (the serving/streaming projection) reproduces the
+    training loop's rewritten corpus exactly, per document — the
+    train/serve skew check every deployed tokenizer needs."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators.textstats import (
+        _bpe_learn,
+        apply_bpe_merges,
+        bpe_merge_array,
+    )
+    from streaming_amqp_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    merges, final = _bpe_learn(spark, sf_dir)
+    mdf = merges[0]
+    for m in merges[1:]:
+        mdf = mdf.unionAll(m)
+    marr = bpe_merge_array(mdf.select("step", "tok_a", "tok_b"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    applied = apply_bpe_merges(docs, "text", marr)
+    diff = (
+        applied.select("doc_id", F.col("bpe_text").alias("a"))
+        .join(final.select("doc_id", F.col("text").alias("b")), "doc_id")
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
+    # and the merges actually fired: some rewritten text differs from raw
+    changed = (
+        applied.where(F.col("bpe_text") != F.col("text")).count()
+    )
+    assert changed > 0

@@ -1030,6 +1030,30 @@ def test_continuous_cms_store_equals_batch_sketch(amqp, tmp_path):
     ).collect():
         assert r.est >= true_counts[r.k]  # CMS never under-counts
 
+    # Serving-level equivalence (VERDICT r5 #2): heavy-hitter top-k from
+    # the restart-surviving live store == top-k from the one-shot batch
+    # sketch, in (estimate desc, key) order.
+    from streaming_amqp_spark.streaming.cms import cms_topk
+
+    live_topk = [
+        (r.k, r.est)
+        for r in cms_topk(
+            amqp.read.parquet(store), keys, "to_address", k=5
+        ).collect()
+    ]
+    batch_topk = [
+        (r.k, r.est)
+        for r in cms_topk(
+            cms_cell_agg(env_all, "to_address"), keys, "to_address", k=5
+        ).collect()
+    ]
+    assert live_topk == batch_topk
+    assert len(live_topk) == 5
+    ests = [e for _, e in live_topk]
+    assert ests == sorted(ests, reverse=True)
+    for k, e in live_topk:
+        assert e >= true_counts[k]
+
 
 def test_streaming_sessions_match_batch_islands(amqp, tmp_path):
     """The two sessionization algorithms agree: streaming session_window
@@ -1125,3 +1149,54 @@ def test_streaming_sessions_match_batch_islands(amqp, tmp_path):
     }
     assert streamed == expected
     assert len(expected) == 4
+
+
+def test_streaming_bpe_apply_matches_batch(amqp, tmp_path):
+    """The learned-merge tokenizer lifted onto the live streaming path
+    (VERDICT r5 #3): apply_bpe_merges is a pure projection over a
+    broadcast one-row static side, so the SAME call tokenizes the
+    envelope body stream — output matches the batch application on the
+    identical messages."""
+    from streaming_amqp_spark.envelope import body_as
+    from streaming_amqp_spark.operators.textstats import (
+        apply_bpe_merges,
+        bpe_merge_array,
+    )
+
+    msgs = [
+        {"message_id": "a", "body": "the quick brown fox", "ingest_ts": "2024-01-01T00:00:01"},
+        {"message_id": "b", "body": "the quick red fox", "ingest_ts": "2024-01-01T00:00:02"},
+        {"message_id": "c", "body": "the quick brown dog runs", "ingest_ts": "2024-01-01T00:00:03"},
+        {"message_id": "d", "body": "quick the quick", "ingest_ts": "2024-01-01T00:00:04"},
+    ]
+    spool = _write_spool(tmp_path, msgs)
+    merges = amqp.createDataFrame(
+        [(1, "the", "quick"), (2, "the+quick", "brown")],
+        "step int, tok_a string, tok_b string",
+    )
+    marr = bpe_merge_array(merges)
+
+    stream_env = (
+        amqp.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", spool)
+        .load()
+    )
+    stream_tok = apply_bpe_merges(
+        body_as(stream_env, "string", alias="text"), "text", marr
+    )
+    out = _run_stream_to_memory(amqp, stream_tok, "bpe_stream_out")
+    got = sorted((r.text, r.bpe_text) for r in out.collect())
+
+    batch = amqp.createDataFrame(
+        [(m["body"],) for m in msgs], "text string"
+    )
+    want = sorted(
+        (r.text, r.bpe_text)
+        for r in apply_bpe_merges(batch, "text", marr).collect()
+    )
+    assert got == want
+    by_text = dict(want)
+    assert by_text["the quick brown fox"] == "the+quick+brown fox"
+    assert by_text["the quick red fox"] == "the+quick red fox"
+    assert by_text["quick the quick"] == "quick the+quick"
