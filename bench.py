@@ -104,6 +104,11 @@ HEADLINE = [
     "curate_substring_policy",
     "text_domain_divergence",
     "sample_weighted_bernoulli",
+    # round-6 operators
+    "events_cusum_alarms",
+    "streaming_cms_topk_twin",
+    "scd_priority_asof",
+    "text_bpe_vocab",
 ]
 
 
@@ -125,6 +130,9 @@ SF1_SPOT = [
     "dedup_minhash_lsh",
     "events_sessionize_30m",
     "dedup_substring_runs",
+    # r6: the big-join + SCD sweep shape (lineitem x10 joins orders,
+    # then one custkey-partitioned window)
+    "scd_priority_asof",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
@@ -140,7 +148,7 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     # versioned marker: a cache built by an older bench (fewer synthesized
     # tables) must NOT short-circuit, or a new spot query would silently
     # run against a 1x symlink and report a fake ~1.0 slope
-    synth_version = "synthesized: lineitem,documents,events x10"
+    synth_version = "synthesized: lineitem,documents,events,orders x10"
     done = os.path.join(_SF1_DIR, "_DONE")
     if os.path.exists(done) and open(done).read() == synth_version:
         return _SF1_DIR
@@ -176,6 +184,18 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     )
     ev10.repartition(8).write.mode("overwrite").parquet(
         f"{_SF1_DIR}/events.parquet"
+    )
+    # orders remapped to MATCH lineitem's orderkey remap (otherwise an
+    # orderkey join at sf1 silently drops the 9 replicas and any join
+    # slope reads fake-flat); custkey unchanged -> per-customer history
+    # deepens 10x, the honest SCD-sweep scale-up
+    o = spark.read.parquet(f"{base}/orders.parquet")
+    o10 = o.select("*", rep).select(
+        (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+        *[c for c in o.columns if c != "o_orderkey"],
+    )
+    o10.repartition(8).write.mode("overwrite").parquet(
+        f"{_SF1_DIR}/orders.parquet"
     )
     for f in os.listdir(base):
         dst = os.path.join(_SF1_DIR, f)

@@ -422,3 +422,57 @@ def test_substring_policy_reuses_cached_chunks(spark, sf_dir):
     the O(n)-per-doc CDC chunking projection."""
     plan = _plan(spark, sf_dir, "curate_substring_policy")
     assert plan.count("InMemoryTableScan") >= 2, plan[:900]
+
+
+def test_cms_topk_is_broadcast_take_ordered(spark, sf_dir):
+    """streaming_cms_topk_twin's scale claims: the 1024-cell store joins
+    as a BROADCAST (never shuffles the probe side on (r, b)), top-K plans
+    as TakeOrderedAndProject (no global sort), and the per-key aggregate
+    is cached so the store build and the probe ride ONE events scan."""
+    plan = _plan(spark, sf_dir, "streaming_cms_topk_twin")
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert "TakeOrderedAndProject" in plan, plan[:900]
+    assert "Exchange rangepartitioning" not in plan
+    assert "InMemoryTableScan" in plan, plan[:900]
+
+
+def test_scd_asof_is_one_window_no_range_join(spark, sf_dir):
+    """scd_priority_asof must stay the union+window sweep: exactly one
+    Window node (custkey-partitioned), no nested-loop/cartesian interval
+    join, and the only wide exchanges are the orderkey equi-join and the
+    custkey sweep."""
+    import re
+
+    plan = _plan(spark, sf_dir, "scd_priority_asof")
+    # formatted explain prints each node twice (tree + detail section):
+    # count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan[:1200]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_apply_is_single_stage_projection(spark, sf_dir):
+    """apply_bpe_merges' claim: T merges fuse into ONE projection — the
+    apply side of text_bpe_vocab adds no shuffle beyond the final token
+    count (the training loop's pair-count aggregates are separate
+    branches feeding one-row broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators.textstats import (
+        apply_bpe_merges,
+        bpe_merge_array,
+    )
+    from streaming_amqp_spark.tables import load_table
+
+    merges = spark.createDataFrame(
+        [(1, "a", "b"), (2, "a+b", "c")], "step int, tok_a string, tok_b string"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    applied = apply_bpe_merges(docs, "text", bpe_merge_array(merges))
+    plan = applied._jdf.queryExecution().executedPlan().toString()
+    # one corpus scan; the merge table enters as a broadcast, and the only
+    # exchange feeds that one-row broadcast (never repartitions the corpus)
+    assert plan.count("Scan parquet") == 1, plan[:900]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:900]
+    assert "Exchange rangepartitioning" not in plan, plan[:900]
