@@ -43,6 +43,13 @@ _CASES = (
     "ann_pq_kmeans_codebook",
     "streaming_dedup_twin",
     "text_bpe_merges",
+    # r6: day-grain fold + threshold comparison; sketch-min over a
+    # broadcast store with (est, key) limit ties; custkey window sweep
+    # with DECIMAL revenue; merge-fold projection + token counts
+    "events_cusum_alarms",
+    "streaming_cms_topk_twin",
+    "scd_priority_asof",
+    "text_bpe_vocab",
 )
 
 
