@@ -85,13 +85,16 @@ def cms_estimate(store: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         F.explode(_cms_hashes(F.col(key_col).cast("string"))).alias("p"),
     ).select("k", "p.r", "p.b")
     est = (
-        kb.join(F.broadcast(store), ["r", "b"])
+        kb.join(F.broadcast(store), ["r", "b"], "left")
         .groupBy("k")
-        .agg(F.min("cell").alias("est"), F.count("*").alias("n_cells"))
+        .agg(F.min("cell").alias("est"), F.count("cell").alias("n_cells"))
     )
     # a key missing from some cell row means the store predates the key:
     # its estimate is the min over present cells only if all D cells
-    # exist; otherwise 0 (never observed)
+    # exist; otherwise 0 (never observed).  LEFT join + count of non-null
+    # cells — an inner join would silently DROP a key with zero matching
+    # cells instead of answering 0 (caught by the never-sent-key probe in
+    # test_continuous_cms_store_equals_batch_sketch)
     return est.select(
         "k",
         F.when(F.col("n_cells") == CMS_D, F.col("est"))

@@ -1020,15 +1020,27 @@ def test_continuous_cms_store_equals_batch_sketch(amqp, tmp_path):
     }
     assert stored == batch
 
+    # probe includes a key the stream NEVER carried: unless all of its
+    # CMS_D cells collide with observed keys' cells, some cell row is
+    # absent from the store and the estimate must be exactly 0 (the
+    # n_cells < CMS_D branch of cms_estimate)
     keys = amqp.createDataFrame(
-        [(f"addr{i}",) for i in range(7)], "to_address string"
+        [(f"addr{i}",) for i in range(7)] + [("never-sent-key",)],
+        "to_address string",
     )
     true_counts = {f"addr{i}": len([j for j in range(100) if j % 7 == i])
                    for i in range(7)}
-    for r in cms_estimate(
-        amqp.read.parquet(store), keys, "to_address"
-    ).collect():
-        assert r.est >= true_counts[r.k]  # CMS never under-counts
+    true_counts["never-sent-key"] = 0
+    est_rows = {
+        r.k: r.est
+        for r in cms_estimate(
+            amqp.read.parquet(store), keys, "to_address"
+        ).collect()
+    }
+    assert len(est_rows) == 8
+    for k, est in est_rows.items():
+        assert est >= true_counts[k]  # CMS never under-counts
+    assert est_rows["never-sent-key"] == 0
 
     # Serving-level equivalence (VERDICT r5 #2): heavy-hitter top-k from
     # the restart-surviving live store == top-k from the one-shot batch
