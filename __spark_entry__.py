@@ -46,51 +46,43 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-6 window (175 registered total; r5 verdicts: 50/50 green, so every
-# query's latest driver verdict is green and 164/171 pre-r6 names are
-# attested).  Composition, per VERDICT r5 #1 / PARITY.md "Round-6 window
-# plan":
-# - 7 late-r5 registrations with NO driver verdict yet: basket_brand_lift,
-#   orders_cohort_ltv, events_seasonal_anomaly, events_holt_daily,
-#   events_cusum_daily, ols_quantity_price, brand_graph_pagerank.
-# - 26 names whose only verdict is r2 (freshness; the full list the r5
-#   comment enumerated).
-# - 4 new in r6: events_cusum_alarms (CUSUM change-point decision),
-#   streaming_cms_topk_twin (continuous-CMS heavy-hitter serving twin),
-#   scd_priority_asof (SCD-2 dimension + as-of fact join),
-#   text_bpe_vocab (learned-merge APPLY path, also lifted to streaming).
-# - 1 touched in r6: profile_table (all-NULL-column left-join fix,
-#   ADVICE r5).
-# - 12 r3-freshness fills (oldest-verdict names, alphabetical).
+# Round-7 window (175 registered total; cumulative ledger after r6: every
+# query's latest driver verdict is green, zero never-attested).
+# Composition, per VERDICT r6 #1:
+# - all 32 names whose latest verdict is r3 — the oldest evidence in the
+#   project (latest-verdict distribution entering r7: r3:32 r4:44 r5:49
+#   r6:50).
+# - 9 touched in r7 (standing touch-a-query→rotate-it-in rule):
+#   dedup_minhash_lsh + every query whose oracle embeds _MINHASH_SQL or
+#   whose Spark side composes it (MAX_BAND_FREQ hot-bucket star cap,
+#   VERDICT r6 #3): dedup_minhash_recall, dedup_clusters,
+#   dedup_cluster_sizes, dedup_keep_best, curate_documents; plus
+#   profile_table (ADVICE r6 coalesce-reuse refactor) and
+#   text_bpe_merges / text_bpe_vocab (ADVICE r6 _bpe_merge_table helper).
+# - 9 r4-freshness fills (oldest-verdict cohort, alphabetical).
 _FIRST_50 = (
-    # never-attested (registered after the r5 window froze)
-    "basket_brand_lift", "orders_cohort_ltv", "events_seasonal_anomaly",
-    "events_holt_daily", "events_cusum_daily", "ols_quantity_price",
-    "brand_graph_pagerank",
-    # new in r6
-    "events_cusum_alarms", "streaming_cms_topk_twin", "scd_priority_asof",
-    "text_bpe_vocab",
-    # touched in r6 (ADVICE r5 fix)
-    "profile_table",
-    # r2-freshness (only verdict is r2)
-    "agg_cube_lineitem", "agg_distinct_by_segment",
-    "agg_grouping_sets_orders", "agg_percentiles",
-    "agg_rollup_region_nation", "asof_join_error_purchase",
-    "asof_join_forward", "events_ewma", "events_funnel",
-    "events_interval_join_binned", "events_retention",
-    "events_window_5s_max", "full_outer_nation_profile",
-    "hist_order_totalprice", "pivot_status_by_priority",
-    "priciest_part_per_brand", "range_join_signup_clicks",
-    "sample_deterministic", "scalar_function_showcase",
-    "semi_join_big_orders", "set_ops_nation_presence",
-    "sort_limit_top_lineitems", "split_train_val_test",
-    "window_lag_event_delta", "window_range_frame_7d",
-    "window_running_revenue",
-    # r3-freshness fills
-    "agg_minmax_by", "agg_variance_corr", "ann_ivf_recall",
-    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_candidate_pairs",
-    "contamination_check", "curate_documents", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_recall", "dedup_simhash_buckets",
+    # r3-stale (latest verdict is r3)
+    "dedup_simhash_hamming1", "embedding_centroids",
+    "envelope_body_roundtrip", "envelope_map_functions",
+    "events_from_json_typed", "events_json_props",
+    "events_sessionize_30m", "events_sliding_10m_5m",
+    "events_window_hourly_by_type", "knn_cosine_topk",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_meta", "multimodal_resize", "pack_docs_nextfit",
+    "pii_mask_events", "scalar_array_funcs", "scalar_conditional_funcs",
+    "scalar_date_funcs", "scalar_string_funcs", "text_bigram_counts",
+    "text_chunk_sliding", "text_doc_frequency", "text_encode_tokens",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_simhash", "text_token_stats", "text_winnowing_fingerprints",
+    "unpivot_order_measures", "window_rank_variants",
+    # touched in r7 (MAX_BAND_FREQ star cap + ADVICE r6 refactors)
+    "dedup_minhash_lsh", "dedup_minhash_recall", "dedup_clusters",
+    "dedup_cluster_sizes", "dedup_keep_best", "curate_documents",
+    "profile_table", "text_bpe_merges", "text_bpe_vocab",
+    # r4-freshness fills
+    "agg_approx_stats", "agg_bit_bool", "ann_pq_adc",
+    "basket_brand_pairs", "contamination_fuzzy", "corpus_len_histogram",
+    "customer_order_gaps", "dedup_containment", "dedup_cross_source",
 )
 
 

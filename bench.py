@@ -372,13 +372,19 @@ def main() -> None:
     # include any registered query not in the headline list? No: bench is the
     # headline set; correctness covers the rest.
 
+    # VERDICT r6 #4: the ANN recall panel is the bench's most expensive
+    # and most host-noise-exposed block (r6 recorded a 1.35x phantom
+    # "regression" on unchanged code) — allow an extra noise-triggered
+    # rerun beyond the standard cap so its record is a min-of-2+ figure.
+    ann_panel = {n for n in names if n.startswith("ann_") and "recall" in n}
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in names:
         try:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm-up
-            timings[name] = round(_timed_min(df), 4)
+            cap = 4 if name in ann_panel else 3
+            timings[name] = round(_timed_min(df, max_iters=cap), 4)
         except Exception as e:  # isolate: one broken query ≠ no BENCH record
             failed[name] = str(e)[:200]
 

@@ -281,22 +281,80 @@ def band_rows_of(sh: DataFrame, *extra_cols: str) -> DataFrame:
     )
 
 
+# Band-bucket fan-out ceiling (VERDICT r6 #3): a bucket with B members
+# yields B(B-1)/2 candidate pairs — unbounded in B, which is what made
+# the sf1 slope ride pair expansion (and at 100 TB a single 10^6-member
+# boilerplate bucket would mean 5·10^11 verifications).  Buckets larger
+# than this do STAR expansion instead of all-pairs: every member links
+# to the bucket's min-doc_id hub only (B-1 pairs, linear).  Dropping hot
+# buckets outright — the other textbook option — would make the curation
+# pipeline KEEP every copy of exactly the most-duplicated content; the
+# star keeps those clusters connected for dedup_clusters/keep_best while
+# bounding fan-out.  The cost is pair-level (not cluster-level) recall
+# inside hot buckets, measured by dedup_minhash_recall; at the driver's
+# correctness SFs the largest natural bucket holds 4 docs (measured), so
+# the cap only engages on genuinely hot buckets.  The literal is
+# mirrored into the DuckDB oracle below, same discipline as
+# MAX_SHINGLE_FREQ / _capped_index_cte.
+MAX_BAND_FREQ = 8
+
+
+def _band_stats_rows(sh: DataFrame) -> DataFrame:
+    """Band rows annotated with their bucket's size and hub (min doc_id):
+    one map-side-combined aggregate over the band keys plus one equi-join
+    back — AQE-skew-splittable, so a pathologically hot bucket never
+    concentrates raw rows in the aggregate."""
+    band_rows = band_rows_of(sh)
+    stats = band_rows.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
+    )
+    return band_rows.join(stats, ["band_idx", "band_hash"])
+
+
+def _shared_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared cached copy of ``_band_stats_rows`` over the shared
+    shingle index — the LSH candidate phase references this relation
+    several times (cold self-join twice + the hot star branch)."""
+    return shared_cache(
+        spark,
+        ("band_stats", sf_dir),
+        lambda: _band_stats_rows(_shared_shingles(spark, sf_dir)),
+    )
+
+
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sh: DataFrame | None = None,
+    max_band_freq: int | None = MAX_BAND_FREQ,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 min-hashes → 4 bands of 4 → bucket
     join on (band_index, band_hash) → exact Jaccard verification ≥ 0.8.
 
     Only band keys shuffle in the candidate phase; verification re-joins
-    the (small) candidate set against the shingle index.
+    the (small) candidate set against the shingle index.  Buckets above
+    MAX_BAND_FREQ contribute hub-star pairs only (see above): the bucket
+    stats aggregate is map-side combined so hot keys never concentrate
+    raw rows, and the stats→rows equi-join is AQE-skew-splittable.
     """
     if sh is None:
         sh = _shared_shingles(spark, sf_dir)
-    band_rows = band_rows_of(sh)
-    cand = (
-        band_rows.alias("a")
+    if sh is _shared_shingles(spark, sf_dir):
+        # the session-shared shingle index → the session-shared banded
+        # relation.  Without this, Catalyst re-derives the minhash/band
+        # projection once per reference (stats + both self-join sides +
+        # the hot branch = 4 computations; a measured 4x regression at
+        # sf0.1).  The cache holds 4 narrow rows per doc — far smaller
+        # than the shingle cache it derives from.
+        br = _shared_band_stats(spark, sf_dir)
+    else:
+        br = _band_stats_rows(sh)
+    cap = F.lit(max_band_freq) if max_band_freq is not None else F.col("bsz")
+    cold = br.where(F.col("bsz") <= cap)
+    cold_pairs = (
+        cold.alias("a")
         .join(
-            band_rows.alias("b"),
+            cold.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -304,8 +362,15 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
-        .distinct()
     )
+    # hub = min(doc_id) of the bucket, so hub < doc_id preserves the
+    # id1 < id2 invariant every downstream consumer relies on.
+    hot_pairs = (
+        br.where(F.col("bsz") > cap)
+        .where(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    cand = cold_pairs.union(hot_pairs).distinct()
     s1 = sh.select(
         F.col("doc_id").alias("id1"),
         F.col("shingles").alias("sh1"),
@@ -344,11 +409,23 @@ bands AS (
   FROM sig
   GROUP BY doc_id, j // 4
 ),
+bstats AS (
+  SELECT band_idx, band_hash, count(*) AS bsz, min(doc_id) AS hub
+  FROM bands
+  GROUP BY band_idx, band_hash
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  SELECT a.doc_id AS id1, b.doc_id AS id2
   FROM bands a
   JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
+  JOIN bstats s ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+  WHERE s.bsz <= {MAX_BAND_FREQ}
+  UNION
+  SELECT s.hub AS id1, b.doc_id AS id2
+  FROM bands b
+  JOIN bstats s ON s.band_idx = b.band_idx AND s.band_hash = b.band_hash
+  WHERE s.bsz > {MAX_BAND_FREQ} AND b.doc_id <> s.hub
 ),
 inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter

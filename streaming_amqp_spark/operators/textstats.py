@@ -691,6 +691,15 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     return merges, cur
 
 
+def _bpe_merge_table(merges: list[DataFrame]) -> DataFrame:
+    """Union the per-step one-row merge DataFrames from ``_bpe_learn``
+    into the (step, tok_a, tok_b, pair_count) merge table (ADVICE r6:
+    single definition for the three former copy-paste sites)."""
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, merges)
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pair-merge vocabulary induction at word grain: BPE_MERGES
     iterations of (count adjacent token pairs across the corpus -> take
@@ -716,10 +725,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist the rewritten corpus between steps; the learned-merge logic
     is unchanged."""
     merges, _ = _bpe_learn(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return _bpe_merge_table(merges)
 
 
 def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,9 +824,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training's T pair-count aggregates as in text_bpe_merges,
     then ONE apply scan (no shuffle) + one token-count aggregate."""
     merges, _ = _bpe_learn(spark, sf_dir)
-    mdf = merges[0]
-    for m in merges[1:]:
-        mdf = mdf.unionAll(m)
+    mdf = _bpe_merge_table(merges)
     marr = bpe_merge_array(mdf.select("step", "tok_a", "tok_b"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     applied = apply_bpe_merges(docs, "text", marr)

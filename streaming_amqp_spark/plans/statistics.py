@@ -680,10 +680,9 @@ def profile_table(
     # LEFT join + coalesce keeps the row-per-column contract even for an
     # all-NULL column (no distinct pairs → no dist row, but the oracle
     # emits n_distinct=0 for it; ADVICE r5).
-    n_distinct = F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct")
+    nd = F.coalesce(F.col("n_distinct"), F.lit(0))
     within = (
-        F.abs(F.col("approx_distinct") - F.coalesce(F.col("n_distinct"), F.lit(0)))
-        <= F.lit(_PROFILE_HLL_BOUND) * F.coalesce(F.col("n_distinct"), F.lit(0))
+        F.abs(F.col("approx_distinct") - nd) <= F.lit(_PROFILE_HLL_BOUND) * nd
     )
     return (
         stacked.join(F.broadcast(dist), "cid", "left")
@@ -691,7 +690,7 @@ def profile_table(
             "column_name",
             "n_rows",
             "n_null",
-            n_distinct,
+            nd.alias("n_distinct"),
             within.alias("dist_within_bound"),
             "min_val",
             "max_val",

@@ -13,6 +13,8 @@ import pytest
 
 from streaming_amqp_spark.operators.dedup import (
     _JACCARD_SQL,
+    _MINHASH_SQL,
+    dedup_minhash_lsh,
     dedup_ngram_jaccard,
 )
 from streaming_amqp_spark.tables import TABLE_NAMES
@@ -85,3 +87,82 @@ def test_pair_stage_is_posting_list_not_self_join(spark, hot_dir):
     assert "collect_list" in plan, plan
     n_joins = plan.count("Join [")  # physical join operators only
     assert n_joins <= 2, f"expected only the 2 size joins, got {n_joins}:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# Band-bucket fan-out ceiling (MAX_BAND_FREQ) in dedup_minhash_lsh: a bucket
+# with more members than the cap contributes hub-star pairs only (every
+# member links to the bucket's min doc_id), bounding candidate fan-out to
+# B-1 instead of B(B-1)/2 while keeping the cluster connected.
+
+N_HOT_BUCKET = 12  # > MAX_BAND_FREQ (8), so the star path engages
+
+
+@pytest.fixture(scope="module")
+def hot_band_dir(spark, tmp_path_factory) -> str:
+    """documents table where 12 docs share IDENTICAL text — every LSH band
+    bucket they occupy has 12 members, above MAX_BAND_FREQ — plus the same
+    genuine near-dup pair and unrelated doc as hot_dir."""
+    base = tmp_path_factory.mktemp("hotband")
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en") for i in range(1, N_HOT_BUCKET + 1)]
+    rows.append((1001, "a b c d e f g h i j k l", "en"))
+    rows.append((1002, "a b c d e f g h i j k m", "en"))
+    rows.append((2001, "p q r s t u v w", "en"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        ),
+        str(base / "documents.parquet"),
+    )
+    for name in TABLE_NAMES:
+        if name != "documents":
+            os.symlink(f"{SF_DIR}/{name}.parquet", base / f"{name}.parquet")
+    return str(base)
+
+
+def test_band_cap_star_links_hot_bucket(spark, hot_band_dir):
+    # capped (registered default): the 12-dup cluster yields exactly the
+    # 11 hub-star pairs (1, i) — never the 66 all-pairs — and every one
+    # verifies at jaccard 1.0.
+    got = dedup_minhash_lsh(spark, hot_band_dir).collect()
+    hot = {(r.id1, r.id2) for r in got if r.id1 <= N_HOT_BUCKET}
+    assert hot == {(1, i) for i in range(2, N_HOT_BUCKET + 1)}
+    assert all(r.jaccard == 1.0 for r in got if r.id1 <= N_HOT_BUCKET)
+
+
+def test_band_cap_uncapped_explodes_quadratically(spark, hot_band_dir):
+    # cap disabled: the identical docs are mutual near-dups and produce
+    # all C(12,2) pairs — the fan-out the cap exists to bound.
+    got = dedup_minhash_lsh(spark, hot_band_dir, max_band_freq=None).collect()
+    hot = {(r.id1, r.id2) for r in got if r.id1 <= N_HOT_BUCKET}
+    assert len(hot) == N_HOT_BUCKET * (N_HOT_BUCKET - 1) // 2
+
+
+def test_band_cap_matches_oracle_when_binding(spark, hot_band_dir):
+    # the star-expansion semantics are mirrored bit-for-bit in the DuckDB
+    # oracle — on a corpus where the cap actually engages, not just at
+    # the natural SFs where every bucket is cold.
+    compare_query(dedup_minhash_lsh(spark, hot_band_dir), _MINHASH_SQL, hot_band_dir)
+
+
+def test_band_cap_keeps_hot_cluster_connected(spark, hot_band_dir):
+    # the reason star beats drop: connected components over the capped
+    # pairs still put all 12 boilerplate docs in ONE cluster, so
+    # keep-one-per-cluster curation still removes the other 11.
+    from streaming_amqp_spark.operators.dedup import dedup_clusters
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(spark, hot_band_dir).collect()
+        if r.doc_id <= N_HOT_BUCKET
+    }
+    assert set(labels) == set(range(1, N_HOT_BUCKET + 1))
+    assert set(labels.values()) == {1}

@@ -799,6 +799,7 @@ def test_bpe_apply_matches_training_rewrite(spark):
 
     from streaming_amqp_spark.operators.textstats import (
         _bpe_learn,
+        _bpe_merge_table,
         apply_bpe_merges,
         bpe_merge_array,
     )
@@ -806,9 +807,7 @@ def test_bpe_apply_matches_training_rewrite(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     merges, final = _bpe_learn(spark, sf_dir)
-    mdf = merges[0]
-    for m in merges[1:]:
-        mdf = mdf.unionAll(m)
+    mdf = _bpe_merge_table(merges)
     marr = bpe_merge_array(mdf.select("step", "tok_a", "tok_b"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     applied = apply_bpe_merges(docs, "text", marr)
