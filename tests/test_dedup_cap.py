@@ -24,27 +24,19 @@ from tests.oracle import compare_query
 N_HOT = 300  # > MAX_SHINGLE_FREQ (256), so the registered cap binds
 
 
-@pytest.fixture(scope="module")
-def hot_dir(spark, tmp_path_factory) -> str:
-    """documents table where one shingle ('x y z') appears in 300 docs,
-    plus one genuine near-dup pair and one unrelated doc.  Other tables
-    symlink to sf0.001 so the oracle harness can register every view."""
-    base = tmp_path_factory.mktemp("hotshingle")
-    rows = [(i, "x y z", "en") for i in range(1, N_HOT + 1)]
-    # 12 tokens differing in the last → jaccard 9/11 ≈ 0.818 ≥ 0.8
-    rows.append((1001, "a b c d e f g h i j k l", "en"))
-    rows.append((1002, "a b c d e f g h i j k m", "en"))
-    rows.append((2001, "p q r s t u v w", "en"))
+def _write_docs_dir(base, rows) -> str:
+    """Materialize a documents table (single-file parquet — the DuckDB
+    side reads the literal path) with every other table symlinked to
+    sf0.001 so the oracle harness can register all views."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # single-file parquet (DuckDB side reads the literal path)
     pq.write_table(
         pa.table(
             {
                 "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "text": [r[1] for r in rows],
-                "lang": [r[2] for r in rows],
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
             }
         ),
         str(base / "documents.parquet"),
@@ -53,6 +45,18 @@ def hot_dir(spark, tmp_path_factory) -> str:
         if name != "documents":
             os.symlink(f"{SF_DIR}/{name}.parquet", base / f"{name}.parquet")
     return str(base)
+
+
+@pytest.fixture(scope="module")
+def hot_dir(spark, tmp_path_factory) -> str:
+    """documents table where one shingle ('x y z') appears in 300 docs,
+    plus one genuine near-dup pair and one unrelated doc."""
+    rows = [(i, "x y z", "en") for i in range(1, N_HOT + 1)]
+    # 12 tokens differing in the last → jaccard 9/11 ≈ 0.818 ≥ 0.8
+    rows.append((1001, "a b c d e f g h i j k l", "en"))
+    rows.append((1002, "a b c d e f g h i j k m", "en"))
+    rows.append((2001, "p q r s t u v w", "en"))
+    return _write_docs_dir(tmp_path_factory.mktemp("hotshingle"), rows)
 
 
 def test_cap_drops_hot_shingle_pairs(spark, hot_dir):
@@ -109,23 +113,7 @@ def hot_band_dir(spark, tmp_path_factory) -> str:
     rows.append((1001, "a b c d e f g h i j k l", "en"))
     rows.append((1002, "a b c d e f g h i j k m", "en"))
     rows.append((2001, "p q r s t u v w", "en"))
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "text": [r[1] for r in rows],
-                "lang": [r[2] for r in rows],
-            }
-        ),
-        str(base / "documents.parquet"),
-    )
-    for name in TABLE_NAMES:
-        if name != "documents":
-            os.symlink(f"{SF_DIR}/{name}.parquet", base / f"{name}.parquet")
-    return str(base)
+    return _write_docs_dir(base, rows)
 
 
 def test_band_cap_star_links_hot_bucket(spark, hot_band_dir):
@@ -166,3 +154,35 @@ def test_band_cap_keeps_hot_cluster_connected(spark, hot_band_dir):
     }
     assert set(labels) == set(range(1, N_HOT_BUCKET + 1))
     assert set(labels.values()) == {1}
+
+
+def test_band_cap_boundary_bucket_exactly_at_cap_stays_all_pairs(
+    spark, tmp_path_factory
+):
+    # B == MAX_BAND_FREQ is COLD (the guard is bsz > cap): a bucket with
+    # exactly 8 identical docs still does all-pairs C(8,2)=28, each at
+    # jaccard 1.0 — pins the <=/< boundary in both engines.
+    from streaming_amqp_spark.operators.dedup import MAX_BAND_FREQ
+
+    b = MAX_BAND_FREQ
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en") for i in range(1, b + 1)]
+    rows.append((2001, "p q r s t u v w", "en"))
+    d = _write_docs_dir(tmp_path_factory.mktemp("atcap"), rows)
+    got = {(r.id1, r.id2) for r in dedup_minhash_lsh(spark, d).collect()}
+    assert got == {(i, j) for i in range(1, b + 1) for j in range(i + 1, b + 1)}
+    compare_query(dedup_minhash_lsh(spark, d), _MINHASH_SQL, d)
+
+
+def test_dedup_family_on_empty_corpus(spark, tmp_path_factory):
+    # 100 TB reality: a partition (or a whole snapshot) can be empty.
+    # Every dedup entry point must return an EMPTY result — never raise
+    # on min()/aggregate-over-nothing — and agree with the oracle.
+    from streaming_amqp_spark.operators.dedup import dedup_clusters
+
+    d = _write_docs_dir(tmp_path_factory.mktemp("emptydocs"), [])
+    assert dedup_minhash_lsh(spark, d).count() == 0
+    assert dedup_ngram_jaccard(spark, d).count() == 0
+    assert dedup_clusters(spark, d).count() == 0
+    compare_query(dedup_minhash_lsh(spark, d), _MINHASH_SQL, d)
+    compare_query(dedup_ngram_jaccard(spark, d), _JACCARD_SQL, d)

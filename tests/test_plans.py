@@ -275,6 +275,20 @@ def test_tiny_aggregate_reuse_is_cached(spark, sf_dir):
         assert "InMemoryTableScan" in plan, f"{name} lost its cache"
 
 
+def test_minhash_band_relation_is_cached(spark, sf_dir):
+    """dedup_minhash_lsh references the banded+stats relation three times
+    (both cold self-join sides + the hot star branch); without the
+    `_shared_band_stats` session cache Catalyst re-derives the
+    minhash/band projection per reference — a measured 4x regression at
+    sf0.1 (r7).  The executed plan must read the cache at every
+    reference and never fall back to a cartesian candidate phase."""
+    df = _QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan[:900]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
     """The eval-side band table is broadcast into the candidate join, so
     the training corpus's band rows never shuffle on the band key.
