@@ -336,6 +336,12 @@ def dedup_minhash_lsh(
     MAX_BAND_FREQ contribute hub-star pairs only (see above): the bucket
     stats aggregate is map-side combined so hot keys never concentrate
     raw rows, and the stats→rows equi-join is AQE-skew-splittable.
+
+    Passing a custom ``sh``: the banded+stats relation is only
+    session-cached when ``sh`` IS the ``_shared_shingles`` singleton; any
+    other relation gets its band projection re-derived once per
+    candidate-phase reference (4x — the regression the cache exists to
+    prevent), so pre-cache a custom ``sh`` before handing it in.
     """
     if sh is None:
         sh = _shared_shingles(spark, sf_dir)

@@ -156,6 +156,30 @@ def test_band_cap_keeps_hot_cluster_connected(spark, hot_band_dir):
     assert set(labels.values()) == {1}
 
 
+def test_band_cap_recall_cost_is_measured_and_oracle_matched(
+    spark, hot_band_dir
+):
+    # VERDICT r6 #3: the cap's PAIR-level recall cost, quantified on a
+    # corpus where it binds.  Exact truth sees all C(12,2)=66 hot pairs
+    # + the genuine near-dup pair; the star keeps 11 + 1 — recall
+    # 12/67 ≈ 0.179 at pair grain (cluster grain stays 1.0, asserted by
+    # the connectivity test above).  Both engines measure the same cost.
+    from streaming_amqp_spark.operators.dedup import (
+        _minhash_recall_oracle,
+        dedup_minhash_recall,
+    )
+
+    row = dedup_minhash_recall(spark, hot_band_dir).collect()[0]
+    n_true = N_HOT_BUCKET * (N_HOT_BUCKET - 1) // 2 + 1
+    assert (row.n_true_pairs, row.n_found) == (n_true, N_HOT_BUCKET)
+    assert abs(row.recall - N_HOT_BUCKET / n_true) < 1e-12
+    compare_query(
+        dedup_minhash_recall(spark, hot_band_dir),
+        _minhash_recall_oracle(),
+        hot_band_dir,
+    )
+
+
 def test_band_cap_boundary_bucket_exactly_at_cap_stays_all_pairs(
     spark, tmp_path_factory
 ):

@@ -280,11 +280,17 @@ def test_minhash_band_relation_is_cached(spark, sf_dir):
     (both cold self-join sides + the hot star branch); without the
     `_shared_band_stats` session cache Catalyst re-derives the
     minhash/band projection per reference — a measured 4x regression at
-    sf0.1 (r7).  The executed plan must read the cache at every
-    reference and never fall back to a cartesian candidate phase."""
+    sf0.1 (r7).  The executed plan must read the STATS-CARRYING cache
+    (output includes bsz/hub — a bare InMemoryTableScan count would be
+    satisfied by the shingle cache alone, which the pre-fix plan already
+    read 4x; review-caught) at all three candidate-phase references, and
+    never fall back to a cartesian candidate phase."""
+    import re
+
     df = _QUERIES["dedup_minhash_lsh"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 3, plan[:900]
+    stats_scans = re.findall(r"InMemoryTableScan \[[^\]]*\bbsz\b", plan)
+    assert len(stats_scans) >= 3, plan[:900]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -33,11 +33,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load_ledger() -> dict[str, tuple[int, bool]]:
     """name -> (latest round with a verdict, latest verdict is green)."""
     ledger: dict[str, tuple[int, bool]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:  # e.g. a stray CORRECTNESS_rerun.json
+            continue
+        rnd = int(m.group(1))
         with open(path) as f:
             rows = json.load(f)
         for name, v in rows.items():
+            if name in ledger and ledger[name][0] >= rnd:
+                continue  # latest-round-wins by PARSED round, not filename sort
             green = bool(
                 v.get("rows_match")
                 and v.get("schema_match")
@@ -79,7 +84,7 @@ def main() -> int:
         attested = [n for n in registry if n in ledger]
         attested.sort(key=lambda n: (ledger[n][0], n))
         print("\nnext-window candidates (oldest verdict first):")
-        for n in never + attested[: 50 - len(never)]:
+        for n in never + attested[: max(0, 50 - len(never))]:
             rnd = f"r{ledger[n][0]}" if n in ledger else "NEVER"
             print(f"  {rnd:>6}  {n}")
 
