@@ -290,8 +290,14 @@ def band_rows_of(sh: DataFrame, *extra_cols: str) -> DataFrame:
 # buckets outright — the other textbook option — would make the curation
 # pipeline KEEP every copy of exactly the most-duplicated content; the
 # star keeps those clusters connected for dedup_clusters/keep_best while
-# bounding fan-out.  The cost is pair-level (not cluster-level) recall
-# inside hot buckets, measured by dedup_minhash_recall; at the driver's
+# bounding fan-out.  The cost is pair-level recall inside hot buckets
+# (quantified by dedup_minhash_recall; 12/67 on the binding test
+# corpus).  Cluster-level recall survives whenever the hub verifies
+# against the members — always, for buckets that are hot because their
+# content is near-identical; it can dip only when DISSIMILAR docs
+# band-collide into a hot bucket AND are near-dups of each other but not
+# of the hub (they must then re-collide in their own bucket to pair, at
+# the usual per-band s^4 odds); at the driver's
 # correctness SFs the largest natural bucket holds 4 docs (measured), so
 # the cap only engages on genuinely hot buckets.  The literal is
 # mirrored into the DuckDB oracle below, same discipline as
