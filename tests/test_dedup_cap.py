@@ -198,6 +198,24 @@ def test_band_cap_boundary_bucket_exactly_at_cap_stays_all_pairs(
     compare_query(dedup_minhash_lsh(spark, d), _MINHASH_SQL, d)
 
 
+def test_band_cap_bounds_2k_member_hot_bucket(spark, tmp_path_factory):
+    # Scale evidence beyond the 12-doc semantics corpus: a 2000-member
+    # boilerplate bucket — ~2M candidate pairs uncapped — yields exactly
+    # the 1999 star pairs and completes as a small join, because the
+    # quadratic set is never MATERIALIZED anywhere in the capped plan
+    # (the whole point of the bound at 100 TB, where the same bucket
+    # shape shows up with 10^6 members).
+    n = 2000
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en") for i in range(1, n + 1)]
+    rows.append((9001, "p q r s t u v w", "en"))
+    d = _write_docs_dir(tmp_path_factory.mktemp("hot2k"), rows)
+    got = dedup_minhash_lsh(spark, d)
+    assert got.count() == n - 1
+    hubs = got.select("id1").distinct().collect()
+    assert [r.id1 for r in hubs] == [1]
+
+
 def test_dedup_family_on_empty_corpus(spark, tmp_path_factory):
     # 100 TB reality: a partition (or a whole snapshot) can be empty.
     # Every dedup entry point must return an EMPTY result — never raise
