@@ -216,6 +216,57 @@ def test_band_cap_bounds_2k_member_hot_bucket(spark, tmp_path_factory):
     assert [r.id1 for r in hubs] == [1]
 
 
+def test_band_cap_pairs_subset_and_clusters_refine(spark, tmp_path_factory):
+    # The cap's semantic contract on ARBITRARY corpora: every star pair
+    # (hub, member) shares its bucket, so it exists in the uncapped
+    # all-pairs set too, and verification is identical — capped verified
+    # pairs ⊆ uncapped verified pairs, hence capped connected components
+    # REFINE uncapped components (never merge across them).  Exercised on
+    # seeded random corpora over a tiny alphabet (heavy dup/collision
+    # rate) with cap=2 so the star path engages constantly.
+    import random
+
+    def components(pairs, nodes):
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        return {x: find(x) for x in nodes}
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d", "e", "f"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9))), "en")
+            for i in range(1, 41)
+        ]
+        d = _write_docs_dir(tmp_path_factory.mktemp(f"prop{seed}"), rows)
+        capped = {
+            (r.id1, r.id2)
+            for r in dedup_minhash_lsh(spark, d, max_band_freq=2).collect()
+        }
+        uncapped = {
+            (r.id1, r.id2)
+            for r in dedup_minhash_lsh(spark, d, max_band_freq=None).collect()
+        }
+        assert capped <= uncapped, (seed, capped - uncapped)
+        nodes = [r[0] for r in rows]
+        cc, cu = components(capped, nodes), components(uncapped, nodes)
+        # refinement: two docs in one capped component are in one
+        # uncapped component
+        groups: dict[int, set[int]] = {}
+        for doc, root in cc.items():
+            groups.setdefault(root, set()).add(doc)
+        for members in groups.values():
+            assert len({cu[m] for m in members}) == 1, (seed, members)
+
+
 def test_dedup_family_on_empty_corpus(spark, tmp_path_factory):
     # 100 TB reality: a partition (or a whole snapshot) can be empty.
     # Every dedup entry point must return an EMPTY result — never raise
