@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
 
 import duckdb
 
@@ -25,9 +26,13 @@ def run_oracle_typed(
     hash canonicalization, which distinguishes int64 from HUGEINT/float."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        # <table>.parquet is a single file at /root/testdata SFs, but a
+        # Spark-written DIRECTORY of part files for synthesized sets
+        # (e.g. bench's /tmp sf1) — glob the parts in that case.
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     rel = con.sql(sql)
     cols = list(rel.columns)
     type_names = dict(zip(cols, (str(t) for t in rel.types)))
