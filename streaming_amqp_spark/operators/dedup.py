@@ -480,12 +480,36 @@ HAVING count(*) > 1
 """
 
 
-def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Fingerprint-bucket fan-out ceiling — the simhash twin of MAX_BAND_FREQ.
+# A 16-bit fingerprint (kept narrow for cross-engine oracle portability;
+# at 100 TB you would widen to 64-bit) concentrates boilerplate-heavy
+# corpora into hot buckets at EVERY measured SF (largest natural bucket:
+# 113 docs of 500 at sf0.01, 1038 of 5000 at sf0.1, 6460 of 50k at the
+# synthesized sf1, where the uncapped probe join produced a >1 GiB pair
+# set — caught by the first sf1 oracle sweep, r7).  Buckets above the
+# ceiling contribute hub-star pairs only, same rationale and same
+# oracle-mirroring discipline as MAX_BAND_FREQ above.
+MAX_SIMHASH_FREQ = 8
+
+
+def dedup_simhash_hamming1(
+    spark: SparkSession,
+    sf_dir: str,
+    max_simhash_freq: int | None = MAX_SIMHASH_FREQ,
+) -> DataFrame:
     """SimHash candidates within Hamming distance ≤ 1: one side is
     expanded to 17 probes (the hash + each single-bit flip) and equi-joined
     against the other side's exact hash — the standard multi-probe trick
     that keeps radius-k search an equi-join (shuffle on hash keys) instead
-    of a pairwise distance scan."""
+    of a pairwise distance scan.
+
+    The probe side stays complete; the EXACT-hash side of a bucket larger
+    than ``max_simhash_freq`` is collapsed to the bucket's min-doc_id hub,
+    so a B-member boilerplate bucket emits O(probes-hitting-it) pairs
+    instead of B·(neighbors) — every member still links to its own
+    bucket's hub through its unflipped probe, so clusters stay connected
+    (the MAX_BAND_FREQ star argument, dedup.py above).  Bounds total
+    output by 17·N regardless of bucket skew."""
     from streaming_amqp_spark.operators.textstats import text_simhash
 
     sim = text_simhash(spark, sf_dir)
@@ -502,11 +526,34 @@ def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = sim.select(
         F.col("doc_id").alias("id1"), F.explode(probes).alias("probe")
     )
-    right = sim.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    stats = sim.groupBy("simhash").agg(
+        F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
+    )
+    cap = (
+        F.lit(max_simhash_freq)
+        if max_simhash_freq is not None
+        else F.col("bsz")
+    )
+    right_cold = (
+        sim.join(stats, "simhash")
+        .where(F.col("bsz") <= cap)
+        .select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    )
+    right_hot = stats.where(F.col("bsz") > cap).select(
+        F.col("hub").alias("id2"), F.col("simhash").alias("h2")
+    )
+    # least/greatest orientation (not the old id1<id2 filter): a hot
+    # bucket's hub may be on either side of a star pair, and for cold
+    # pairs the probe expansion is symmetric so the oriented-distinct set
+    # is identical to the old asymmetric filter's.
     pairs = (
-        left.join(right, left.probe == right.h2)
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        left.join(right_cold.unionByName(right_hot), left.probe == F.col("h2"))
+        .where(F.col("id1") != F.col("id2"))
+        .select(
+            F.least("id1", "id2").alias("p1"),
+            F.greatest("id1", "id2").alias("p2"),
+        )
+        .select(F.col("p1").alias("id1"), F.col("p2").alias("id2"))
         .distinct()
     )
     h1 = sim.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"))
@@ -544,9 +591,22 @@ WITH per_doc AS ({_simhash_oracle()}),
 probes AS (
   SELECT doc_id, unnest([simhash, {flips}]) AS probe FROM per_doc
 ),
+bstats AS (
+  SELECT simhash, count(*) AS bsz, min(doc_id) AS hub
+  FROM per_doc GROUP BY simhash
+),
+rightside AS (
+  SELECT q.doc_id AS id2, q.simhash AS h2
+  FROM per_doc q JOIN bstats s ON q.simhash = s.simhash
+  WHERE s.bsz <= {MAX_SIMHASH_FREQ}
+  UNION ALL
+  SELECT s.hub AS id2, s.simhash AS h2 FROM bstats s
+  WHERE s.bsz > {MAX_SIMHASH_FREQ}
+),
 pairs AS (
-  SELECT DISTINCT p.doc_id AS id1, q.doc_id AS id2
-  FROM probes p JOIN per_doc q ON p.probe = q.simhash AND p.doc_id < q.doc_id
+  SELECT DISTINCT least(p.doc_id, r.id2) AS id1,
+                  greatest(p.doc_id, r.id2) AS id2
+  FROM probes p JOIN rightside r ON p.probe = r.h2 AND p.doc_id <> r.id2
 )
 SELECT c.id1, c.id2, {dist} AS hamming
 FROM pairs c

@@ -267,6 +267,49 @@ def test_band_cap_pairs_subset_and_clusters_refine(spark, tmp_path_factory):
             assert len({cu[m] for m in members}) == 1, (seed, members)
 
 
+# ---------------------------------------------------------------------------
+# Fingerprint-bucket ceiling (MAX_SIMHASH_FREQ) in dedup_simhash_hamming1:
+# the exact-hash side of a bucket above the cap collapses to its hub, the
+# probe side stays complete — output bounded by 17·N (the uncapped sf1
+# probe join produced a >1 GiB pair set, caught by the first sf1 sweep).
+
+
+def test_simhash_cap_star_links_hot_bucket(spark, hot_band_dir):
+    # the 12 identical docs share one simhash bucket (> cap): capped
+    # result contains exactly the 11 star pairs at hamming 0 for that
+    # cluster; uncapped explodes to all 66.
+    from streaming_amqp_spark.operators.dedup import dedup_simhash_hamming1
+
+    got = dedup_simhash_hamming1(spark, hot_band_dir).collect()
+    hot = {(r.id1, r.id2) for r in got if r.id1 <= N_HOT_BUCKET}
+    assert hot == {(1, i) for i in range(2, N_HOT_BUCKET + 1)}
+    assert all(r.hamming == 0 for r in got if r.id1 <= N_HOT_BUCKET)
+    un = dedup_simhash_hamming1(
+        spark, hot_band_dir, max_simhash_freq=None
+    ).collect()
+    unhot = {(r.id1, r.id2) for r in un if r.id1 <= N_HOT_BUCKET}
+    assert len(unhot) == N_HOT_BUCKET * (N_HOT_BUCKET - 1) // 2
+    assert hot <= unhot
+
+
+def test_simhash_cap_subset_of_uncapped_on_natural_corpus(spark):
+    # capped pairs ⊆ uncapped pairs on the natural sf0.001 corpus, where
+    # the skewed simhash buckets make the cap bind for real.
+    from streaming_amqp_spark.operators.dedup import dedup_simhash_hamming1
+
+    capped = {
+        (r.id1, r.id2)
+        for r in dedup_simhash_hamming1(spark, SF_DIR).collect()
+    }
+    uncapped = {
+        (r.id1, r.id2)
+        for r in dedup_simhash_hamming1(
+            spark, SF_DIR, max_simhash_freq=None
+        ).collect()
+    }
+    assert capped and capped < uncapped
+
+
 def test_dedup_family_on_empty_corpus(spark, tmp_path_factory):
     # 100 TB reality: a partition (or a whole snapshot) can be empty.
     # Every dedup entry point must return an EMPTY result — never raise

@@ -50,6 +50,9 @@ _CASES = (
     "streaming_cms_topk_twin",
     "scd_priority_asof",
     "text_bpe_vocab",
+    # r7: hot-fingerprint star cap — min(doc_id) hubs + least/greatest
+    # orientation must not depend on partitioning
+    "dedup_simhash_hamming1",
 )
 
 
