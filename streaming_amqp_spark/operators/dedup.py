@@ -492,6 +492,18 @@ HAVING count(*) > 1
 MAX_SIMHASH_FREQ = 8
 
 
+def _shared_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared cached (doc_id, simhash) relation — the capped
+    probe join references it six times and each uncached reference
+    re-runs the full documents scan + tokenize + fingerprint aggregation
+    (no CSE across a DataFrame DAG)."""
+    from streaming_amqp_spark.operators.textstats import text_simhash
+
+    return shared_cache(
+        spark, ("simhash", sf_dir), lambda: text_simhash(spark, sf_dir)
+    )
+
+
 def dedup_simhash_hamming1(
     spark: SparkSession,
     sf_dir: str,
@@ -509,10 +521,15 @@ def dedup_simhash_hamming1(
     instead of B·(neighbors) — every member still links to its own
     bucket's hub through its unflipped probe, so clusters stay connected
     (the MAX_BAND_FREQ star argument, dedup.py above).  Bounds total
-    output by 17·N regardless of bucket skew."""
-    from streaming_amqp_spark.operators.textstats import text_simhash
+    output by 17·(cap+1)·N — each probe row matches at most ``cap`` cold
+    rows plus one hub per neighboring hot bucket — i.e. linear in N
+    regardless of bucket skew (uncapped it is Σ quadratic bucket
+    products; >1 GiB at the synthesized sf1).
 
-    sim = text_simhash(spark, sf_dir)
+    The per-doc simhash relation is referenced six times (probe side,
+    bucket stats, cold side + its stats join, both hamming lookups) —
+    session-cached for the same no-CSE reason as ``_shared_band_stats``."""
+    sim = _shared_simhash(spark, sf_dir)
 
     def flip(col, p):  # flip bit p (1-based) of the 16-char bitstring
         flipped = F.when(F.substring(col, p, 1) == "1", F.lit("0")).otherwise(
@@ -550,10 +567,9 @@ def dedup_simhash_hamming1(
         left.join(right_cold.unionByName(right_hot), left.probe == F.col("h2"))
         .where(F.col("id1") != F.col("id2"))
         .select(
-            F.least("id1", "id2").alias("p1"),
-            F.greatest("id1", "id2").alias("p2"),
+            F.least("id1", "id2").alias("id1"),
+            F.greatest("id1", "id2").alias("id2"),
         )
-        .select(F.col("p1").alias("id1"), F.col("p2").alias("id2"))
         .distinct()
     )
     h1 = sim.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"))

@@ -292,6 +292,48 @@ def test_simhash_cap_star_links_hot_bucket(spark, hot_band_dir):
     assert hot <= unhot
 
 
+def test_simhash_cap_matches_oracle_when_binding(spark, hot_band_dir):
+    # star semantics mirrored bit-for-bit in the DuckDB oracle on a
+    # corpus where the cap engages (12-member bucket > 8) — the same
+    # mandatory guard the MAX_BAND_FREQ suite carries.
+    from streaming_amqp_spark.operators.dedup import (
+        _simhash_hamming1_oracle,
+        dedup_simhash_hamming1,
+    )
+
+    compare_query(
+        dedup_simhash_hamming1(spark, hot_band_dir),
+        _simhash_hamming1_oracle(),
+        hot_band_dir,
+    )
+
+
+def test_simhash_cap_boundary_bucket_exactly_at_cap_stays_all_pairs(
+    spark, tmp_path_factory
+):
+    # B == MAX_SIMHASH_FREQ is COLD (guard is bsz > cap): 8 identical
+    # docs still produce all C(8,2)=28 pairs, and both engines agree —
+    # pins the <=/< boundary.
+    from streaming_amqp_spark.operators.dedup import (
+        MAX_SIMHASH_FREQ,
+        _simhash_hamming1_oracle,
+        dedup_simhash_hamming1,
+    )
+
+    b = MAX_SIMHASH_FREQ
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler, "en") for i in range(1, b + 1)]
+    rows.append((2001, "p q r s t u v w", "en"))
+    d = _write_docs_dir(tmp_path_factory.mktemp("sim_atcap"), rows)
+    got = {
+        (r.id1, r.id2)
+        for r in dedup_simhash_hamming1(spark, d).collect()
+        if r.id1 <= b
+    }
+    assert got == {(i, j) for i in range(1, b + 1) for j in range(i + 1, b + 1)}
+    compare_query(dedup_simhash_hamming1(spark, d), _simhash_hamming1_oracle(), d)
+
+
 def test_simhash_cap_subset_of_uncapped_on_natural_corpus(spark):
     # capped pairs ⊆ uncapped pairs on the natural sf0.001 corpus, where
     # the skewed simhash buckets make the cap bind for real.

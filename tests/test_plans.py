@@ -295,6 +295,22 @@ def test_minhash_band_relation_is_cached(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_relation_is_cached(spark, sf_dir):
+    """dedup_simhash_hamming1 references the per-doc simhash relation six
+    times (probe side, bucket stats, cold side + stats join, both hamming
+    lookups); the `_shared_simhash` session cache must serve every
+    reference or each one re-runs the full documents scan + fingerprint
+    aggregation (review-caught in r7)."""
+    import re
+
+    df = _QUERIES["dedup_simhash_hamming1"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sim_scans = re.findall(r"InMemoryTableScan \[[^\]]*\bsimhash\b", plan)
+    assert len(sim_scans) >= 4, plan[:900]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_contamination_fuzzy_broadcasts_eval_bands(spark, sf_dir):
     """The eval-side band table is broadcast into the candidate join, so
     the training corpus's band rows never shuffle on the band key.
