@@ -1,0 +1,82 @@
+"""Cross-engine oracle sweep over the full query registry at any SF dir.
+
+The driver's correctness gate runs at sf0.01; this tool replays the same
+(query, oracle) comparison at any other scale — the committed testdata
+SFs or a Spark-written dataset like bench's synthesized 10×-sf0.1 set
+(the oracle harness globs part files for directory-shaped tables).  The
+first full run at the synthesized sf1 (r7) caught a real scale bug the
+sf0.01 gate could not see: the uncapped SimHash probe join's >1 GiB pair
+set (fixed by MAX_SIMHASH_FREQ).
+
+    python tools/oracle_sweep.py                       # sf0.01, full
+    python tools/oracle_sweep.py --sf-dir /tmp/spark_graft_sf1 \
+        --state /tmp/sf1_done.txt --deadline 520       # resumable chunk
+
+With ``--state``, completed names append to the file and are skipped on
+the next invocation, so a long sweep survives wall-clock limits; rerun
+until it prints DONE.  Exit is non-zero on any FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--state", default=None, help="resume file of done names")
+    ap.add_argument(
+        "--deadline",
+        type=float,
+        default=None,
+        help="stop starting new queries after this many seconds",
+    )
+    ap.add_argument("--only", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from streaming_amqp_spark.session import get_spark
+
+    spark = get_spark("oracle-sweep")
+    import __spark_entry__ as e
+    from tests.oracle import compare_query
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = sorted(args.only or osql)
+    done: set[str] = set()
+    if args.state and os.path.exists(args.state):
+        done = set(open(args.state).read().split())
+    t_start = time.time()
+    fails: list[str] = []
+    for name in names:
+        if name in done:
+            continue
+        if args.deadline and time.time() - t_start > args.deadline:
+            left = sum(1 for n in names if n not in done and n not in fails)
+            print(f"DEADLINE: stopping with {left} names left", flush=True)
+            break
+        t0 = time.time()
+        try:
+            compare_query(qs[name](spark, args.sf_dir), osql[name], args.sf_dir)
+            print(f"OK   {name} {time.time() - t0:.1f}s", flush=True)
+            done.add(name)
+            if args.state:
+                with open(args.state, "a") as f:
+                    f.write(name + "\n")
+        except Exception as ex:
+            fails.append(name)
+            print(f"FAIL {name} {time.time() - t0:.1f}s {str(ex)[:300]}", flush=True)
+    if not fails and all(n in done for n in names):
+        print(f"DONE {len(names)}/{len(names)} green at {args.sf_dir}")
+    print("FAILS", fails)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
