@@ -521,8 +521,9 @@ def dedup_simhash_hamming1(
     instead of B·(neighbors) — every member still links to its own
     bucket's hub through its unflipped probe, so clusters stay connected
     (the MAX_BAND_FREQ star argument, dedup.py above).  Bounds total
-    output by 17·(cap+1)·N — each probe row matches at most ``cap`` cold
-    rows plus one hub per neighboring hot bucket — i.e. linear in N
+    output by 17·cap·N: a probe value equals exactly ONE hash bucket,
+    which is either cold (≤ cap rows) or hot (1 hub row), so each of the
+    17·N probe rows matches at most ``cap`` rows — linear in N
     regardless of bucket skew (uncapped it is Σ quadratic bucket
     products; >1 GiB at the synthesized sf1).
 

@@ -270,7 +270,7 @@ def test_band_cap_pairs_subset_and_clusters_refine(spark, tmp_path_factory):
 # ---------------------------------------------------------------------------
 # Fingerprint-bucket ceiling (MAX_SIMHASH_FREQ) in dedup_simhash_hamming1:
 # the exact-hash side of a bucket above the cap collapses to its hub, the
-# probe side stays complete — output bounded by 17·N (the uncapped sf1
+# probe side stays complete — output bounded by 17·cap·N (the uncapped sf1
 # probe join produced a >1 GiB pair set, caught by the first sf1 sweep).
 
 

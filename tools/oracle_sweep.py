@@ -14,7 +14,10 @@ set (fixed by MAX_SIMHASH_FREQ).
 
 With ``--state``, completed names append to the file and are skipped on
 the next invocation, so a long sweep survives wall-clock limits; rerun
-until it prints DONE.  Exit is non-zero on any FAIL.
+until it prints DONE.  The state file is keyed to its sf-dir (header
+line) — reusing it against a different scale is refused rather than
+silently skipping everything.  Exit: 0 = all names green, 1 = any FAIL,
+2 = incomplete (deadline hit) — gate automation on 0, not "not 1".
 """
 
 from __future__ import annotations
@@ -50,8 +53,22 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     names = sorted(args.only or osql)
     done: set[str] = set()
+    header = f"#sfdir={args.sf_dir}"
     if args.state and os.path.exists(args.state):
-        done = set(open(args.state).read().split())
+        lines = open(args.state).read().split()
+        got_header = next((l for l in lines if l.startswith("#sfdir=")), None)
+        if got_header is not None and got_header != header:
+            print(
+                f"REFUSED: state file {args.state} belongs to "
+                f"{got_header.removeprefix('#sfdir=')}, not {args.sf_dir} — "
+                "a cross-scale resume would skip every query and fabricate "
+                "a green sweep"
+            )
+            return 1
+        done = {l for l in lines if not l.startswith("#")}
+    elif args.state:
+        with open(args.state, "w") as f:
+            f.write(header + "\n")
     t_start = time.time()
     fails: list[str] = []
     for name in names:
@@ -72,10 +89,13 @@ def main() -> int:
         except Exception as ex:
             fails.append(name)
             print(f"FAIL {name} {time.time() - t0:.1f}s {str(ex)[:300]}", flush=True)
-    if not fails and all(n in done for n in names):
+    complete = all(n in done for n in names)
+    if not fails and complete:
         print(f"DONE {len(names)}/{len(names)} green at {args.sf_dir}")
     print("FAILS", fails)
-    return 1 if fails else 0
+    if fails:
+        return 1
+    return 0 if complete else 2
 
 
 if __name__ == "__main__":
