@@ -109,6 +109,8 @@ HEADLINE = [
     "streaming_cms_topk_twin",
     "scd_priority_asof",
     "text_bpe_vocab",
+    # round-7: capped SimHash probe join (feeds its sf1_spot slope row)
+    "dedup_simhash_hamming1",
 ]
 
 
@@ -133,6 +135,9 @@ SF1_SPOT = [
     # r6: the big-join + SCD sweep shape (lineitem x10 joins orders,
     # then one custkey-partitioned window)
     "scd_priority_asof",
+    # r7: the capped SimHash probe join — uncapped it blew up at sf1
+    # (>1 GiB pair set); the slope monitors the MAX_SIMHASH_FREQ bound
+    "dedup_simhash_hamming1",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
