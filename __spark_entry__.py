@@ -46,43 +46,41 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-7 window (175 registered total; cumulative ledger after r6: every
+# Round-8 window (175 registered total; cumulative ledger after r7: every
 # query's latest driver verdict is green, zero never-attested).
-# Composition, per VERDICT r6 #1:
-# - all 32 names whose latest verdict is r3 — the oldest evidence in the
-#   project (latest-verdict distribution entering r7: r3:32 r4:44 r5:49
-#   r6:50).
-# - 9 touched in r7 (standing touch-a-query→rotate-it-in rule):
-#   dedup_minhash_lsh + every query whose oracle embeds _MINHASH_SQL or
-#   whose Spark side composes it (MAX_BAND_FREQ hot-bucket star cap,
-#   VERDICT r6 #3): dedup_minhash_recall, dedup_clusters,
-#   dedup_cluster_sizes, dedup_keep_best, curate_documents; plus
-#   profile_table (ADVICE r6 coalesce-reuse refactor) and
-#   text_bpe_merges / text_bpe_vocab (ADVICE r6 _bpe_merge_table helper).
-# - 9 r4-freshness fills (oldest-verdict cohort, alphabetical).
+# Composition, per VERDICT r7 #1:
+# - all 33 names whose latest verdict is r4 — the oldest evidence in the
+#   project (latest-verdict distribution entering r8: r4:33 r5:46 r6:46
+#   r7:50; `tools/freshness.py --suggest`).
+# - 2 touched in r8 (standing touch-a-query→rotate-it-in rule):
+#   text_bpe_merges / text_bpe_vocab, whose shared `_bpe_merge_table`
+#   helper gained the empty-merges guard (ADVICE r7).
+# - 15 r5-freshness fills (oldest-verdict cohort, alphabetical).
 _FIRST_50 = (
-    # r3-stale (latest verdict is r3)
-    "dedup_simhash_hamming1", "embedding_centroids",
-    "envelope_body_roundtrip", "envelope_map_functions",
-    "events_from_json_typed", "events_json_props",
-    "events_sessionize_30m", "events_sliding_10m_5m",
-    "events_window_hourly_by_type", "knn_cosine_topk",
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "multimodal_meta", "multimodal_resize", "pack_docs_nextfit",
-    "pii_mask_events", "scalar_array_funcs", "scalar_conditional_funcs",
-    "scalar_date_funcs", "scalar_string_funcs", "text_bigram_counts",
-    "text_chunk_sliding", "text_doc_frequency", "text_encode_tokens",
-    "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_simhash", "text_token_stats", "text_winnowing_fingerprints",
-    "unpivot_order_measures", "window_rank_variants",
-    # touched in r7 (MAX_BAND_FREQ star cap + ADVICE r6 refactors)
-    "dedup_minhash_lsh", "dedup_minhash_recall", "dedup_clusters",
-    "dedup_cluster_sizes", "dedup_keep_best", "curate_documents",
-    "profile_table", "text_bpe_merges", "text_bpe_vocab",
-    # r4-freshness fills
-    "agg_approx_stats", "agg_bit_bool", "ann_pq_adc",
-    "basket_brand_pairs", "contamination_fuzzy", "corpus_len_histogram",
-    "customer_order_gaps", "dedup_containment", "dedup_cross_source",
+    # r4-stale (latest verdict is r4)
+    "embedding_l2_normalize", "embedding_quantize_int8",
+    "events_conversion_latency", "events_cum_distinct_users",
+    "events_dow_hour_heatmap", "events_mad_anomaly",
+    "events_resample_15m", "events_rolling_dau_7d", "events_top_paths",
+    "events_transition_counts", "events_user_streaks",
+    "events_zscore_anomaly", "layout_zorder_events",
+    "mixture_sqrt_temperature", "mixture_token_budget",
+    "multimodal_audio_frames", "multimodal_storage_report",
+    "order_fulfillment_latency", "orders_backlog_sweepline",
+    "q6_whatif_grid", "revenue_mom_change", "rfm_segmentation",
+    "sample_stratified_balanced", "sample_topk_per_stratum",
+    "skew_key_report", "text_boilerplate_prefixes", "text_chunk_cdc",
+    "text_gopher_rules", "text_readability", "text_tfidf_topk",
+    "text_token_entropy", "text_unigram_logprob", "window_first_last",
+    # touched in r8 (_bpe_merge_table empty-merges guard, ADVICE r7)
+    "text_bpe_merges", "text_bpe_vocab",
+    # r5-freshness fills
+    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
+    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ann_pq_recall",
+    "ann_two_stage_recall", "anti_join_idle_customers",
+    "curate_substring_policy", "dedup_chunk_cdc", "dedup_ngram_jaccard",
+    "dedup_substring_runs", "domain_mixture_weights",
+    "embedding_pca_power", "q10_returned_items",
 )
 
 

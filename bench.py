@@ -16,6 +16,7 @@ queries are bounded by one-core parquet decode here, not by the plan.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -138,6 +139,17 @@ SF1_SPOT = [
     # r7: the capped SimHash probe join — uncapped it blew up at sf1
     # (>1 GiB pair set); the slope monitors the MAX_SIMHASH_FREQ bound
     "dedup_simhash_hamming1",
+    # r8 (VERDICT r7 #5): the ANN recall family — the bench's most
+    # expensive block, never slope-recorded before embeddings were
+    # synthesized 10x (a 1x symlink would read a fake ~1.0 slope) — and
+    # the worst query vs the r1 baseline.  Lloyd training + the |Q|=8
+    # broadcast exact baseline are both linear in N; the id caps
+    # (N_QUERIES=8, EXACT_BASELINE_ID_CAP=1024) bind to rep-0 ids only,
+    # so the query/sample set stays fixed while the corpus grows 10x.
+    "ann_two_stage_recall",
+    "ann_pq_kmeans_recall",
+    "ann_ivf_kmeans_recall",
+    "text_doc_frequency",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
@@ -153,7 +165,7 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     # versioned marker: a cache built by an older bench (fewer synthesized
     # tables) must NOT short-circuit, or a new spot query would silently
     # run against a 1x symlink and report a fake ~1.0 slope
-    synth_version = "synthesized: lineitem,documents,events,orders x10"
+    synth_version = "synthesized: lineitem,documents,events,orders,embeddings x10"
     done = os.path.join(_SF1_DIR, "_DONE")
     if os.path.exists(done) and open(done).read() == synth_version:
         return _SF1_DIR
@@ -201,6 +213,20 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     )
     o10.repartition(8).write.mode("overwrite").parquet(
         f"{_SF1_DIR}/orders.parquet"
+    )
+    # embeddings: EXACT replicas with remapped vec_id — no value
+    # perturbation, so every distance/centroid expression stays
+    # bit-identical cross-engine for the sf1 oracle sweep.  The fixed id
+    # caps (N_QUERIES, EXACT_BASELINE_ID_CAP) select rep-0 ids only:
+    # the query/baseline sample stays constant while the searched/
+    # trained corpus grows 10x — the honest ANN scale-up.
+    em = spark.read.parquet(f"{base}/embeddings.parquet")
+    em10 = em.select("*", rep).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    )
+    em10.repartition(8).write.mode("overwrite").parquet(
+        f"{_SF1_DIR}/embeddings.parquet"
     )
     for f in os.listdir(base):
         dst = os.path.join(_SF1_DIR, f)
@@ -394,10 +420,20 @@ def main() -> None:
             failed[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 4)
+    # ADVICE r7: the headline SET changes across rounds (new operators
+    # join it), which silently redefines headline_total_runtime — record
+    # the set's size and a fingerprint so round-over-round totals that
+    # span a set change are flagged as non-comparable instead of read as
+    # real movement.
+    headline_sha = hashlib.sha1(
+        "\n".join(sorted(names)).encode()
+    ).hexdigest()[:10]
     out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
+        "headline_count": len(names),
+        "headline_set_sha": headline_sha,
         "queries": timings,
         "sf": sf,
     }

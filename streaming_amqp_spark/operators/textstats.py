@@ -694,9 +694,18 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
 def _bpe_merge_table(merges: list[DataFrame]) -> DataFrame:
     """Union the per-step one-row merge DataFrames from ``_bpe_learn``
     into the (step, tok_a, tok_b, pair_count) merge table (ADVICE r6:
-    single definition for the three former copy-paste sites)."""
+    single definition for the three former copy-paste sites).
+
+    Raises a descriptive error on zero learned merges (empty corpus, or
+    a corpus where no adjacent pair repeats) instead of reduce()'s bare
+    TypeError — ADVICE r7."""
     from functools import reduce
 
+    if not merges:
+        raise ValueError(
+            "BPE learned zero merges (empty corpus or no repeated adjacent "
+            "token pair) — no merge table to build"
+        )
     return reduce(DataFrame.unionAll, merges)
 
 

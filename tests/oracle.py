@@ -5,6 +5,7 @@ per-query rounding both engines apply)."""
 from __future__ import annotations
 
 import datetime as _dt
+import glob
 import math
 import os
 
@@ -28,10 +29,18 @@ def run_oracle_typed(
     for name in TABLE_NAMES:
         # <table>.parquet is a single file at /root/testdata SFs, but a
         # Spark-written DIRECTORY of part files for synthesized sets
-        # (e.g. bench's /tmp sf1) — glob the parts in that case.
+        # (e.g. bench's /tmp sf1) — glob the parts (recursively, so a
+        # partitioned key=val layout is covered too) and fail loudly if
+        # the glob matches nothing rather than registering an empty view.
         path = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(path):
-            path = f"{path}/*.parquet"
+            pattern = f"{path}/**/*.parquet"
+            if not glob.glob(pattern, recursive=True):
+                raise FileNotFoundError(
+                    f"no part files under {path} — oracle view {name!r} "
+                    "would be empty/partial"
+                )
+            path = pattern
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     rel = con.sql(sql)
     cols = list(rel.columns)

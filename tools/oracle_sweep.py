@@ -53,11 +53,28 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     names = sorted(args.only or osql)
     done: set[str] = set()
-    header = f"#sfdir={args.sf_dir}"
+    # The header keys the state file to its dataset, not just its path: a
+    # synthesized dir (bench's /tmp sf1) carries a _DONE version marker,
+    # and a resynthesized dataset at the SAME path must not be resumed
+    # from results produced against the old one.
+    marker = os.path.join(args.sf_dir, "_DONE")
+    ver = open(marker).read().strip() if os.path.exists(marker) else ""
+    header = f"#sfdir={args.sf_dir}|{ver}" if ver else f"#sfdir={args.sf_dir}"
     if args.state and os.path.exists(args.state):
-        lines = open(args.state).read().split()
+        lines = [
+            l.strip() for l in open(args.state).read().splitlines() if l.strip()
+        ]
         got_header = next((l for l in lines if l.startswith("#sfdir=")), None)
-        if got_header is not None and got_header != header:
+        if got_header is None:
+            print(
+                f"REFUSED: state file {args.state} has no '#sfdir=' header, "
+                "so there is no way to verify which scale produced it — a "
+                "wrong-scale resume would skip every query and fabricate a "
+                f"green sweep.  Delete it, or prepend '{header}' if you know "
+                "it was produced for this sf-dir."
+            )
+            return 1
+        if got_header != header:
             print(
                 f"REFUSED: state file {args.state} belongs to "
                 f"{got_header.removeprefix('#sfdir=')}, not {args.sf_dir} — "
