@@ -1,0 +1,83 @@
+"""The verification harness itself must fail loudly (ADVICE r7): a sweep
+that silently skips queries or registers empty oracle views would attest
+green without testing anything.  No SparkSession needed here — these pin
+the pure guard logic plus the DuckDB view registration."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from oracle_sweep import parse_state, state_header  # noqa: E402
+
+from tests.oracle import run_oracle  # noqa: E402
+
+SF001 = "/root/testdata/sf0.001"
+
+
+class TestStateFileGuards:
+    def test_matching_header_returns_done_names(self):
+        text = "#sfdir=/data/sf1\nq_a\nq_b\n"
+        assert parse_state(text, "#sfdir=/data/sf1") == {"q_a", "q_b"}
+
+    def test_headerless_state_is_refused(self):
+        # a hand-made or truncated file could belong to ANY scale — the
+        # silently-skip-everything fabricated-green resume
+        with pytest.raises(ValueError, match="no '#sfdir=' header"):
+            parse_state("q_a\nq_b\n", "#sfdir=/data/sf1")
+
+    def test_cross_dataset_resume_is_refused(self):
+        with pytest.raises(ValueError, match="belongs to"):
+            parse_state("#sfdir=/data/sf0.1\nq_a\n", "#sfdir=/data/sf1")
+
+    def test_resynthesized_dataset_invalidates_old_state(self, tmp_path):
+        # same path, new _DONE synth version -> different header ->
+        # refused (results were produced against the OLD dataset)
+        sf = tmp_path / "sf1"
+        sf.mkdir()
+        (sf / "_DONE").write_text("synthesized: v1")
+        old_header = state_header(str(sf))
+        (sf / "_DONE").write_text("synthesized: v2")
+        with pytest.raises(ValueError, match="belongs to"):
+            parse_state(f"{old_header}\nq_a\n", state_header(str(sf)))
+
+    def test_whitespace_in_sfdir_path_survives_roundtrip(self, tmp_path):
+        sf = tmp_path / "with space"
+        sf.mkdir()
+        h = state_header(str(sf))
+        assert parse_state(f"{h}\nq_a\n", h) == {"q_a"}
+
+
+class TestOracleViewRegistration:
+    def _sf_copy(self, tmp_path) -> str:
+        d = tmp_path / "sf"
+        d.mkdir()
+        for f in os.listdir(SF001):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(SF001, f), d / f)
+        return str(d)
+
+    def test_directory_tables_glob_recursively(self, tmp_path):
+        # Spark partitioned writes nest part files under key=val subdirs;
+        # a top-level-only glob would register a partial view
+        sf = self._sf_copy(tmp_path)
+        tbl = os.path.join(sf, "region.parquet")
+        src = os.readlink(tbl)
+        os.unlink(tbl)
+        os.makedirs(os.path.join(tbl, "k=0"))
+        shutil.copy(src, os.path.join(tbl, "k=0", "part-0.parquet"))
+        _, rows = run_oracle("SELECT count(*) AS n FROM region", sf)
+        assert rows[0][0] == 5
+
+    def test_empty_directory_table_raises_not_empty_view(self, tmp_path):
+        sf = self._sf_copy(tmp_path)
+        tbl = os.path.join(sf, "region.parquet")
+        os.unlink(tbl)
+        os.makedirs(tbl)  # directory exists, zero part files
+        with pytest.raises(FileNotFoundError, match="no part files"):
+            run_oracle("SELECT 1", sf)

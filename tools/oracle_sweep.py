@@ -30,6 +30,37 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def state_header(sf_dir: str) -> str:
+    """State-file header keying results to their dataset, not just its
+    path: a synthesized dir (bench's /tmp sf1) carries a _DONE version
+    marker, and a resynthesized dataset at the SAME path must not be
+    resumed from results produced against the old one."""
+    marker = os.path.join(sf_dir, "_DONE")
+    ver = open(marker).read().strip() if os.path.exists(marker) else ""
+    return f"#sfdir={sf_dir}|{ver}" if ver else f"#sfdir={sf_dir}"
+
+
+def parse_state(text: str, header: str) -> set[str]:
+    """Completed names from a resume file, or ValueError when the file
+    cannot be trusted for this dataset — a wrong-dataset (or unknowable:
+    headerless) resume would skip every query and fabricate a green
+    sweep (ADVICE r7)."""
+    lines = [l.strip() for l in text.splitlines() if l.strip()]
+    got_header = next((l for l in lines if l.startswith("#sfdir=")), None)
+    if got_header is None:
+        raise ValueError(
+            "state file has no '#sfdir=' header, so there is no way to "
+            "verify which dataset produced it.  Delete it, or prepend "
+            f"'{header}' if you know it was produced for this sf-dir."
+        )
+    if got_header != header:
+        raise ValueError(
+            f"state file belongs to {got_header.removeprefix('#sfdir=')}, "
+            f"not {header.removeprefix('#sfdir=')}"
+        )
+    return {l for l in lines if not l.startswith("#")}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -43,6 +74,19 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
+    done: set[str] = set()
+    header = state_header(args.sf_dir)
+    # validate the resume file BEFORE paying JVM startup
+    if args.state and os.path.exists(args.state):
+        try:
+            done = parse_state(open(args.state).read(), header)
+        except ValueError as ex:
+            print(f"REFUSED: {args.state}: {ex}")
+            return 1
+    elif args.state:
+        with open(args.state, "w") as f:
+            f.write(header + "\n")
+
     sys.path.insert(0, REPO)
     from streaming_amqp_spark.session import get_spark
 
@@ -52,40 +96,6 @@ def main() -> int:
 
     qs, osql = e.queries(), e.oracle_sql()
     names = sorted(args.only or osql)
-    done: set[str] = set()
-    # The header keys the state file to its dataset, not just its path: a
-    # synthesized dir (bench's /tmp sf1) carries a _DONE version marker,
-    # and a resynthesized dataset at the SAME path must not be resumed
-    # from results produced against the old one.
-    marker = os.path.join(args.sf_dir, "_DONE")
-    ver = open(marker).read().strip() if os.path.exists(marker) else ""
-    header = f"#sfdir={args.sf_dir}|{ver}" if ver else f"#sfdir={args.sf_dir}"
-    if args.state and os.path.exists(args.state):
-        lines = [
-            l.strip() for l in open(args.state).read().splitlines() if l.strip()
-        ]
-        got_header = next((l for l in lines if l.startswith("#sfdir=")), None)
-        if got_header is None:
-            print(
-                f"REFUSED: state file {args.state} has no '#sfdir=' header, "
-                "so there is no way to verify which scale produced it — a "
-                "wrong-scale resume would skip every query and fabricate a "
-                f"green sweep.  Delete it, or prepend '{header}' if you know "
-                "it was produced for this sf-dir."
-            )
-            return 1
-        if got_header != header:
-            print(
-                f"REFUSED: state file {args.state} belongs to "
-                f"{got_header.removeprefix('#sfdir=')}, not {args.sf_dir} — "
-                "a cross-scale resume would skip every query and fabricate "
-                "a green sweep"
-            )
-            return 1
-        done = {l for l in lines if not l.startswith("#")}
-    elif args.state:
-        with open(args.state, "w") as f:
-            f.write(header + "\n")
     t_start = time.time()
     fails: list[str] = []
     for name in names:
