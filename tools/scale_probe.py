@@ -1,0 +1,140 @@
+"""Spark-side scaling probe beyond the oracle-checkable range.
+
+The cross-engine sweep tops out at the synthesized ~sf1 (DuckDB oracle
+cost, not Spark, is the bound there).  This tool keeps scaling the
+SPARK side: it synthesizes documents/embeddings at 10x the bench sf1
+set (~sf10: ~500k docs — 100x the committed sf0.1) with the same
+near-dup replica structure, times the fan-out-risk queries, and prints
+per-query times + slopes vs their sf1 reading.  A capped-LSH operator
+whose output is linear in N must stay well under 10x per 10x data; a
+super-linear reading here is the earliest possible smell of the next
+MAX_*_FREQ-class bug (the r7 simhash lesson, one decade further out).
+
+    python tools/scale_probe.py                  # default query set
+    python tools/scale_probe.py --only dedup_minhash_lsh
+
+Timing only — no DuckDB oracle at this scale; correctness at sf1 is the
+sweep's job.  Results are a dated SCALING.md entry, not a BENCH field.
+
+Caveats on reading the numbers:
+- Iterative queries (dedup_clusters' label propagation) materialize
+  their localCheckpoint'd iterations during the warm-up, so the timed
+  run measures the final scan only — use their ROW growth, not their
+  time, as the scale signal here.
+- Pair-grain reports over the synthesized replica corpus have a
+  quadratic TRUE answer: replica clusters are ~10 members at sf1 and
+  ~100 at sf10, so the honest pair count grows ~110x per 10x docs, not
+  10x.  A capped-LSH operator should show ~linear row growth anyway
+  (the hub-star cap collapses hot buckets); a pair-complete operator
+  (dedup_substring_runs) legitimately shows ~100x — compare its row
+  growth against the pair math before calling it a bug.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = "/tmp/spark_graft_sf1"
+SF10_DIR = "/tmp/spark_graft_sf10"
+
+# The fan-out-risk set: every pair-generating / cluster-propagating
+# operator whose 100 TB story depends on a frequency cap, plus the
+# curation pipeline that composes them.
+DEFAULT_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming1",
+    "dedup_clusters",
+    "curate_documents",
+    "dedup_ngram_jaccard",
+    "dedup_substring_runs",
+]
+
+
+def ensure_sf10(spark) -> str:
+    """10x the bench sf1 documents/embeddings (same replica scheme:
+    remapped ids, per-replica tail token so copies are near- not
+    exact-dups).  Non-document tables symlink to sf1 — the probe set
+    only reads documents/embeddings."""
+    from pyspark.sql import functions as F
+
+    synth_version = "scale_probe: documents,embeddings x10 from sf1"
+    done = os.path.join(SF10_DIR, "_DONE")
+    if os.path.exists(done) and open(done).read() == synth_version:
+        return SF10_DIR
+    import shutil
+
+    shutil.rmtree(SF10_DIR, ignore_errors=True)
+    os.makedirs(SF10_DIR, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+    docs10 = docs.select("*", rep).select(
+        (F.col("doc_id") + F.col("rep") * 100_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" s"), F.col("rep")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    docs10.repartition(32).write.mode("overwrite").parquet(
+        f"{SF10_DIR}/documents.parquet"
+    )
+    em = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    em10 = em.select("*", rep).select(
+        (F.col("vec_id") + F.col("rep") * 100_000_000).alias("vec_id"),
+        *[c for c in em.columns if c != "vec_id"],
+    )
+    em10.repartition(16).write.mode("overwrite").parquet(
+        f"{SF10_DIR}/embeddings.parquet"
+    )
+    for f in os.listdir(SF1_DIR):
+        dst = os.path.join(SF10_DIR, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(SF1_DIR, f), dst)
+    with open(done, "w") as fh:
+        fh.write(synth_version)
+    return SF10_DIR
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from streaming_amqp_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    import bench
+    import __spark_entry__ as e
+
+    bench._ensure_sf1(spark)
+    sf10 = ensure_sf10(spark)
+    qs = e.queries()
+    names = args.only or DEFAULT_QUERIES
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        for label, sf_dir in (("sf1", SF1_DIR), ("sf10", sf10)):
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            row[label] = round(time.time() - t0, 2)
+            # rows too: a capped operator's OUTPUT must be ~linear in N
+            row[f"{label}_rows"] = df.count()
+        row["slope"] = round(row["sf10"] / row["sf1"], 2)
+        row["row_growth"] = (
+            round(row["sf10_rows"] / row["sf1_rows"], 2)
+            if row["sf1_rows"]
+            else None
+        )
+        out[name] = row
+        print(name, json.dumps(row), flush=True)
+    print(json.dumps({"scale_probe": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
