@@ -70,27 +70,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Upper bound on live shared_cache entries.  A single query tree touches
+# at most ~4 cached relations, so 12 never evicts within one query; what
+# it does bound is a long-lived session running MANY heavy operators over
+# large inputs, where cached relations otherwise accumulate without limit
+# (measured at the r8 100x probe: five dedup operators' sf1+sf10 caches
+# held ~1.2 GB of the 10 GB storage region in one JVM with nothing ever
+# unpersisting).  Eviction is semantics-neutral: a re-referenced evicted
+# relation recomputes (slower, never wrong).
+_SHARED_CACHE_CAP = 12
+
+
 def shared_cache(spark: SparkSession, key: tuple, build) -> DataFrame:
-    """Session-scoped cache registry: at most ONE cached DataFrame per
-    (operator, input) key, reused across query invocations.
+    """Session-scoped LRU cache registry: at most ONE cached DataFrame
+    per (operator, input) key, reused across query invocations, at most
+    ``_SHARED_CACHE_CAP`` cached relations live per session.
 
     A bare ``.cache()`` inside an operator pins a NEW InMemoryRelation in
     the session's storage memory on every call and nothing ever
     unpersists it — after N invocations (the driver harness runs ~100
     queries; bench re-runs them) N stale copies compete with
     shuffle/execution memory.  Keying the cache on the session object
-    itself bounds live entries to the distinct (operator, sf_dir) pairs
-    actually used and ties their lifetime to the session.  Callers that
-    mutate inputs in place must clear ``spark._saq_shared_cache``.
+    bounds entries to the distinct (operator, sf_dir) pairs actually
+    used; the LRU cap + unpersist bounds TOTAL session storage when many
+    heavy (operator, sf_dir) pairs run through one long-lived session.
+    Callers that mutate inputs in place must clear
+    ``spark._saq_shared_cache``.
     """
+    from collections import OrderedDict
+
     reg = getattr(spark, "_saq_shared_cache", None)
-    if reg is None:
-        reg = {}
+    if not isinstance(reg, OrderedDict):
+        reg = OrderedDict(reg or {})
         spark._saq_shared_cache = reg
     df = reg.get(key)
     if df is None:
         df = build().cache()
         reg[key] = df
+        while len(reg) > _SHARED_CACHE_CAP:
+            _, evicted = reg.popitem(last=False)
+            evicted.unpersist(blocking=False)
+    else:
+        reg.move_to_end(key)
     return df
 
 

@@ -97,11 +97,8 @@ def ensure_sf10(spark) -> str:
     return SF10_DIR
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--only", nargs="*", help="subset of query names")
-    args = ap.parse_args()
-
+def _probe_one(name: str) -> dict:
+    """Time one query at sf1 and sf10 in THIS process (child mode)."""
     sys.path.insert(0, REPO)
     from streaming_amqp_spark.session import get_spark
 
@@ -112,28 +109,76 @@ def main() -> int:
     bench._ensure_sf1(spark)
     sf10 = ensure_sf10(spark)
     qs = e.queries()
+    row: dict = {}
+    for label, sf_dir in (("sf1", SF1_DIR), ("sf10", sf10)):
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        row[label] = round(time.time() - t0, 2)
+        # rows too: a capped operator's OUTPUT must be ~linear in N
+        row[f"{label}_rows"] = df.count()
+    row["slope"] = round(row["sf10"] / row["sf1"], 2)
+    row["row_growth"] = (
+        round(row["sf10_rows"] / row["sf1_rows"], 2)
+        if row["sf1_rows"]
+        else None
+    )
+    return row
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", help="subset of query names")
+    ap.add_argument("--single", help="(internal) child mode: one query")
+    args = ap.parse_args()
+
+    if args.single:
+        print("ROW " + json.dumps({args.single: _probe_one(args.single)}))
+        return 0
+
+    # One fresh JVM per query, sized for the data.  At sf10 a single
+    # operator's session cache (the 500k-doc posting index) approaches
+    # the default 16g heap's whole storage region by itself, so sharing
+    # one JVM across operators — or even running one operator in a 16g
+    # JVM — hits flaky driver-side broadcast-build OOMs whose timing
+    # depends on storage eviction, not on the plan (verified: reproduces
+    # with 0 persistent RDDs and a free storage region; a real cluster
+    # spreads the cache over the executor fleet).  Probe numbers must
+    # measure plans, so each query gets its own process with a heap
+    # proportionate to the 100x dataset; ~20 s JVM startup per query is
+    # fine for an offline probe.
     names = args.only or DEFAULT_QUERIES
+    import subprocess
+
+    child_env = dict(os.environ)
+    child_env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out: dict[str, dict] = {}
+    failed: dict[str, str] = {}
     for name in names:
-        row: dict = {}
-        for label, sf_dir in (("sf1", SF1_DIR), ("sf10", sf10)):
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # warm
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            row[label] = round(time.time() - t0, 2)
-            # rows too: a capped operator's OUTPUT must be ~linear in N
-            row[f"{label}_rows"] = df.count()
-        row["slope"] = round(row["sf10"] / row["sf1"], 2)
-        row["row_growth"] = (
-            round(row["sf10_rows"] / row["sf1_rows"], 2)
-            if row["sf1_rows"]
-            else None
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name],
+            capture_output=True,
+            text=True,
+            env=child_env,
         )
+        row_line = next(
+            (
+                ln
+                for ln in r.stdout.splitlines()
+                if ln.startswith("ROW ")
+            ),
+            None,
+        )
+        if r.returncode != 0 or row_line is None:
+            failed[name] = (r.stderr or r.stdout)[-300:]
+            print(f"FAIL {name}", flush=True)
+            continue
+        row = json.loads(row_line[4:])[name]
         out[name] = row
         print(name, json.dumps(row), flush=True)
-    print(json.dumps({"scale_probe": out}))
-    return 0
+    print(json.dumps({"scale_probe": out, "failed": failed or None}))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
