@@ -14,6 +14,15 @@ the layout in use that day happens to disagree with DuckDB.
     python tools/determinism_sweep.py --state /tmp/det.txt --deadline 500
 
 Exit: 0 = all green, 1 = any mismatch/error, 2 = incomplete (deadline).
+
+At the synthesized sf1, running the whole registry through ONE default
+16g JVM can hit the local-mode broadcast-build capacity cliff on the
+heavy posting-family queries ("Not enough memory to build and
+broadcast" — a resource flake, not a layout sensitivity; see
+tools/scale_probe.py).  Re-run any such FAIL with --only on a fresh
+JVM (SPARK_GRAFT_DRIVER_MEM=48g) before reading it as a mismatch: a
+true layout sensitivity fails with "result changed with shuffle
+partitioning", deterministically.
 """
 
 from __future__ import annotations
