@@ -46,41 +46,42 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-8 window (175 registered total; cumulative ledger after r7: every
-# query's latest driver verdict is green, zero never-attested).
-# Composition, per VERDICT r7 #1:
-# - all 33 names whose latest verdict is r4 — the oldest evidence in the
-#   project (latest-verdict distribution entering r8: r4:33 r5:46 r6:46
-#   r7:50; `tools/freshness.py --suggest`).
-# - 2 touched in r8 (standing touch-a-query→rotate-it-in rule):
-#   text_bpe_merges / text_bpe_vocab, whose shared `_bpe_merge_table`
-#   helper gained the empty-merges guard (ADVICE r7).
-# - 15 r5-freshness fills (oldest-verdict cohort, alphabetical).
+# Round-9 window (175 registered total; cumulative ledger after r8: every
+# query's latest driver verdict is green, zero never-attested,
+# latest-verdict distribution r5:31 r6:46 r7:48 r8:50).
+# Composition, per VERDICT r8 #1:
+# - all 31 names whose latest verdict is r5 — the oldest evidence in the
+#   project (`tools/freshness.py --suggest`).
+# - 1 touched in r9 (standing touch-a-query→rotate-it-in rule):
+#   events_funnel, whose one-row count aggregates gained the explicit
+#   F.broadcast wrapper (VERDICT r8 cosmetic note / #5).
+# - 18 r6-freshness fills (oldest-verdict cohort, alphabetical).
 _FIRST_50 = (
-    # r4-stale (latest verdict is r4)
-    "embedding_l2_normalize", "embedding_quantize_int8",
-    "events_conversion_latency", "events_cum_distinct_users",
-    "events_dow_hour_heatmap", "events_mad_anomaly",
-    "events_resample_15m", "events_rolling_dau_7d", "events_top_paths",
-    "events_transition_counts", "events_user_streaks",
-    "events_zscore_anomaly", "layout_zorder_events",
-    "mixture_sqrt_temperature", "mixture_token_budget",
-    "multimodal_audio_frames", "multimodal_storage_report",
-    "order_fulfillment_latency", "orders_backlog_sweepline",
-    "q6_whatif_grid", "revenue_mom_change", "rfm_segmentation",
-    "sample_stratified_balanced", "sample_topk_per_stratum",
-    "skew_key_report", "text_boilerplate_prefixes", "text_chunk_cdc",
-    "text_gopher_rules", "text_readability", "text_tfidf_topk",
-    "text_token_entropy", "text_unigram_logprob", "window_first_last",
-    # touched in r8 (_bpe_merge_table empty-merges guard, ADVICE r7)
-    "text_bpe_merges", "text_bpe_vocab",
-    # r5-freshness fills
-    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
-    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ann_pq_recall",
-    "ann_two_stage_recall", "anti_join_idle_customers",
-    "curate_substring_policy", "dedup_chunk_cdc", "dedup_ngram_jaccard",
-    "dedup_substring_runs", "domain_mixture_weights",
-    "embedding_pca_power", "q10_returned_items",
+    # r5-stale (latest verdict is r5)
+    "q11_important_parts", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue_ratio",
+    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q1_pricing_summary", "q20_potential_promotion",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "sample_weighted_bernoulli", "streaming_dedup_twin",
+    "streaming_rollup_twin", "text_bpe_compression",
+    "text_domain_divergence", "text_lang_confusion",
+    "text_repetition_stats", "text_scrub_dup_chunks",
+    "text_vocab_growth", "window_topk_orders_per_customer",
+    # touched in r9 (explicit F.broadcast on the funnel count aggregates)
+    "events_funnel",
+    # r6-freshness fills
+    "agg_cube_lineitem", "agg_distinct_by_segment",
+    "agg_grouping_sets_orders", "agg_minmax_by", "agg_percentiles",
+    "agg_rollup_region_nation", "agg_variance_corr", "ann_ivf_recall",
+    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_candidate_pairs",
+    "asof_join_error_purchase", "asof_join_forward", "basket_brand_lift",
+    "brand_graph_pagerank", "contamination_check",
+    "dedup_embedding_cosine", "dedup_exact",
 )
 
 

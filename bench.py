@@ -142,10 +142,14 @@ SF1_SPOT = [
     # r8 (VERDICT r7 #5): the ANN recall family — the bench's most
     # expensive block, never slope-recorded before embeddings were
     # synthesized 10x (a 1x symlink would read a fake ~1.0 slope) — and
-    # the worst query vs the r1 baseline.  Lloyd training + the |Q|=8
-    # broadcast exact baseline are both linear in N; the id caps
-    # (N_QUERIES=8, EXACT_BASELINE_ID_CAP=1024) bind to rep-0 ids only,
-    # so the query/sample set stays fixed while the corpus grows 10x.
+    # the worst query vs the r1 baseline.  The id caps (N_QUERIES=8,
+    # EXACT_BASELINE_ID_CAP=1024) bind to rep-0 ids only, so the
+    # query/sample set stays fixed while the corpus grows 10x.  Lloyd
+    # training + the |Q|=8 broadcast exact baseline are both linear in
+    # N and live in shared_cache / localCheckpoint — which is exactly
+    # why the slope panel measures COLD end-to-end runs (see _cold_min):
+    # a warm slope here excludes the very cost the row exists to track
+    # (ADVICE r8).
     "ann_two_stage_recall",
     "ann_pq_kmeans_recall",
     "ann_ivf_kmeans_recall",
@@ -237,20 +241,52 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     return _SF1_DIR
 
 
+def _cold_min(spark, fn, sf_dir: str, iters: int = 2) -> float:
+    """Min over COLD end-to-end executions of ``fn(spark, sf_dir)``.
+
+    The session shared_cache is cleared and the DataFrame REBUILT every
+    iteration, so cache-building work — Lloyd/k-means training, the
+    exact-ANN baseline, localCheckpoint'd iterates, posting indexes — is
+    inside the timed region.  A warm-plan timing (``_timed_min``) of a
+    cache-backed operator measures only the non-cached tail; for the ANN
+    family that excludes exactly the linear-in-N training cost the slope
+    rows exist to track, reading a fake ~1.0 slope (ADVICE r8).  JIT /
+    codegen / parquet-footer warm-up is assumed done by the headline
+    loop, which ran every spot query in this JVM already."""
+    from streaming_amqp_spark.tables import clear_shared_cache
+
+    times: list[float] = []
+    for _ in range(iters):
+        clear_shared_cache(spark)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    clear_shared_cache(spark)  # don't leave 10x-scale caches pinned
+    return min(times)
+
+
 def _sf1_spot(spark, queries, sf01_timings: dict[str, float]) -> dict:
+    """Scaling-slope panel: cold time at sf0.1 vs cold time at the
+    synthesized ~sf1, both via _cold_min so the slope covers the FULL
+    per-run cost (training + cache build + execution) — the quantity
+    that must stay sub-linear-ish at 100 TB.  ``sf01_warm`` keeps the
+    headline loop's warm-plan figure for reference; it is NOT the slope
+    denominator."""
     sf1 = _ensure_sf1(spark)
+    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out: dict[str, dict] = {}
     for name in SF1_SPOT:
-        df = queries[name](spark, sf1)
-        df.write.format("noop").mode("overwrite").save()  # warm-up
+        fn = queries[name]
         # no noise-retry at 10x data: a slope reading tolerates host noise
         # better than the bench tolerates blowing the driver's wall clock
-        best = _timed_min(df, max_iters=2)
-        t01 = sf01_timings.get(name)
+        c01 = _cold_min(spark, fn, sf01_dir)
+        c1 = _cold_min(spark, fn, sf1)
         out[name] = {
-            "sf01": t01,
-            "sf1": round(best, 4),
-            "slope": round(best / t01, 2) if t01 else None,
+            "sf01": round(c01, 4),
+            "sf1": round(c1, 4),
+            "slope": round(c1 / c01, 2) if c01 else None,
+            "sf01_warm": sf01_timings.get(name),
         }
     return out
 
@@ -424,16 +460,20 @@ def main() -> None:
     # join it), which silently redefines headline_total_runtime — record
     # the set's size and a fingerprint so round-over-round totals that
     # span a set change are flagged as non-comparable instead of read as
-    # real movement.
+    # real movement.  ADVICE r8: fingerprint the queries actually SUMMED
+    # (sorted(timings)), not the intended set — a round where a query
+    # lands in failed{} changes the total, and under a names-based sha
+    # that change would be read as real movement.
     headline_sha = hashlib.sha1(
-        "\n".join(sorted(names)).encode()
+        "\n".join(sorted(timings)).encode()
     ).hexdigest()[:10]
     out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
-        "headline_count": len(names),
+        "headline_count": len(timings),
         "headline_set_sha": headline_sha,
+        "failed_count": len(failed),
         "queries": timings,
         "sf": sf,
     }
@@ -476,8 +516,72 @@ def main() -> None:
     )
     if failed:
         out["failed"] = failed
-    print(_persist(out))
+        out["failed_count"] = len(failed)
+    _persist(out)  # full record -> BENCH_LOCAL.json (lossless)
+    # VERDICT r8 #3: the driver archives only the LAST 2000 chars of
+    # stdout, so the full record's head ("metric", "value", "queries")
+    # was truncated away every round and BENCH_r{N} recorded
+    # "parsed": null.  Print the full line for full-capture consumers,
+    # then a compact summary LAST — short enough (<1 KB) that the tail
+    # window always contains it whole.
+    print(json.dumps(out))
+    print(json.dumps(_compact_summary(out)), flush=True)
     spark.stop()
+
+
+def _compact_summary(out: dict) -> dict:
+    """<1 KB digest of the full record: total, set fingerprint, slope
+    panel, throughput, and worst-query ratio vs the committed
+    BENCH_r01.json operative baseline (the reference publishes no
+    numbers).  The full per-query map lives in BENCH_LOCAL.json."""
+    slopes = {
+        n: row.get("slope")
+        for n, row in (out.get("sf1_spot") or {}).items()
+    }
+    worst = None
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json"
+            )
+        ) as fh:
+            r1 = (json.load(fh).get("parsed") or {}).get("queries") or {}
+        shared = [
+            (round(out["queries"][n] / r1[n], 2), n)
+            for n in r1
+            if n in out["queries"] and r1[n]
+        ]
+        if shared:
+            ratio, name = max(shared)
+            tot_ratio = round(
+                sum(out["queries"][n] for _, n in shared)
+                / sum(r1[n] for _, n in shared),
+                2,
+            )
+            worst = {
+                "n_shared": len(shared),
+                "total_ratio": tot_ratio,
+                "worst": name,
+                "worst_ratio": ratio,
+            }
+    except (OSError, ValueError, KeyError):
+        pass  # no r1 record in this checkout: summary still emits
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "headline_count": out["headline_count"],
+        "headline_set_sha": out["headline_set_sha"],
+        "failed_count": out.get("failed_count", 0),
+        "vs_r1": worst,
+        "sf1_slopes": slopes,
+        "stream_msgs_per_sec": out.get("stream_msgs_per_sec"),
+        "stream_scaleout_msgs_per_sec": out.get(
+            "stream_scaleout_msgs_per_sec"
+        ),
+        "detail": "BENCH_LOCAL.json",
+    }
 
 
 def _persist(out: dict) -> str:

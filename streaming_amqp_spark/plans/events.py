@@ -318,8 +318,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         views.agg(F.count("*").alias("n_view"))
-        .crossJoin(clicks.agg(F.count("*").alias("n_click")))
-        .crossJoin(purchases.agg(F.count("*").alias("n_purchase")))
+        .crossJoin(F.broadcast(clicks.agg(F.count("*").alias("n_click"))))
+        .crossJoin(
+            F.broadcast(purchases.agg(F.count("*").alias("n_purchase")))
+        )
         .select(
             "n_view",
             "n_click",

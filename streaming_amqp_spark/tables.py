@@ -115,6 +115,23 @@ def shared_cache(spark: SparkSession, key: tuple, build) -> DataFrame:
     return df
 
 
+def clear_shared_cache(spark: SparkSession) -> None:
+    """Unpersist and drop every shared_cache entry.
+
+    For measurement harnesses (bench's sf1 slope panel, the 100x scale
+    probe): a slope that compares two WARM runs of a cache-backed
+    operator times only the non-cached tail — for the ANN family that
+    excludes exactly the linear-in-N Lloyd-training / exact-baseline
+    cost the slope exists to measure (ADVICE r8).  Clearing between
+    timed iterations makes each run pay the full build cost.
+    """
+    reg = getattr(spark, "_saq_shared_cache", None)
+    if reg:
+        for df in reg.values():
+            df.unpersist(blocking=False)
+        reg.clear()
+
+
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition to the session's default parallelism.
 

@@ -29,19 +29,33 @@ def run_oracle_typed(
     for name in TABLE_NAMES:
         # <table>.parquet is a single file at /root/testdata SFs, but a
         # Spark-written DIRECTORY of part files for synthesized sets
-        # (e.g. bench's /tmp sf1) — glob the parts (recursively, so a
-        # partitioned key=val layout is covered too) and fail loudly if
-        # the glob matches nothing rather than registering an empty view.
+        # (e.g. bench's /tmp sf1) — glob the parts recursively and fail
+        # loudly if the glob matches nothing rather than registering an
+        # empty view.  For a hive-partitioned key=val layout the
+        # partition-key columns live in DIRECTORY NAMES, not part files,
+        # so a plain glob would silently DROP those columns from the
+        # view (ADVICE r8) — detect key=val subdirs and read with
+        # hive_partitioning=1 so the keys come back as columns.
         path = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(path):
             pattern = f"{path}/**/*.parquet"
-            if not glob.glob(pattern, recursive=True):
+            parts = glob.glob(pattern, recursive=True)
+            if not parts:
                 raise FileNotFoundError(
                     f"no part files under {path} — oracle view {name!r} "
                     "would be empty/partial"
                 )
-            path = pattern
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+            hive = any(
+                "=" in seg
+                for p in parts
+                for seg in os.path.relpath(p, path).split(os.sep)[:-1]
+            )
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet("
+                f"'{pattern}', hive_partitioning={int(hive)})"
+            )
+        else:
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     rel = con.sql(sql)
     cols = list(rel.columns)
     type_names = dict(zip(cols, (str(t) for t in rel.types)))

@@ -558,3 +558,37 @@ def test_shared_cache_is_lru_bounded_and_unpersists_evicted(spark):
         assert survivor in spark._saq_shared_cache
     finally:
         spark._saq_shared_cache = saved
+
+
+def test_clear_shared_cache_unpersists_and_rebuilds(spark):
+    """clear_shared_cache (the measurement-harness hook, ADVICE r8) must
+    unpersist every live entry, empty the registry, and make the next
+    request REBUILD — a cold-timed run that silently reused a warm
+    relation would read the fake-flat slope the hook exists to kill."""
+    from streaming_amqp_spark.tables import clear_shared_cache, shared_cache
+
+    saved = getattr(spark, "_saq_shared_cache", None)
+    spark._saq_shared_cache = None
+    try:
+        built: list[int] = []
+
+        def mk(i: int):
+            def build():
+                built.append(i)
+                return spark.range(i + 1).toDF("v")
+
+            return build
+
+        a = shared_cache(spark, ("clear_probe", 0), mk(0))
+        b = shared_cache(spark, ("clear_probe", 1), mk(1))
+        assert a.is_cached and b.is_cached and built == [0, 1]
+        clear_shared_cache(spark)
+        assert not spark._saq_shared_cache
+        assert not a.is_cached and not b.is_cached
+        shared_cache(spark, ("clear_probe", 0), mk(0))
+        assert built == [0, 1, 0]  # rebuilt, not a stale handle
+        # no-op on a session that never built a registry
+        spark._saq_shared_cache = None
+        clear_shared_cache(spark)
+    finally:
+        spark._saq_shared_cache = saved

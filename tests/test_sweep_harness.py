@@ -64,15 +64,37 @@ class TestOracleViewRegistration:
 
     def test_directory_tables_glob_recursively(self, tmp_path):
         # Spark partitioned writes nest part files under key=val subdirs;
-        # a top-level-only glob would register a partial view
+        # a top-level-only glob would register a partial view.  The
+        # partition KEY lives in the directory name, not in the part
+        # files — the view must surface it as a column with per-subdir
+        # values (ADVICE r8: a row-count-only check couldn't see a view
+        # that silently dropped the key column).
         sf = self._sf_copy(tmp_path)
         tbl = os.path.join(sf, "region.parquet")
         src = os.readlink(tbl)
         os.unlink(tbl)
-        os.makedirs(os.path.join(tbl, "k=0"))
-        shutil.copy(src, os.path.join(tbl, "k=0", "part-0.parquet"))
-        _, rows = run_oracle("SELECT count(*) AS n FROM region", sf)
-        assert rows[0][0] == 5
+        for k in (0, 1):
+            os.makedirs(os.path.join(tbl, f"k={k}"))
+            shutil.copy(src, os.path.join(tbl, f"k={k}", "part-0.parquet"))
+        cols, rows = run_oracle(
+            "SELECT k, count(*) AS n FROM region GROUP BY k ORDER BY k", sf
+        )
+        assert cols == ["k", "n"]
+        assert [(int(k), n) for k, n in rows] == [(0, 5), (1, 5)]
+
+    def test_flat_directory_tables_have_no_phantom_columns(self, tmp_path):
+        # bench's synthesized sets are UNpartitioned directories of part
+        # files — hive_partitioning must stay off there so no phantom
+        # key column appears and schemas keep matching Spark's
+        sf = self._sf_copy(tmp_path)
+        tbl = os.path.join(sf, "region.parquet")
+        src = os.readlink(tbl)
+        os.unlink(tbl)
+        os.makedirs(tbl)
+        shutil.copy(src, os.path.join(tbl, "part-0.parquet"))
+        cols, rows = run_oracle("SELECT * FROM region", sf)
+        assert cols == ["r_regionkey", "r_name"]  # no phantom 'k' etc.
+        assert len(rows) == 5
 
     def test_empty_directory_table_raises_not_empty_view(self, tmp_path):
         sf = self._sf_copy(tmp_path)

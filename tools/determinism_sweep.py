@@ -71,11 +71,11 @@ def main() -> int:
     def clear_shared_cache() -> None:
         # a relation cached under one layout would mask layout
         # sensitivity in everything downstream of it
-        reg = getattr(spark, "_saq_shared_cache", None)
-        if reg:
-            for df in list(reg.values()):
-                df.unpersist()
-            reg.clear()
+        from streaming_amqp_spark.tables import (
+            clear_shared_cache as _clear,
+        )
+
+        _clear(spark)
 
     def result(name: str):
         df = qs[name](spark, args.sf_dir)

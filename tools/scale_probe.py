@@ -17,10 +17,12 @@ Timing only — no DuckDB oracle at this scale; correctness at sf1 is the
 sweep's job.  Results are a dated SCALING.md entry, not a BENCH field.
 
 Caveats on reading the numbers:
-- Iterative queries (dedup_clusters' label propagation) materialize
-  their localCheckpoint'd iterations during the warm-up, so the timed
-  run measures the final scan only — use their ROW growth, not their
-  time, as the scale signal here.
+- Timed runs are COLD (r9): the session shared_cache is cleared and the
+  DataFrame rebuilt inside the timed region, so cache/index/codebook
+  builds, Lloyd training, and localCheckpoint'd iterations are all PAID
+  by the timing — a warm run of a cache-backed operator would time only
+  the non-cached tail and read a fake-flat slope (ADVICE r8).  A
+  separate warm-up run per scale keeps JIT/codegen/footer cost out.
 - Pair-grain reports over the synthesized replica corpus have a
   quadratic TRUE answer: replica clusters are ~10 members at sf1 and
   ~100 at sf10, so the honest pair count grows ~110x per 10x docs, not
@@ -44,7 +46,11 @@ SF10_DIR = "/tmp/spark_graft_sf10"
 
 # The fan-out-risk set: every pair-generating / cluster-propagating
 # operator whose 100 TB story depends on a frequency cap, plus the
-# curation pipeline that composes them.
+# curation pipeline that composes them, plus (r9, VERDICT r8 #6) the
+# ANN-recall family — k-means/PQ training cost vs corpus size is the
+# remaining unmeasured curve; the fixed N_QUERIES / baseline-id caps
+# mean their recall-panel ROW counts must stay flat while only the
+# training/encode time grows.
 DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_hamming1",
@@ -52,6 +58,9 @@ DEFAULT_QUERIES = [
     "curate_documents",
     "dedup_ngram_jaccard",
     "dedup_substring_runs",
+    "ann_ivf_kmeans_recall",
+    "ann_pq_kmeans_recall",
+    "ann_two_stage_recall",
 ]
 
 
@@ -62,7 +71,21 @@ def ensure_sf10(spark) -> str:
     only reads documents/embeddings."""
     from pyspark.sql import functions as F
 
-    synth_version = "scale_probe: documents,embeddings x10 from sf1"
+    # ADVICE r8: embed sf1's own _DONE content (mirroring oracle_sweep's
+    # state_header) — if bench ever bumps its synth_version, _ensure_sf1
+    # rmtree's /tmp/spark_graft_sf1, and a marker that didn't capture the
+    # old sf1 version would short-circuit onto dangling symlinks /
+    # stale-derived documents.
+    sf1_done = os.path.join(SF1_DIR, "_DONE")
+    if not os.path.exists(sf1_done):
+        raise FileNotFoundError(
+            f"{sf1_done} missing — run bench._ensure_sf1 first; sf10 is "
+            "derived from (and version-keyed to) the sf1 synthesis"
+        )
+    synth_version = (
+        "scale_probe: documents,embeddings x10 from sf1 "
+        f"[{open(sf1_done).read().strip()}]"
+    )
     done = os.path.join(SF10_DIR, "_DONE")
     if os.path.exists(done) and open(done).read() == synth_version:
         return SF10_DIR
@@ -106,19 +129,34 @@ def _probe_one(name: str) -> dict:
     import bench
     import __spark_entry__ as e
 
+    from streaming_amqp_spark.tables import clear_shared_cache
+
     bench._ensure_sf1(spark)
     sf10 = ensure_sf10(spark)
     qs = e.queries()
     row: dict = {}
     for label, sf_dir in (("sf1", SF1_DIR), ("sf10", sf10)):
+        # warm-up: JIT/codegen/parquet footers (cache cleared first so a
+        # relation cached at the other scale can't shadow this one)
+        clear_shared_cache(spark)
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm
+        df.write.format("noop").mode("overwrite").save()
+        # timed COLD: rebuild + re-pay every cache/training/checkpoint
+        # build (ADVICE r8 — warm timing excludes the linear-in-N part)
+        clear_shared_cache(spark)
         t0 = time.time()
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         row[label] = round(time.time() - t0, 2)
         # rows too: a capped operator's OUTPUT must be ~linear in N
+        # (and a fixed-query-set recall panel's must stay FLAT)
         row[f"{label}_rows"] = df.count()
-    row["slope"] = round(row["sf10"] / row["sf1"], 2)
+        clear_shared_cache(spark)
+    # ADVICE r8: guard the zero denominator like row_growth does — a
+    # fast --only query can round to 0.0 s at sf1
+    row["slope"] = (
+        round(row["sf10"] / row["sf1"], 2) if row["sf1"] else None
+    )
     row["row_growth"] = (
         round(row["sf10_rows"] / row["sf1_rows"], 2)
         if row["sf1_rows"]
