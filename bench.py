@@ -125,7 +125,14 @@ HEADLINE = [
 # not 10x — an LSH slope under 10 on that workload is strongly
 # sub-linear in output size.
 SF1_SPOT = [
+    # Order = drop order under the soft deadline (tail rows degrade
+    # first): cheap canary, then the rows whose cold readings are the
+    # newest evidence (ANN training cost), then the long-established
+    # dedup/SCD rows whose slopes SCALING.md already records at 100x.
     "q1_pricing_summary",
+    "ann_two_stage_recall",
+    "ann_pq_kmeans_recall",
+    "ann_ivf_kmeans_recall",
     "agg_percentiles",
     "agg_variance_corr",
     "curate_documents",
@@ -139,10 +146,7 @@ SF1_SPOT = [
     # r7: the capped SimHash probe join — uncapped it blew up at sf1
     # (>1 GiB pair set); the slope monitors the MAX_SIMHASH_FREQ bound
     "dedup_simhash_hamming1",
-    # r8 (VERDICT r7 #5): the ANN recall family — the bench's most
-    # expensive block, never slope-recorded before embeddings were
-    # synthesized 10x (a 1x symlink would read a fake ~1.0 slope) — and
-    # the worst query vs the r1 baseline.  The id caps (N_QUERIES=8,
+    # The ANN rows (above, r8, VERDICT r7 #5): the id caps (N_QUERIES=8,
     # EXACT_BASELINE_ID_CAP=1024) bind to rep-0 ids only, so the
     # query/sample set stays fixed while the corpus grows 10x.  Lloyd
     # training + the |Q|=8 broadcast exact baseline are both linear in
@@ -150,9 +154,6 @@ SF1_SPOT = [
     # why the slope panel measures COLD end-to-end runs (see _cold_min):
     # a warm slope here excludes the very cost the row exists to track
     # (ADVICE r8).
-    "ann_two_stage_recall",
-    "ann_pq_kmeans_recall",
-    "ann_ivf_kmeans_recall",
     "text_doc_frequency",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
@@ -266,17 +267,34 @@ def _cold_min(spark, fn, sf_dir: str, iters: int = 2) -> float:
     return min(times)
 
 
-def _sf1_spot(spark, queries, sf01_timings: dict[str, float]) -> dict:
+def _sf1_spot(
+    spark,
+    queries,
+    sf01_timings: dict[str, float],
+    deadline_ts: float | None = None,
+) -> dict:
     """Scaling-slope panel: cold time at sf0.1 vs cold time at the
     synthesized ~sf1, both via _cold_min so the slope covers the FULL
     per-run cost (training + cache build + execution) — the quantity
     that must stay sub-linear-ish at 100 TB.  ``sf01_warm`` keeps the
     headline loop's warm-plan figure for reference; it is NOT the slope
-    denominator."""
+    denominator.
+
+    ``deadline_ts`` (perf_counter value): the panel stops BEFORE a
+    query that would start past it and records what it skipped — the
+    driver kills bench at an unknown wall budget, and a panel that runs
+    into the kill loses the round's whole record to a truncated tail
+    (BENCH_r04/r08 lesson).  SF1_SPOT is ordered so tail-drops hit the
+    longest-established rows first."""
+    if deadline_ts is not None and time.perf_counter() > deadline_ts:
+        return {"_skipped_past_deadline": list(SF1_SPOT)}
     sf1 = _ensure_sf1(spark)
     sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out: dict[str, dict] = {}
-    for name in SF1_SPOT:
+    for i, name in enumerate(SF1_SPOT):
+        if deadline_ts is not None and time.perf_counter() > deadline_ts:
+            out["_skipped_past_deadline"] = SF1_SPOT[i:]
+            break
         fn = queries[name]
         # no noise-retry at 10x data: a slope reading tolerates host noise
         # better than the bench tolerates blowing the driver's wall clock
@@ -428,9 +446,25 @@ def _timed_min(df, base_iters: int = 2, max_iters: int = 3) -> float:
 
 
 def main() -> None:
+    t0 = time.perf_counter()
+    # Soft wall budget: the driver runs bench under a kill timeout it
+    # doesn't publish (~10 min by local convention).  Bench must finish
+    # ON ITS OWN — a kill mid-panel leaves only progress noise in the
+    # driver's 2000-char tail capture and the round records
+    # "parsed": null (r04, r08).  Phases are ordered headline →
+    # throughput → slope panel, and the panel degrades (drops tail
+    # rows) once past the deadline.  Override for full local records:
+    # SPARK_GRAFT_BENCH_DEADLINE=100000 python bench.py
+    deadline = t0 + float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "460")
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark("bench")
+    # no console progress bars: they are the noise that fills the
+    # driver's tail capture between the JSON lines
+    spark = get_spark(
+        "bench", extra_confs={"spark.ui.showConsoleProgress": "false"}
+    )
 
     import __spark_entry__ as entrymod
 
@@ -477,20 +511,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    phase_secs = {"headline": round(time.perf_counter() - t0, 1)}
     _persist(out | ({"failed": failed} if failed else {}))  # core numbers
     # are on disk before the slower extras run — a driver timeout during
     # the probes can no longer lose the round's record (BENCH_r04 lesson)
-    try:
-        out["sf1_spot"] = _sf1_spot(spark, queries, timings)
-    except Exception as e:  # scaling probe must never sink the record
-        out["sf1_spot"] = None
-        failed["_sf1_spot"] = str(e)[:200]
-    # throughput probes are capability metrics on a shared host: a single
-    # run can land in a contention window (observed 13.5k vs 39k msg/s on
-    # an identical commit minutes apart).  Re-probe ONCE only when the
-    # first figure is implausibly low for this code path (keeps the
-    # common-case wall time at one run — the whole bench must fit the
-    # driver's budget).
+    # VERDICT r8 #3: the driver archives only the LAST 2000 chars of
+    # stdout.  Emit a compact parseable line NOW (marked partial): with
+    # progress bars off, stdout between here and the final lines is
+    # empty, so even an external kill leaves this line inside the tail.
+    print(json.dumps(_compact_summary(out) | {"partial": True}), flush=True)
+
+    # throughput probes BEFORE the slope panel: they are headline
+    # capability numbers (the reference's ≥10k msg/s ceiling) while the
+    # panel is design evidence that SCALING.md also records — so the
+    # panel, not the probes, absorbs any deadline degradation.  A single
+    # probe run can land in a shared-host contention window (observed
+    # 13.5k vs 39k msg/s on an identical commit minutes apart): re-probe
+    # ONCE only when the first figure is implausibly low.
     def _probe(fn, key, floor):
         best = None
         for _ in range(2):
@@ -514,16 +551,28 @@ def main() -> None:
     out["stream_scaleout_msgs_per_sec"] = _probe(
         _scaleout_msgs_per_sec, "_stream_scaleout_throughput", 100_000
     )
+    phase_secs["throughput"] = round(
+        time.perf_counter() - t0 - phase_secs["headline"], 1
+    )
+    try:
+        out["sf1_spot"] = _sf1_spot(spark, queries, timings, deadline)
+    except Exception as e:  # scaling probe must never sink the record
+        out["sf1_spot"] = None
+        failed["_sf1_spot"] = str(e)[:200]
+    phase_secs["sf1_spot"] = round(
+        time.perf_counter()
+        - t0
+        - phase_secs["headline"]
+        - phase_secs["throughput"],
+        1,
+    )
+    out["phase_secs"] = phase_secs
     if failed:
         out["failed"] = failed
         out["failed_count"] = len(failed)
     _persist(out)  # full record -> BENCH_LOCAL.json (lossless)
-    # VERDICT r8 #3: the driver archives only the LAST 2000 chars of
-    # stdout, so the full record's head ("metric", "value", "queries")
-    # was truncated away every round and BENCH_r{N} recorded
-    # "parsed": null.  Print the full line for full-capture consumers,
-    # then a compact summary LAST — short enough (<1 KB) that the tail
-    # window always contains it whole.
+    # Full line for full-capture consumers, then the compact summary
+    # LAST — short enough (<1 KB) that the tail window holds it whole.
     print(json.dumps(out))
     print(json.dumps(_compact_summary(out)), flush=True)
     spark.stop()
@@ -534,9 +583,11 @@ def _compact_summary(out: dict) -> dict:
     panel, throughput, and worst-query ratio vs the committed
     BENCH_r01.json operative baseline (the reference publishes no
     numbers).  The full per-query map lives in BENCH_LOCAL.json."""
+    spot = out.get("sf1_spot") or {}
     slopes = {
         n: row.get("slope")
-        for n, row in (out.get("sf1_spot") or {}).items()
+        for n, row in spot.items()
+        if isinstance(row, dict)
     }
     worst = None
     try:
@@ -576,6 +627,7 @@ def _compact_summary(out: dict) -> dict:
         "failed_count": out.get("failed_count", 0),
         "vs_r1": worst,
         "sf1_slopes": slopes,
+        "spot_skipped": len(spot.get("_skipped_past_deadline") or ()),
         "stream_msgs_per_sec": out.get("stream_msgs_per_sec"),
         "stream_scaleout_msgs_per_sec": out.get(
             "stream_scaleout_msgs_per_sec"
