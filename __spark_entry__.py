@@ -52,10 +52,16 @@ _MODULES = (
 # Composition, per VERDICT r8 #1:
 # - all 31 names whose latest verdict is r5 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 1 touched in r9 (standing touch-a-query→rotate-it-in rule):
-#   events_funnel, whose one-row count aggregates gained the explicit
-#   F.broadcast wrapper (VERDICT r8 cosmetic note / #5).
-# - 18 r6-freshness fills (oldest-verdict cohort, alphabetical).
+# - 15 touched in r9 (standing touch-a-query→rotate-it-in rule):
+#   events_funnel (explicit F.broadcast on its one-row count aggregates,
+#   VERDICT r8 cosmetic note / #5) and every query whose tree gained
+#   SHUFFLE_HASH pins after the r9 sf1 determinism sweep caught a
+#   statically misestimated 8.1 GiB broadcast of the candidate-pair
+#   side on fresh sessions (the whole pair/posting family: no join of
+#   two linear-in-corpus relations may depend on estimate-driven
+#   broadcast).  text_scrub_dup_chunks is also touched but already sits
+#   in the r5 cohort above.
+# - 4 r6-freshness fills (oldest-verdict cohort, alphabetical).
 _FIRST_50 = (
     # r5-stale (latest verdict is r5)
     "q11_important_parts", "q12_shipmode_priority",
@@ -72,16 +78,16 @@ _FIRST_50 = (
     "text_domain_divergence", "text_lang_confusion",
     "text_repetition_stats", "text_scrub_dup_chunks",
     "text_vocab_growth", "window_topk_orders_per_customer",
-    # touched in r9 (explicit F.broadcast on the funnel count aggregates)
-    "events_funnel",
+    # touched in r9
+    "events_funnel", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_cross_source", "dedup_minhash_recall", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_cluster_sizes", "dedup_keep_best",
+    "dedup_simhash_hamming1", "dedup_substring_runs", "curate_documents",
+    "curate_substring_policy", "contamination_fuzzy",
+    "ann_lsh_candidate_pairs",
     # r6-freshness fills
     "agg_cube_lineitem", "agg_distinct_by_segment",
-    "agg_grouping_sets_orders", "agg_minmax_by", "agg_percentiles",
-    "agg_rollup_region_nation", "agg_variance_corr", "ann_ivf_recall",
-    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_candidate_pairs",
-    "asof_join_error_purchase", "asof_join_forward", "basket_brand_lift",
-    "brand_graph_pagerank", "contamination_check",
-    "dedup_embedding_cosine", "dedup_exact",
+    "agg_grouping_sets_orders", "agg_minmax_by",
 )
 
 

@@ -172,7 +172,8 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _docs(spark, sf_dir).select("doc_id", "source")
-    sh = _shared_shingles(spark, sf_dir).join(src, "doc_id")
+    # doc-grain ⋈ doc-grain: shuffle by doc_id (src is linear in corpus)
+    sh = _shared_shingles(spark, sf_dir).join(src.hint("shuffle_hash"), "doc_id")
     band_rows = band_rows_of(sh, "source")
     ev = band_rows.where(F.col("source") == EVAL_SOURCE).select(
         F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
@@ -196,8 +197,13 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n2"),
     )
     verified = (
-        cand.join(s1, "eval_doc")
-        .join(s2, "train_doc")
+        # s1 is bounded by the eval slice (benchmarks ≪ corpus):
+        # broadcast it explicitly, matching the band-table broadcast
+        # above.  s2 is TRAIN-doc-grain — linear in corpus — so that
+        # join must shuffle by doc id; an estimate-driven broadcast of
+        # it is the r9 pairs-broadcast class.
+        cand.join(F.broadcast(s1), "eval_doc")
+        .join(s2.hint("shuffle_hash"), "train_doc")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
@@ -649,7 +655,9 @@ def text_scrub_dup_chunks(
         F.min("doc_id").alias("canon"),
     )
     kept = (F.col("n_docs") == 1) | (F.col("doc_id") == F.col("canon"))
-    judged = chunks.join(dup, "h").select(
+    # chunk rows and the per-hash dup index are both linear in corpus:
+    # the verdict join shuffles on the 16-byte hash, never broadcasts
+    judged = chunks.join(dup.hint("shuffle_hash"), "h").select(
         "doc_id", "nt", kept.cast("long").alias("keep")
     )
     return judged.groupBy("doc_id").agg(
@@ -844,7 +852,10 @@ def dedup_substring_runs(
         F.col("doc_id").alias("doc_b"), F.col("chunk_id").alias("pb"), "h"
     )
     pairs = (
-        a.join(b, "h")
+        # chunk-grain self-join on the 16-byte hash — both sides linear
+        # in corpus (per-hash fan-out is cap-bounded by the anti-join
+        # above): shuffle on h, never an estimate-driven broadcast
+        a.join(b.hint("shuffle_hash"), "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -947,7 +958,9 @@ def curate_substring_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         losers, "doc_id", "left_anti"
     )
     src = _docs(spark, sf_dir).select("doc_id", "source")
-    return kept.join(src, "doc_id").groupBy("source").agg(
+    # kept (scrub survivors) and src are both doc-grain — shuffle by
+    # doc_id, never an estimate-driven broadcast of either
+    return kept.join(src.hint("shuffle_hash"), "doc_id").groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens_kept").alias("total_tokens_kept"),
         F.min("doc_id").alias("min_doc_id"),

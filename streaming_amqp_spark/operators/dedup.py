@@ -177,7 +177,22 @@ def _posting_pair_stats(
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
-    return pairs.join(s1, "id1").join(s2, "id2")
+    # SHUFFLE_HASH-hint the doc-grain sizes sides (build side of a
+    # shuffled hash join).  Without the hint, a FRESH session (shared
+    # cache cleared, posting relation not yet materialized) statically
+    # under-estimates the double-aggregated PAIRS side and plans
+    # BroadcastHashJoin(BuildLeft=pairs): at sf0.1 the candidate-pair
+    # set happens to fit, but at ~sf1 the broadcast build is 8.1 GiB —
+    # over Spark's hard 8 GiB cap — and at 100 TB it is a guaranteed
+    # driver OOM.  Caught by the r9 sf1 determinism sweep (fails only
+    # when no prior query materialized the cache, which is why the
+    # oracle sweeps — which run containment first — never saw it).
+    # Broadcasting sizes instead would ALSO be wrong at scale (one row
+    # per document); shuffle-by-id with the small side built per
+    # partition is the plan that survives any corpus size.
+    return pairs.join(s1.hint("shuffle_hash"), "id1").join(
+        s2.hint("shuffle_hash"), "id2"
+    )
 
 
 # Near-superset detection threshold: containment |A∩B| / min(|A|,|B|)
@@ -314,7 +329,11 @@ def _band_stats_rows(sh: DataFrame) -> DataFrame:
     stats = band_rows.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
     )
-    return band_rows.join(stats, ["band_idx", "band_hash"])
+    # bucket stats are LINEAR in corpus (one row per occupied bucket):
+    # pin the shuffled hash join so a cold-session static misestimate
+    # can never broadcast them (the r9 8 GiB pairs-broadcast class —
+    # see _posting_pair_stats)
+    return band_rows.join(stats.hint("shuffle_hash"), ["band_idx", "band_hash"])
 
 
 def _shared_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +385,9 @@ def dedup_minhash_lsh(
     cold_pairs = (
         cold.alias("a")
         .join(
-            cold.alias("b"),
+            # self-join of a linear-in-corpus relation: shuffle by band
+            # keys (per-key fan-out is cap-bounded), never broadcast
+            cold.alias("b").hint("shuffle_hash"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -394,8 +415,10 @@ def dedup_minhash_lsh(
         F.col("n").alias("n2"),
     )
     verified = (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
+        # candidate pairs and doc-grain shingle arrays are BOTH linear
+        # in corpus — shuffle by doc id, never broadcast either side
+        cand.join(s1.hint("shuffle_hash"), "id1")
+        .join(s2.hint("shuffle_hash"), "id2")
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
@@ -553,7 +576,9 @@ def dedup_simhash_hamming1(
         else F.col("bsz")
     )
     right_cold = (
-        sim.join(stats, "simhash")
+        # bucket stats are linear in corpus: shuffle join, never a
+        # static-estimate broadcast (r9 pairs-broadcast class)
+        sim.join(stats.hint("shuffle_hash"), "simhash")
         .where(F.col("bsz") <= cap)
         .select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
     )
@@ -565,7 +590,13 @@ def dedup_simhash_hamming1(
     # pairs the probe expansion is symmetric so the oriented-distinct set
     # is identical to the old asymmetric filter's.
     pairs = (
-        left.join(right_cold.unionByName(right_hot), left.probe == F.col("h2"))
+        # 17N probes vs ~N exact hashes — both linear in corpus; the
+        # equi-join must shuffle on the hash key (per-key matches are
+        # cap-bounded), never broadcast a side
+        left.join(
+            right_cold.unionByName(right_hot).hint("shuffle_hash"),
+            left.probe == F.col("h2"),
+        )
         .where(F.col("id1") != F.col("id2"))
         .select(
             F.least("id1", "id2").alias("id1"),
@@ -582,8 +613,9 @@ def dedup_simhash_hamming1(
         for p in range(1, 17)
     )
     return (
-        pairs.join(h1, "id1")
-        .join(h2, "id2")
+        # pair-grain ⋈ doc-grain, both linear: shuffle by doc id
+        pairs.join(h1.hint("shuffle_hash"), "id1")
+        .join(h2.hint("shuffle_hash"), "id2")
         .select("id1", "id2", dist.alias("hamming"))
     )
 
@@ -814,9 +846,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually applies after clustering, rather than blind min-id.
 
     Scale: cluster labels are only the docs that appear in a near-dup
-    pair (sparse); the quality join probes the corpus scan against that
-    small relation (AQE broadcasts it), and the ranking window partitions
-    by cluster_id — per-cluster state, never a global sort."""
+    pair (sparse at low duplication, corpus-sized at heavy duplication);
+    the quality join shuffles by doc_id (pinned — both sides are linear
+    in corpus, so neither may be broadcast), and the ranking window
+    partitions by cluster_id — per-cluster state, never a global sort."""
     from pyspark.sql import Window
 
     from streaming_amqp_spark.operators.textstats import text_quality_score
@@ -825,7 +858,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = text_quality_score(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    ranked = labels.join(quality, "doc_id").withColumn(
+    # labels (pair-participating docs) and quality (doc-grain) are both
+    # linear in corpus — shuffle by doc_id, never an estimate-driven
+    # broadcast (at heavy duplication labels approach corpus size)
+    ranked = labels.join(quality.hint("shuffle_hash"), "doc_id").withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy(
@@ -873,18 +909,27 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered source pair — the "how much of source B is already in
     source A" question every corpus-mixture design starts with.
 
-    Scale: the pair set is sparse (near-dups at 0.8), so the join back to
-    ``documents`` for source labels has a small probe side — AQE broadcasts
-    the post-shuffle pair relation; the rollup output is at most
-    |sources|² rows.  Aggregates are count / max / min — order-independent,
-    so doubles are hash-safe."""
+    Scale: the near-dup pair set is sparse at 0.8 but still grows with
+    the corpus, and the ``documents`` label sides are doc-grain — both
+    linear in N, so the label joins shuffle by doc id (pinned; an
+    estimate-driven broadcast of either side is the r9 pairs-broadcast
+    class).  The rollup output is at most |sources|² rows.  Aggregates
+    are count / max / min — order-independent, so doubles are hash-safe."""
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # pair-grain ⋈ doc-grain label joins — both linear in corpus, so
+    # they shuffle by doc id (the docstring's earlier "AQE broadcasts
+    # the pair relation" reasoning only holds when runtime stats exist;
+    # a cold session plans off static estimates — r9 pairs-broadcast class)
     labeled = pairs.join(
-        d.select(F.col("doc_id").alias("id1"), F.col("source").alias("src1")),
+        d.select(
+            F.col("doc_id").alias("id1"), F.col("source").alias("src1")
+        ).hint("shuffle_hash"),
         "id1",
     ).join(
-        d.select(F.col("doc_id").alias("id2"), F.col("source").alias("src2")),
+        d.select(
+            F.col("doc_id").alias("id2"), F.col("source").alias("src2")
+        ).hint("shuffle_hash"),
         "id2",
     )
     return labeled.groupBy(

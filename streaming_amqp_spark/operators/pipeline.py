@@ -51,7 +51,12 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (F.lit(0.4) * (F.lit(1.0) - sw_ratio)) + (F.lit(0.3) * ttr) + (
         F.lit(0.3) * (avg_tok_len / F.lit(10.0))
     )
-    scored = d.join(survivors, "doc_id", "left_semi").where(n_tok >= 3).select(
+    # survivors is doc-grain (≈ corpus-sized at low duplication): the
+    # semi join must shuffle by doc_id — a cold-session static estimate
+    # may otherwise broadcast it (r9 pairs-broadcast class)
+    scored = d.join(
+        survivors.hint("shuffle_hash"), "doc_id", "left_semi"
+    ).where(n_tok >= 3).select(
         "doc_id", "lang", score.alias("q"), n_tok.alias("n_tok")
     )
     return (

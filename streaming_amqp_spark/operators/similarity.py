@@ -163,7 +163,11 @@ def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("e2"),
     )
     return (
-        a.join(b, "bucket")
+        # self-join of the full bucketed embedding table — both sides
+        # linear in corpus, so the join must shuffle on the bucket key;
+        # a cold-session static misestimate may otherwise broadcast one
+        # side (the r9 pairs-broadcast class, see dedup._posting_pair_stats)
+        a.join(b.hint("shuffle_hash"), "bucket")
         .where(F.col("id1") < F.col("id2"))
         .select(
             "id1", "id2", cosine(F.col("e1"), F.col("e2")).alias("cos_sim")

@@ -93,6 +93,29 @@ def test_pair_stage_is_posting_list_not_self_join(spark, hot_dir):
     assert n_joins <= 2, f"expected only the 2 size joins, got {n_joins}:\n{plan}"
 
 
+def test_pair_size_joins_never_broadcast_the_pair_side(spark, hot_dir):
+    """The per-doc size joins must be SHUFFLE_HASH, never a broadcast of
+    the candidate-PAIR side: on a fresh session (shared cache cleared,
+    posting relation un-materialized) Catalyst statically under-estimates
+    the double-aggregated pairs relation and planned
+    BroadcastHashJoin(BuildLeft=pairs) — 8.1 GiB at ~sf1, over Spark's
+    hard broadcast cap, and a guaranteed driver OOM at 100 TB.  Caught
+    by the r9 sf1 determinism sweep; the hint pins the scale-safe plan
+    (both sides shuffle by doc id; broadcasting the doc-grain sizes
+    side would also be wrong at corpus scale)."""
+    from streaming_amqp_spark.tables import clear_shared_cache
+
+    clear_shared_cache(spark)  # emulate the fresh-session failure mode
+    plan = (
+        dedup_ngram_jaccard(spark, hot_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("ShuffledHashJoin") == 2, plan
+
+
 # ---------------------------------------------------------------------------
 # Band-bucket fan-out ceiling (MAX_BAND_FREQ) in dedup_minhash_lsh: a bucket
 # with more members than the cap contributes hub-star pairs only (every
