@@ -854,8 +854,12 @@ def dedup_substring_runs(
     pairs = (
         # chunk-grain self-join on the 16-byte hash — both sides linear
         # in corpus (per-hash fan-out is cap-bounded by the anti-join
-        # above): shuffle on h, never an estimate-driven broadcast
-        a.join(b.hint("shuffle_hash"), "h")
+        # above): pin a SHUFFLE join, never an estimate-driven
+        # broadcast.  MERGE, not shuffle_hash: both sides are the full
+        # chunk relation, and building a per-partition hash table of
+        # millions of chunk rows measured 3.4x slower than sort-merge
+        # at the ~sf10 probe (131.6 s vs 38.4 s)
+        a.join(b.hint("merge"), "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
