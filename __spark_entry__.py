@@ -46,48 +46,40 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-9 window (175 registered total; cumulative ledger after r8: every
+# Round-10 window (175 registered total; cumulative ledger after r9: every
 # query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r5:31 r6:46 r7:48 r8:50).
-# Composition, per VERDICT r8 #1:
-# - all 31 names whose latest verdict is r5 — the oldest evidence in the
+# latest-verdict distribution r6:40 r7:38 r8:47 r9:50).
+# Composition, per VERDICT r9 #1:
+# - all 40 names whose latest verdict is r6 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 15 touched in r9 (standing touch-a-query→rotate-it-in rule):
-#   events_funnel (explicit F.broadcast on its one-row count aggregates,
-#   VERDICT r8 cosmetic note / #5) and every query whose tree gained
-#   SHUFFLE_HASH pins after the r9 sf1 determinism sweep caught a
-#   statically misestimated 8.1 GiB broadcast of the candidate-pair
-#   side on fresh sessions (the whole pair/posting family: no join of
-#   two linear-in-corpus relations may depend on estimate-driven
-#   broadcast).  text_scrub_dup_chunks is also touched but already sits
-#   in the r5 cohort above.
-# - 4 r6-freshness fills (oldest-verdict cohort, alphabetical).
+# - 10 r7-freshness fills (next-oldest cohort, alphabetical).
+# Round 10 edits no query or oracle (plan-pin tests, bench hardening,
+# ledger work only — VERDICT r9 #7), so there are no touched-name
+# entries this round.
 _FIRST_50 = (
-    # r5-stale (latest verdict is r5)
-    "q11_important_parts", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_revenue_ratio",
-    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q1_pricing_summary", "q20_potential_promotion",
-    "q21_waiting_suppliers", "q22_sales_opportunity",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "sample_weighted_bernoulli", "streaming_dedup_twin",
-    "streaming_rollup_twin", "text_bpe_compression",
-    "text_domain_divergence", "text_lang_confusion",
-    "text_repetition_stats", "text_scrub_dup_chunks",
-    "text_vocab_growth", "window_topk_orders_per_customer",
-    # touched in r9
-    "events_funnel", "dedup_ngram_jaccard", "dedup_containment",
-    "dedup_cross_source", "dedup_minhash_recall", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_cluster_sizes", "dedup_keep_best",
-    "dedup_simhash_hamming1", "dedup_substring_runs", "curate_documents",
-    "curate_substring_policy", "contamination_fuzzy",
-    "ann_lsh_candidate_pairs",
-    # r6-freshness fills
-    "agg_cube_lineitem", "agg_distinct_by_segment",
-    "agg_grouping_sets_orders", "agg_minmax_by",
+    # r6-stale (latest verdict is r6)
+    "agg_percentiles", "agg_rollup_region_nation", "agg_variance_corr",
+    "ann_ivf_recall", "ann_ivf_topk", "ann_lsh_buckets",
+    "asof_join_error_purchase", "asof_join_forward", "basket_brand_lift",
+    "brand_graph_pagerank", "contamination_check",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_simhash_buckets",
+    "events_cusum_alarms", "events_cusum_daily", "events_ewma",
+    "events_holt_daily", "events_interval_join_binned",
+    "events_retention", "events_seasonal_anomaly", "events_window_5s_max",
+    "full_outer_nation_profile", "hist_order_totalprice",
+    "ols_quantity_price", "orders_cohort_ltv", "pivot_status_by_priority",
+    "priciest_part_per_brand", "range_join_signup_clicks",
+    "sample_deterministic", "scalar_function_showcase",
+    "scd_priority_asof", "semi_join_big_orders",
+    "set_ops_nation_presence", "sort_limit_top_lineitems",
+    "split_train_val_test", "streaming_cms_topk_twin",
+    "window_lag_event_delta", "window_range_frame_7d",
+    "window_running_revenue",
+    # r7-freshness fills (oldest-verdict cohort, alphabetical)
+    "agg_approx_stats", "agg_bit_bool", "ann_pq_adc",
+    "basket_brand_pairs", "corpus_len_histogram", "customer_order_gaps",
+    "embedding_centroids", "envelope_body_roundtrip",
+    "envelope_map_functions", "events_from_json_typed",
 )
 
 

@@ -140,6 +140,9 @@ SF1_SPOT = [
     "dedup_minhash_lsh",
     "events_sessionize_30m",
     "dedup_substring_runs",
+    # r10 (VERDICT r9 #6): the merge-pinned substring-policy plan — the
+    # steepest non-capped family; track its slope round-over-round
+    "curate_substring_policy",
     # r6: the big-join + SCD sweep shape (lineitem x10 joins orders,
     # then one custkey-partitioned window)
     "scd_priority_asof",
@@ -160,17 +163,25 @@ _SF1_DIR = "/tmp/spark_graft_sf1"
 
 
 def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
-    """Synthesize ~sf1 (10x sf0.1) into /tmp, cached across runs: lineitem
+    """Synthesize 10x of ``base`` into /tmp, cached across runs: lineitem
     and documents are replicated 10x with remapped keys (documents also get
     a per-replica tail token so replicas are near- not exact-dups); other
-    tables symlink to sf0.1.  Multi-file parquet output, so scans
-    parallelize unlike the single-row-group sf0.1 files."""
+    tables symlink to ``base``.  Multi-file parquet output, so scans
+    parallelize unlike the single-row-group sf0.1 files.
+
+    The caller measures the slope denominator at ``base`` (ADVICE r9):
+    numerator and denominator are guaranteed exactly 10x apart whatever
+    SPARK_GRAFT_SF_DIR points at."""
     from pyspark.sql import functions as F
 
     # versioned marker: a cache built by an older bench (fewer synthesized
-    # tables) must NOT short-circuit, or a new spot query would silently
-    # run against a 1x symlink and report a fake ~1.0 slope
-    synth_version = "synthesized: lineitem,documents,events,orders,embeddings x10"
+    # tables) or from a DIFFERENT base dir must NOT short-circuit, or a
+    # spot query would silently run against stale data and report a fake
+    # slope (ADVICE r9: base is part of the cache identity)
+    synth_version = (
+        f"synthesized from {base}:"
+        " lineitem,documents,events,orders,embeddings x10"
+    )
     done = os.path.join(_SF1_DIR, "_DONE")
     if os.path.exists(done) and open(done).read() == synth_version:
         return _SF1_DIR
@@ -285,21 +296,47 @@ def _sf1_spot(
     driver kills bench at an unknown wall budget, and a panel that runs
     into the kill loses the round's whole record to a truncated tail
     (BENCH_r04/r08 lesson).  SF1_SPOT is ordered so tail-drops hit the
-    longest-established rows first."""
-    if deadline_ts is not None and time.perf_counter() > deadline_ts:
-        return {"_skipped_past_deadline": list(SF1_SPOT)}
-    sf1 = _ensure_sf1(spark)
-    sf01_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    longest-established rows first.  ADVICE r9 hardening: admission
+    reserves headroom for the row about to start (estimated at the last
+    row's full elapsed — plan costs within the panel are same-order),
+    and the deadline is re-checked between the sf0.1 and 10x cold legs
+    so a row begun just under the wire can still shed its expensive
+    leg; a first-time 10x synthesis (~60-90 s of parquet writes) is
+    only admitted with a fixed margin in hand."""
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if deadline_ts is not None:
+        remaining = deadline_ts - time.perf_counter()
+        synth_cached = False
+        done = os.path.join(_SF1_DIR, "_DONE")
+        if os.path.exists(done):
+            with open(done) as fh:
+                synth_cached = fh.read().startswith(f"synthesized from {base}:")
+        if remaining < (30.0 if synth_cached else 120.0):
+            return {"_skipped_past_deadline": list(SF1_SPOT)}
+    sf1 = _ensure_sf1(spark, base)
     out: dict[str, dict] = {}
+    est = 0.0  # last row's full elapsed ≈ cost of admitting one more
     for i, name in enumerate(SF1_SPOT):
-        if deadline_ts is not None and time.perf_counter() > deadline_ts:
+        if (
+            deadline_ts is not None
+            and time.perf_counter() + est > deadline_ts
+        ):
             out["_skipped_past_deadline"] = SF1_SPOT[i:]
             break
         fn = queries[name]
         # no noise-retry at 10x data: a slope reading tolerates host noise
         # better than the bench tolerates blowing the driver's wall clock
-        c01 = _cold_min(spark, fn, sf01_dir)
+        row_t0 = time.perf_counter()
+        c01 = _cold_min(spark, fn, base)
+        # the 10x leg costs ~slope x the base leg; require that much room
+        if (
+            deadline_ts is not None
+            and time.perf_counter() + 3.0 * c01 > deadline_ts
+        ):
+            out["_skipped_past_deadline"] = SF1_SPOT[i:]
+            break
         c1 = _cold_min(spark, fn, sf1)
+        est = time.perf_counter() - row_t0
         out[name] = {
             "sf01": round(c01, 4),
             "sf1": round(c1, 4),
