@@ -1,0 +1,142 @@
+"""Unit tests for bench.py's sf1_spot deadline/headroom logic (ADVICE r10).
+
+The panel must never run bench into the driver's kill window: admission
+reserves the last row's elapsed as headroom, the deadline is re-checked
+between the base and 10x cold legs, and a first-time 10x synthesis is
+only admitted with a fixed margin in hand.  All pure control flow — the
+Spark/_cold_min/_ensure_sf1 seams are stubbed and the clock is fake, so
+these run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+class _FakeTime:
+    """Deterministic perf_counter; advanced manually by the stubs."""
+
+    def __init__(self) -> None:
+        self.t = 0.0
+
+    def perf_counter(self) -> float:
+        return self.t
+
+
+@pytest.fixture()
+def harness(monkeypatch, tmp_path):
+    clock = _FakeTime()
+    monkeypatch.setattr(bench, "time", clock)
+    monkeypatch.setattr(bench, "_SF1_DIR", str(tmp_path / "sf1"))
+    monkeypatch.setattr(bench, "_ensure_sf1", lambda spark, base: "/fake-sf1")
+    calls: list[tuple[str, str]] = []
+
+    def fake_cold(spark, fn, sf_dir, iters=2):
+        clock.t += 10.0
+        calls.append((fn, sf_dir))
+        return 1.0
+
+    monkeypatch.setattr(bench, "_cold_min", fake_cold)
+    monkeypatch.setattr(bench, "SF1_SPOT", ["qa", "qb", "qc"])
+    queries = {n: n for n in ("qa", "qb", "qc")}  # fn is just a token
+    return clock, calls, queries
+
+
+def test_no_deadline_runs_every_row(harness):
+    clock, calls, queries = harness
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=None)
+    assert set(out) == {"qa", "qb", "qc"}
+    assert all(out[n]["slope"] == 1.0 for n in out)
+    assert len(calls) == 6  # 2 cold legs per row
+
+
+def _mark_synth_cached(base: str | None = None) -> None:
+    base = base or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(bench._SF1_DIR, exist_ok=True)
+    with open(os.path.join(bench._SF1_DIR, "_DONE"), "w") as fh:
+        fh.write(f"synthesized from {base}: whatever")
+
+
+def test_admission_reserves_last_row_elapsed(harness):
+    # each row costs 20 fake-seconds; deadline at 30 admits row 1 (est=0)
+    # but NOT row 2: at t=20 the reserved headroom (est=20) overshoots.
+    clock, calls, queries = harness
+    _mark_synth_cached()
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=30.0)
+    assert "qa" in out and "qb" not in out
+    assert out["_skipped_past_deadline"] == ["qb", "qc"]
+
+
+def test_mid_row_check_sheds_the_expensive_leg(harness, monkeypatch):
+    # base leg lands at t=35 with c01=5: the 10x leg needs 3*c01=15 more
+    # against a deadline of 40 — the row sheds BEFORE the expensive leg
+    # and is reported as skipped, not recorded with a phantom slope.
+    clock, calls, queries = harness
+    _mark_synth_cached()
+
+    def fat_cold(spark, fn, sf_dir, iters=2):
+        clock.t += 35.0
+        calls.append((fn, sf_dir))
+        return 5.0
+
+    monkeypatch.setattr(bench, "_cold_min", fat_cold)
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=40.0)
+    assert out == {"_skipped_past_deadline": ["qa", "qb", "qc"]}
+    assert calls == [("qa", os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))]
+
+
+def test_first_time_synthesis_needs_fixed_margin(harness):
+    # no _DONE marker on disk: a panel with <120 fake-seconds of budget
+    # must not start an unbounded first-time synthesis at all.
+    clock, calls, queries = harness
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=100.0)
+    assert out == {"_skipped_past_deadline": ["qa", "qb", "qc"]}
+    assert calls == []
+
+
+def test_cached_synthesis_from_same_base_lowers_the_margin(harness):
+    # a _DONE marker keyed to THIS base dir means _ensure_sf1 is a no-op:
+    # the same 100-second budget that refused synthesis now admits rows.
+    clock, calls, queries = harness
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(bench._SF1_DIR, exist_ok=True)
+    with open(os.path.join(bench._SF1_DIR, "_DONE"), "w") as fh:
+        fh.write(f"synthesized from {base}: whatever")
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=100.0)
+    assert "qa" in out and "_skipped_past_deadline" not in out
+
+
+def test_cached_synthesis_from_other_base_keeps_full_margin(harness):
+    # ADVICE r10: a cache built from a DIFFERENT base is NOT this run's
+    # 10x dataset — the admission margin must treat it as a rebuild.
+    clock, calls, queries = harness
+    os.makedirs(bench._SF1_DIR, exist_ok=True)
+    with open(os.path.join(bench._SF1_DIR, "_DONE"), "w") as fh:
+        fh.write("synthesized from /somewhere/else: whatever")
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=100.0)
+    assert out == {"_skipped_past_deadline": ["qa", "qb", "qc"]}
+
+
+def test_slope_denominator_measured_at_synthesis_base(harness, monkeypatch):
+    # ADVICE r10 (the mislabeled-slope bug): whatever SPARK_GRAFT_SF_DIR
+    # says, the denominator leg must run at the SAME dir _ensure_sf1
+    # synthesizes 10x from, so the recorded slope is always a 10x slope.
+    clock, calls, queries = harness
+    seen_bases = []
+    monkeypatch.setattr(
+        bench,
+        "_ensure_sf1",
+        lambda spark, base: (seen_bases.append(base), "/fake-sf1")[1],
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/custom/sfX")
+    bench._sf1_spot(None, queries, {}, deadline_ts=None)
+    assert seen_bases == ["/custom/sfX"]
+    assert {d for _, d in calls} == {"/custom/sfX", "/fake-sf1"}
