@@ -19,6 +19,7 @@ static estimator instead of a materialized cache.
 from __future__ import annotations
 
 from streaming_amqp_spark.operators.curation import curate_substring_policy
+from streaming_amqp_spark.operators.pipeline import curate_documents
 from streaming_amqp_spark.operators.similarity import ann_lsh_candidate_pairs
 from streaming_amqp_spark.tables import clear_shared_cache
 from tests.conftest import SF_DIR
@@ -38,6 +39,19 @@ def test_lsh_bucket_self_join_never_broadcasts_cold(spark):
     plan = _cold_plan(spark, ann_lsh_candidate_pairs)
     assert "BroadcastExchange" not in plan, plan
     assert plan.count("ShuffledHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+
+
+def test_curate_documents_cold_plan_is_broadcast_free(spark):
+    """The pipeline module's representative: curate_documents composes
+    exact dedup + the whole minhash-LSH pair path + a doc-grain semi
+    join (pipeline.py:58, dedup.py:336,390,420-421 pins).  Every
+    relation in the tree is linear in corpus, so the pinned cold plan
+    has ZERO broadcast exchanges — shuffled-hash joins plus one
+    sort-merge anti."""
+    plan = _cold_plan(spark, curate_documents)
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("ShuffledHashJoin") >= 5, plan
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
 
 
