@@ -468,7 +468,7 @@ def _timed_min(df, base_iters: int = 2, max_iters: int = 3) -> float:
     a phantom regression.  So: if the two timed runs disagree by >1.4x
     (plan execution is deterministic — that spread is host noise, not the
     query), take ONE extra run and keep the min (capped at 3: the extra
-    runs fire exactly when the host is slow, and the whole 69-query bench
+    runs fire exactly when the host is slow, and the whole 78-query bench
     must still fit the driver's wall-clock budget)."""
     times: list[float] = []
     for _ in range(max_iters):
