@@ -46,40 +46,39 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-10 window (175 registered total; cumulative ledger after r9: every
+# Round-11 window (175 registered total; cumulative ledger after r10: every
 # query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r6:40 r7:38 r8:47 r9:50).
-# Composition, per VERDICT r9 #1:
-# - all 40 names whose latest verdict is r6 — the oldest evidence in the
+# latest-verdict distribution r7:28 r8:47 r9:50 r10:50).
+# Composition, per VERDICT r10 #1:
+# - all 28 names whose latest verdict is r7 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 10 r7-freshness fills (next-oldest cohort, alphabetical).
-# Round 10 edits no query or oracle (plan-pin tests, bench hardening,
-# ledger work only — VERDICT r9 #7), so there are no touched-name
-# entries this round.
+# - 22 r8-freshness fills (next-oldest cohort, alphabetical).
+# Round 11 edits no query or oracle (ledger rotation, bench/probe harness
+# fixes per ADVICE + VERDICT r10 #3/#4 only), so there are no
+# touched-name entries this round.
 _FIRST_50 = (
-    # r6-stale (latest verdict is r6)
-    "agg_percentiles", "agg_rollup_region_nation", "agg_variance_corr",
-    "ann_ivf_recall", "ann_ivf_topk", "ann_lsh_buckets",
-    "asof_join_error_purchase", "asof_join_forward", "basket_brand_lift",
-    "brand_graph_pagerank", "contamination_check",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_simhash_buckets",
-    "events_cusum_alarms", "events_cusum_daily", "events_ewma",
-    "events_holt_daily", "events_interval_join_binned",
-    "events_retention", "events_seasonal_anomaly", "events_window_5s_max",
-    "full_outer_nation_profile", "hist_order_totalprice",
-    "ols_quantity_price", "orders_cohort_ltv", "pivot_status_by_priority",
-    "priciest_part_per_brand", "range_join_signup_clicks",
-    "sample_deterministic", "scalar_function_showcase",
-    "scd_priority_asof", "semi_join_big_orders",
-    "set_ops_nation_presence", "sort_limit_top_lineitems",
-    "split_train_val_test", "streaming_cms_topk_twin",
-    "window_lag_event_delta", "window_range_frame_7d",
-    "window_running_revenue",
-    # r7-freshness fills (oldest-verdict cohort, alphabetical)
-    "agg_approx_stats", "agg_bit_bool", "ann_pq_adc",
-    "basket_brand_pairs", "corpus_len_histogram", "customer_order_gaps",
-    "embedding_centroids", "envelope_body_roundtrip",
-    "envelope_map_functions", "events_from_json_typed",
+    # r7-stale (latest verdict is r7)
+    "events_json_props", "events_sessionize_30m", "events_sliding_10m_5m",
+    "events_window_hourly_by_type", "knn_cosine_topk",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_meta", "multimodal_resize", "pack_docs_nextfit",
+    "pii_mask_events", "profile_table", "scalar_array_funcs",
+    "scalar_conditional_funcs", "scalar_date_funcs", "scalar_string_funcs",
+    "text_bigram_counts", "text_chunk_sliding", "text_doc_frequency",
+    "text_encode_tokens", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_simhash", "text_token_stats",
+    "text_winnowing_fingerprints", "unpivot_order_measures",
+    "window_rank_variants",
+    # r8-freshness fills (next-oldest cohort, alphabetical)
+    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
+    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ann_pq_recall",
+    "ann_two_stage_recall", "anti_join_idle_customers", "dedup_chunk_cdc",
+    "domain_mixture_weights", "embedding_l2_normalize",
+    "embedding_pca_power", "embedding_quantize_int8",
+    "events_conversion_latency", "events_cum_distinct_users",
+    "events_dow_hour_heatmap", "events_mad_anomaly", "events_resample_15m",
+    "events_rolling_dau_7d", "events_top_paths", "events_transition_counts",
+    "events_user_streaks",
 )
 
 

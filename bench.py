@@ -126,10 +126,17 @@ HEADLINE = [
 # sub-linear in output size.
 SF1_SPOT = [
     # Order = drop order under the soft deadline (tail rows degrade
-    # first): cheap canary, then the rows whose cold readings are the
-    # newest evidence (ANN training cost), then the long-established
-    # dedup/SCD rows whose slopes SCALING.md already records at 100x.
+    # first): cheap canary, then the NEWEST rows — the ones with the
+    # least slope history — so a shed tail loses re-confirmations of
+    # long-established readings, never a row's only driver-captured
+    # slope (VERDICT r10 #3: the r10 capture shed exactly the newest
+    # row, curate_substring_policy, whose sole reading then lived only
+    # in a committed run).  Standing rule: a row added to this panel
+    # goes directly after the canary, ahead of every established row.
     "q1_pricing_summary",
+    # r10 (VERDICT r9 #6): the merge-pinned substring-policy plan — the
+    # steepest non-capped family; track its slope round-over-round
+    "curate_substring_policy",
     "ann_two_stage_recall",
     "ann_pq_kmeans_recall",
     "ann_ivf_kmeans_recall",
@@ -140,9 +147,6 @@ SF1_SPOT = [
     "dedup_minhash_lsh",
     "events_sessionize_30m",
     "dedup_substring_runs",
-    # r10 (VERDICT r9 #6): the merge-pinned substring-policy plan — the
-    # steepest non-capped family; track its slope round-over-round
-    "curate_substring_policy",
     # r6: the big-join + SCD sweep shape (lineitem x10 joins orders,
     # then one custkey-partitioned window)
     "scd_priority_asof",
@@ -162,6 +166,24 @@ SF1_SPOT = [
 _SF1_DIR = "/tmp/spark_graft_sf1"
 
 
+def _synth_marker(base: str) -> str:
+    """The exact _DONE contents a current-version synthesis writes.
+
+    Versioned marker: a cache built by an older bench (fewer synthesized
+    tables) or from a DIFFERENT base dir must NOT short-circuit, or a
+    spot query would silently run against stale data and report a fake
+    slope (ADVICE r9: base is part of the cache identity).  Shared
+    between _ensure_sf1 and _sf1_spot's deadline admission (ADVICE r10):
+    the admission must apply the 120 s rebuild margin whenever
+    _ensure_sf1 would rebuild — a prefix match against an older marker
+    with the same base would admit on the 30 s 'cached' margin and then
+    rebuild anyway, overrunning the driver deadline."""
+    return (
+        f"synthesized from {base}:"
+        " lineitem,documents,events,orders,embeddings x10"
+    )
+
+
 def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     """Synthesize 10x of ``base`` into /tmp, cached across runs: lineitem
     and documents are replicated 10x with remapped keys (documents also get
@@ -174,14 +196,7 @@ def _ensure_sf1(spark, base: str = "/root/testdata/sf0.1") -> str:
     SPARK_GRAFT_SF_DIR points at."""
     from pyspark.sql import functions as F
 
-    # versioned marker: a cache built by an older bench (fewer synthesized
-    # tables) or from a DIFFERENT base dir must NOT short-circuit, or a
-    # spot query would silently run against stale data and report a fake
-    # slope (ADVICE r9: base is part of the cache identity)
-    synth_version = (
-        f"synthesized from {base}:"
-        " lineitem,documents,events,orders,embeddings x10"
-    )
+    synth_version = _synth_marker(base)
     done = os.path.join(_SF1_DIR, "_DONE")
     if os.path.exists(done) and open(done).read() == synth_version:
         return _SF1_DIR
@@ -310,7 +325,10 @@ def _sf1_spot(
         done = os.path.join(_SF1_DIR, "_DONE")
         if os.path.exists(done):
             with open(done) as fh:
-                synth_cached = fh.read().startswith(f"synthesized from {base}:")
+                # exact match against the current marker — _ensure_sf1
+                # rebuilds on anything else, so anything else must take
+                # the 120 s rebuild margin (ADVICE r10)
+                synth_cached = fh.read() == _synth_marker(base)
         if remaining < (30.0 if synth_cached else 120.0):
             return {"_skipped_past_deadline": list(SF1_SPOT)}
     sf1 = _ensure_sf1(spark, base)
@@ -328,10 +346,12 @@ def _sf1_spot(
         # better than the bench tolerates blowing the driver's wall clock
         row_t0 = time.perf_counter()
         c01 = _cold_min(spark, fn, base)
-        # the 10x leg costs ~slope x the base leg; require that much room
+        # the 10x leg runs iters=2 COLD executions of ~slope x c01 each
+        # (worst observed panel slope ~2.6), so require ~2*iters*slope
+        # headroom, not one leg's worth (ADVICE r10)
         if (
             deadline_ts is not None
-            and time.perf_counter() + 3.0 * c01 > deadline_ts
+            and time.perf_counter() + 6.0 * c01 > deadline_ts
         ):
             out["_skipped_past_deadline"] = SF1_SPOT[i:]
             break

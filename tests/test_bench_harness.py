@@ -61,7 +61,9 @@ def _mark_synth_cached(base: str | None = None) -> None:
     base = base or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.makedirs(bench._SF1_DIR, exist_ok=True)
     with open(os.path.join(bench._SF1_DIR, "_DONE"), "w") as fh:
-        fh.write(f"synthesized from {base}: whatever")
+        # the EXACT current-version marker — admission and _ensure_sf1
+        # share _synth_marker, so only this content counts as cached
+        fh.write(bench._synth_marker(base))
 
 
 def test_admission_reserves_last_row_elapsed(harness):
@@ -75,9 +77,10 @@ def test_admission_reserves_last_row_elapsed(harness):
 
 
 def test_mid_row_check_sheds_the_expensive_leg(harness, monkeypatch):
-    # base leg lands at t=35 with c01=5: the 10x leg needs 3*c01=15 more
-    # against a deadline of 40 — the row sheds BEFORE the expensive leg
-    # and is reported as skipped, not recorded with a phantom slope.
+    # base leg lands at t=35 with c01=5: the 10x leg reserves 6*c01=30
+    # (2 cold iterations x worst panel slope ~2.6 — ADVICE r10) against a
+    # deadline of 40 — the row sheds BEFORE the expensive leg and is
+    # reported as skipped, not recorded with a phantom slope.
     clock, calls, queries = harness
     _mark_synth_cached()
 
@@ -103,15 +106,28 @@ def test_first_time_synthesis_needs_fixed_margin(harness):
 
 
 def test_cached_synthesis_from_same_base_lowers_the_margin(harness):
-    # a _DONE marker keyed to THIS base dir means _ensure_sf1 is a no-op:
-    # the same 100-second budget that refused synthesis now admits rows.
+    # a _DONE marker exactly matching the current synth version means
+    # _ensure_sf1 is a no-op: the same 100-second budget that refused
+    # synthesis now admits rows.
+    clock, calls, queries = harness
+    _mark_synth_cached()
+    out = bench._sf1_spot(None, queries, {}, deadline_ts=100.0)
+    assert "qa" in out and "_skipped_past_deadline" not in out
+
+
+def test_stale_version_marker_same_base_keeps_full_margin(harness):
+    # ADVICE r10: a _DONE written by an OLDER bench version (same base,
+    # different table list) will be rebuilt by _ensure_sf1 — the
+    # admission must apply the 120 s rebuild margin, not the 30 s
+    # cached one, or the rebuild overruns the driver deadline.
     clock, calls, queries = harness
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.makedirs(bench._SF1_DIR, exist_ok=True)
     with open(os.path.join(bench._SF1_DIR, "_DONE"), "w") as fh:
-        fh.write(f"synthesized from {base}: whatever")
+        fh.write(f"synthesized from {base}: lineitem,documents x10")
     out = bench._sf1_spot(None, queries, {}, deadline_ts=100.0)
-    assert "qa" in out and "_skipped_past_deadline" not in out
+    assert out == {"_skipped_past_deadline": ["qa", "qb", "qc"]}
+    assert calls == []
 
 
 def test_cached_synthesis_from_other_base_keeps_full_margin(harness):

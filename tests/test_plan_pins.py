@@ -77,10 +77,13 @@ def test_substring_policy_pins_merge_and_shuffle_cold(spark):
     # hot-hash exclusions — never an Inner/Semi build of a chunk- or
     # pair-grain relation
     n_bhj = plan.count("BroadcastHashJoin")
-    n_anti_bhj = plan.count("BroadcastHashJoin") - sum(
+    # count LeftAnti BHJ lines directly (ADVICE r10: the old
+    # count-minus-non-LeftAnti form was only correct while substring
+    # count == line count)
+    n_anti_bhj = sum(
         1
         for line in plan.splitlines()
-        if "BroadcastHashJoin" in line and "LeftAnti" not in line
+        if "BroadcastHashJoin" in line and "LeftAnti" in line
     )
     assert n_bhj == 2 and n_anti_bhj == 2, plan
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan

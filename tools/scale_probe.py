@@ -141,13 +141,21 @@ def _probe_one(name: str) -> dict:
         clear_shared_cache(spark)
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        # timed COLD: rebuild + re-pay every cache/training/checkpoint
-        # build (ADVICE r8 — warm timing excludes the linear-in-N part)
-        clear_shared_cache(spark)
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        row[label] = round(time.time() - t0, 2)
+        # timed COLD, min of 2 (VERDICT r10 #4, mirroring bench._cold_min's
+        # noise rule): each iteration rebuilds + re-pays every
+        # cache/training/checkpoint build (ADVICE r8 — warm timing excludes
+        # the linear-in-N part).  A single ~40 s wall reading on a shared
+        # host swings 2-3x round-over-round on an unchanged plan (r10:
+        # minhash 3.99 -> 9.53); min-of-2 keeps the ledger's wall column
+        # from accumulating noise a later round mistakes for a regression.
+        times = []
+        for _ in range(2):
+            clear_shared_cache(spark)
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        row[label] = round(min(times), 2)
         # rows too: a capped operator's OUTPUT must be ~linear in N
         # (and a fixed-query-set recall panel's must stay FLAT)
         row[f"{label}_rows"] = df.count()
