@@ -49,14 +49,18 @@ _MODULES = (
 # Round-11 window (175 registered total; cumulative ledger after r10: every
 # query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r7:28 r8:47 r9:50 r10:50).
-# Composition, per VERDICT r10 #1:
+# Composition, per VERDICT r10 #1 + the touch-a-query→rotate-it-in rule:
+# - 3 TOUCHED names: the round-11 empty-corpus probe fixed ANSI crashes /
+#   NULL-vs-0 divergences in events_funnel, events_holt_daily and
+#   dedup_minhash_recall (tests/test_empty_input.py) — any edited query
+#   must re-attest this round.
 # - all 28 names whose latest verdict is r7 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 22 r8-freshness fills (next-oldest cohort, alphabetical).
-# Round 11 edits no query or oracle (ledger rotation, bench/probe harness
-# fixes per ADVICE + VERDICT r10 #3/#4 only), so there are no
-# touched-name entries this round.
+# - 19 r8-freshness fills (next-oldest cohort, alphabetical; the last 3
+#   of the planned 22 displaced by the touched names).
 _FIRST_50 = (
+    # touched this round (empty-corpus robustness fixes)
+    "events_funnel", "events_holt_daily", "dedup_minhash_recall",
     # r7-stale (latest verdict is r7)
     "events_json_props", "events_sessionize_30m", "events_sliding_10m_5m",
     "events_window_hourly_by_type", "knn_cosine_topk",
@@ -77,8 +81,7 @@ _FIRST_50 = (
     "embedding_pca_power", "embedding_quantize_int8",
     "events_conversion_latency", "events_cum_distinct_users",
     "events_dow_hour_heatmap", "events_mad_anomaly", "events_resample_15m",
-    "events_rolling_dau_7d", "events_top_paths", "events_transition_counts",
-    "events_user_streaks",
+    "events_rolling_dau_7d",
 )
 
 

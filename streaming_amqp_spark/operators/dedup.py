@@ -691,12 +691,16 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dedup_minhash_lsh(spark, sf_dir, sh=sh).select(
         "id1", "id2", F.lit(1).alias("hit")
     )
+    # count("hit") ≡ matched-row count (hit is non-null exactly on LSH
+    # hits) and stays 0 — not NULL like sum() — over zero true pairs,
+    # mirroring the oracle's count(f.id1); try_divide keeps the 0-pair
+    # recall NULL instead of an ANSI 0/0 crash (empty-corpus probe, r11)
     return truth.join(found, ["id1", "id2"], "left").agg(
         F.count("*").alias("n_true_pairs"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
-        (
-            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
-        ).alias("recall"),
+        F.count("hit").alias("n_found"),
+        F.try_divide(F.count("hit").cast("double"), F.count("*")).alias(
+            "recall"
+        ),
     )
 
 

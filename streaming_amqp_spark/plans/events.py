@@ -326,12 +326,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            (F.col("n_click").cast("double") / F.col("n_view")).alias(
+            # try_divide: NULL on an empty funnel stage (count 0) instead
+            # of an ANSI DIVIDE_BY_ZERO crash — matches DuckDB, whose
+            # DOUBLE/0 yields NULL (empty-corpus probe, round 11)
+            F.try_divide(F.col("n_click").cast("double"), F.col("n_view")).alias(
                 "view_to_click"
             ),
-            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
-                "click_to_purchase"
-            ),
+            F.try_divide(
+                F.col("n_purchase").cast("double"), F.col("n_click")
+            ).alias("click_to_purchase"),
         )
     )
 
@@ -620,8 +623,11 @@ def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array<struct<day:date,y:double,forecast:double,err:double,"
         "level:double,trend:double>>"
     )
+    # F.get (NULL out-of-bounds) not element_at (ANSI INVALID_ARRAY_INDEX
+    # on an empty series): a zero-event day range must yield 0 rows, not
+    # a crash (empty-corpus probe, round 11)
     init = F.struct(
-        F.element_at(arr, 1)["y"].alias("l"),
+        F.get(arr, 0)["y"].alias("l"),
         F.lit(0.0).alias("b"),
         F.array().cast(row_t).alias("out"),
     )
@@ -657,7 +663,12 @@ def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = F.aggregate(
-        F.slice(arr, 2, F.size(arr) - 1), init, step, lambda acc: acc["out"]
+        # greatest(0, n-1): slice length must not go negative on an
+        # empty series (ANSI INVALID_PARAMETER_VALUE; same probe)
+        F.slice(arr, 2, F.greatest(F.lit(0), F.size(arr) - 1)),
+        init,
+        step,
+        lambda acc: acc["out"],
     )
     return (
         one.select(F.explode(folded).alias("r"))

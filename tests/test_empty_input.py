@@ -1,0 +1,113 @@
+"""Empty-corpus robustness (round 11).
+
+A 100 TB pipeline constantly meets zero-row inputs — an empty partition,
+a day with no events, a fresh deployment before the first ingest — so
+every operator must return its degenerate shape there, never crash.
+
+Probe that motivated this file: the full 175-query registry run against
+zero-row parquet tables carrying the production schemas, compared to the
+same DuckDB oracles.  171/175 agreed bit-for-bit; 3 were genuine defects
+(fixed, pinned below); the remaining 4 are ENGINE-level semantic
+divergences documented here and deliberately not "fixed":
+
+- ``agg_rollup_region_nation`` / ``agg_cube_lineitem`` /
+  ``agg_grouping_sets_orders``: Spark itself returns 0 rows for
+  rollup/cube/grouping-sets over empty input (verified against vanilla
+  ``spark.sql("... GROUP BY ROLLUP(a,b)")`` — an upstream Spark
+  semantic), while the SQL standard and DuckDB emit the ``()``
+  grand-total row.  Re-expressing rollup as a union-of-aggregates just
+  to add one degenerate row would trade the single-pass Expand plan for
+  N full scans at 100 TB — not taken.
+- ``embedding_pca_power``: DuckDB's ``list()`` over an empty group
+  yields NULL (→ 64 NULL-loading rows after the final unnest) where
+  Spark's ``collect_list`` yields ``[]`` (→ 0 rows).  There is no
+  principal direction of an empty cloud; the 0-row answer is the
+  semantically honest one and the plan stays untouched.
+
+The three fixes pinned here (each previously crashed or returned NULL
+where the oracle had a value):
+
+- ``events_funnel``: ``n_click / n_view`` raised ANSI DIVIDE_BY_ZERO on
+  an empty first stage → ``try_divide`` (NULL, matching DuckDB DOUBLE/0).
+- ``events_holt_daily``: ``slice(arr, 2, size-1)`` raised on a zero-day
+  series (length −1) and ``element_at(arr, 1)`` would raise next under
+  ANSI → ``greatest(0, ...)`` + ``F.get`` (NULL out of bounds).
+- ``dedup_minhash_recall``: ``sum()`` over zero true pairs is NULL where
+  the oracle's ``count(f.id1)`` is 0 → ``count("hit")`` (+ try_divide
+  for the 0/0 recall).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory) -> str:
+    """Zero-row parquet for every table, exact production schemas."""
+    dst = tmp_path_factory.mktemp("sf0")
+    for f in sorted(os.listdir(SF_DIR)):
+        if not f.endswith(".parquet"):
+            continue
+        schema = pq.read_schema(os.path.join(SF_DIR, f))
+        empty = pa.table(
+            {n: pa.array([], type=schema.field(n).type) for n in schema.names}
+        )
+        pq.write_table(empty, str(dst / f))
+    return str(dst)
+
+
+def test_events_funnel_empty_is_one_null_ratio_row(spark, empty_sf_dir):
+    from streaming_amqp_spark.plans.events import events_funnel
+
+    rows = events_funnel(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_view, r.n_click, r.n_purchase) == (0, 0, 0)
+    assert r.view_to_click is None and r.click_to_purchase is None
+
+
+def test_events_holt_daily_empty_is_zero_rows(spark, empty_sf_dir):
+    from streaming_amqp_spark.plans.events import events_holt_daily
+
+    assert events_holt_daily(spark, empty_sf_dir).count() == 0
+
+
+def test_minhash_recall_empty_counts_zero_not_null(spark, empty_sf_dir):
+    from streaming_amqp_spark.operators.dedup import dedup_minhash_recall
+
+    rows = dedup_minhash_recall(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_true_pairs == 0
+    assert r.n_found == 0  # was NULL before the count("hit") fix
+    assert r.recall is None
+
+
+# One representative per family beyond the fixed three: cheap queries
+# whose empty-input run already agreed with the oracle in the probe —
+# pinned so a future edit cannot regress the never-crash property.
+_REPRESENTATIVES = (
+    "q1_pricing_summary",  # hash agg
+    "window_rank_variants",  # window functions
+    "dedup_exact",  # dedup family
+    "knn_cosine_topk",  # similarity family
+    "text_token_stats",  # text family
+    "events_sessionize_30m",  # sessionization
+    "scalar_function_showcase",  # scalar surface
+    "asof_join_error_purchase",  # as-of join
+)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_family_representatives_run_on_empty(spark, empty_sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, empty_sf_dir)
+    assert df.count() >= 0  # executes; no ANSI crash, no scan error
