@@ -1467,8 +1467,13 @@ def _pq_assign(emb: DataFrame, cb_rows: DataFrame) -> DataFrame:
     wc = emb.crossJoin(F.broadcast(_cb_onerow(cb_rows)))
 
     def best(m: int):
+        # filter by the m FIELD, not slice by position: a positional
+        # slice assumes exactly PQ_K codes per subspace, which silently
+        # breaks (cross-subspace distances, NULL codes) on a corpus with
+        # fewer than PQ_K vectors — 1-row-corpus probe, round 11.  On a
+        # full codebook the sorted array makes both selections identical.
         scored = F.transform(
-            F.slice(F.col("cb"), m * PQ_K + 1, PQ_K),
+            F.filter(F.col("cb"), lambda c: c["m"] == F.lit(m)),
             lambda c: F.struct(
                 _cvec_l2sq_spark(F.col("embedding"), c["cvec"], m).alias("d"),
                 c["code_id"].alias("k"),
@@ -1639,8 +1644,10 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = q.crossJoin(F.broadcast(_cb_onerow(cb)))
 
     def qdists(m: int):
+        # field-filter, not positional slice — same degenerate-codebook
+        # hazard as _pq_assign.best (see the comment there)
         return F.transform(
-            F.slice(F.col("cb"), m * PQ_K + 1, PQ_K),
+            F.filter(F.col("cb"), lambda c: c["m"] == F.lit(m)),
             lambda c: F.struct(
                 F.lit(m).cast("long").alias("m"),
                 c["code_id"].alias("code_id"),

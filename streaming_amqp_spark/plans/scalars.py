@@ -244,20 +244,34 @@ def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
-        F.col("n") - F.lit(1.0)
+    # Degenerate-group hardening (1-row-corpus probe, r11), mirrored
+    # exactly in the oracle: try_divide makes the n=1 sample statistics
+    # NULL (DuckDB's DOUBLE/0) instead of an ANSI DIVIDE_BY_ZERO crash,
+    # and the sqrt arguments clamp the tiny NEGATIVE rounding residue a
+    # zero-variance group leaves (mathematically ≥ 0 by Cauchy-Schwarz;
+    # DuckDB errors on sqrt(-ε) where Spark yields NaN).  The CASE
+    # clamp propagates NULL (when(NULL<0) → otherwise) so an undefined
+    # variance stays NULL, never 0.
+
+    def nonneg(c):
+        return F.when(c < 0, F.lit(0.0)).otherwise(c)
+
+    var = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+        F.col("n") - F.lit(1.0),
     )
-    corr = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(nonneg(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        * F.sqrt(
+            nonneg(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     return grouped.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
         var.alias("price_var"),
-        F.sqrt(var).alias("price_stddev"),
+        F.sqrt(nonneg(var)).alias("price_stddev"),
         corr.alias("price_qty_corr"),
     )
 
@@ -279,13 +293,26 @@ WITH m AS (
               AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
+-- degenerate-group hardening, mirroring the Spark side: x/0 is NULL in
+-- DuckDB (≡ try_divide), and the CASE clamps a zero-variance group's
+-- tiny negative rounding residue before sqrt (DuckDB errors on sqrt(-ε))
+-- while propagating NULL (NULL < 0 is NULL → ELSE branch)
+, v AS (
+  SELECT l_returnflag, n,
+         (sxx - sx * sx / n) / (n - 1.0) AS var,
+         n * sxy - sx * sy AS cnum,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy
+  FROM m
+)
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
-       (sxx - sx * sx / n) / (n - 1.0) AS price_var,
-       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS price_stddev,
-       (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS price_qty_corr
-FROM m
+       var AS price_var,
+       sqrt(CASE WHEN var < 0 THEN 0.0 ELSE var END) AS price_stddev,
+       cnum / (sqrt(CASE WHEN dx < 0 THEN 0.0 ELSE dx END)
+               * sqrt(CASE WHEN dy < 0 THEN 0.0 ELSE dy END))
+         AS price_qty_corr
+FROM v
 """
 
 

@@ -262,8 +262,17 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         (s1 / n).alias("mean_value"),
+        # Degenerate-group hardening (1-row-corpus probe, r11), mirrored
+        # in the oracle: try_divide makes a one-event type's σ NULL
+        # (DuckDB's DOUBLE/0) instead of an ANSI crash, and the CASE
+        # clamps a constant-value type's tiny negative rounding residue
+        # before sqrt (DuckDB errors on sqrt(-ε); NULL propagates
+        # through when(NULL < 0) → otherwise)
         F.sqrt(
-            (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+            F.when(
+                F.try_divide(s2 - s1 * s1 / n, n - F.lit(1.0)) < 0,
+                F.lit(0.0),
+            ).otherwise(F.try_divide(s2 - s1 * s1 / n, n - F.lit(1.0)))
         ).alias("std_value"),
     )
     flagged = (
@@ -288,18 +297,27 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZSCORE_SQL = """
-WITH stats AS (
+WITH stats0 AS (
   SELECT event_type,
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS mean_value,
-         sqrt((CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))
-                       * CAST(value AS DECIMAL(18,6))), 0) AS BIGINT) AS DOUBLE)
-               - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE))
-              / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_value
+         (CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))), 0) AS BIGINT) AS DOUBLE)
+          - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE))
+         / (CAST(count(*) AS DOUBLE) - 1.0) AS var_value
   FROM events GROUP BY event_type
+),
+-- mirror of the Spark-side hardening: x/0 is NULL in DuckDB
+-- (≡ try_divide), CASE clamps the sqrt(-ε) rounding residue and
+-- propagates NULL
+stats AS (
+  SELECT event_type, n_events, mean_value,
+         sqrt(CASE WHEN var_value < 0 THEN 0.0 ELSE var_value END)
+           AS std_value
+  FROM stats0
 ),
 flagged AS (
   SELECT e.event_type, count(*) AS n_anomalies

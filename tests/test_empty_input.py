@@ -1,7 +1,8 @@
-"""Empty-corpus robustness (round 11).
+"""Degenerate-input robustness (round 11): empty and single-row corpora.
 
 A 100 TB pipeline constantly meets zero-row inputs — an empty partition,
-a day with no events, a fresh deployment before the first ingest — so
+a day with no events, a fresh deployment before the first ingest — and
+single-element groups (one event of a type, one lineitem of a flag), so
 every operator must return its degenerate shape there, never crash.
 
 Probe that motivated this file: the full 175-query registry run against
@@ -111,3 +112,77 @@ def test_family_representatives_run_on_empty(spark, empty_sf_dir, name):
 
     df = entrymod.queries()[name](spark, empty_sf_dir)
     assert df.count() >= 0  # executes; no ANSI crash, no scan error
+
+
+# ---------------------------------------------------------------------------
+# Single-row corpus: every table holds exactly its FIRST row (referential
+# integrity deliberately broken — joins go empty, groups have n = 1).
+# This probe caught four more defects than the empty corpus could:
+#
+# - agg_variance_corr / events_zscore_anomaly raised ANSI DIVIDE_BY_ZERO
+#   at n−1 = 0 (→ try_divide, NULL like DuckDB's DOUBLE/0), and their
+#   sqrt arguments could see the tiny NEGATIVE rounding residue of a
+#   zero-variance group — DuckDB ERRORS on sqrt(-ε) where Spark yields
+#   NaN → both engines now clamp with a NULL-propagating CASE.
+# - _pq_assign / the kmeans-recall qdists selected each subspace's codes
+#   by POSITIONAL slice (m*PQ_K+1, PQ_K), silently assuming PQ_K codes
+#   per subspace: with fewer vectors than PQ_K the slice crossed
+#   subspace boundaries (wrong-dim distances) and ran off the array
+#   (NULL codes → Lloyd updates skipped → unrounded init centroids
+#   leaked into ann_pq_kmeans_codebook).  Now a field filter on m —
+#   identical selection whenever the codebook is full.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("sf1row")
+    for f in sorted(os.listdir(SF_DIR)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(SF_DIR, f)).slice(0, 1)
+        pq.write_table(t, str(dst / f))
+    return str(dst)
+
+
+_ONE_ROW_ORACLED = (
+    "agg_variance_corr",
+    "events_zscore_anomaly",
+    "ann_pq_kmeans_codebook",
+    "ann_pq_kmeans_recall",
+    "events_funnel",
+    "events_holt_daily",
+    "dedup_minhash_recall",
+)
+
+
+@pytest.mark.parametrize("name", _ONE_ROW_ORACLED)
+def test_touched_queries_match_oracle_on_one_row(
+    spark, one_row_sf_dir, name
+):
+    import __spark_entry__ as entrymod
+
+    from tests.oracle import compare_query
+
+    e = entrymod
+    compare_query(
+        e.queries()[name](spark, one_row_sf_dir),
+        e.oracle_sql()[name],
+        one_row_sf_dir,
+    )
+
+
+def test_variance_stats_null_on_single_row_group(spark, one_row_sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["agg_variance_corr"](
+        spark, one_row_sf_dir
+    ).collect()
+    assert len(rows) == 1  # one lineitem row -> one returnflag group
+    r = rows[0]
+    assert r.n_rows == 1
+    # n-1 = 0: sample variance/stddev/corr are undefined -> NULL, never
+    # a crash, never NaN, never 0
+    assert r.price_var is None
+    assert r.price_stddev is None
+    assert r.price_qty_corr is None
