@@ -51,8 +51,14 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers unseen tokens (s == 0 or s < n - C + S).
 
     Pure per-row projection: sequence + slice + concat_ws, no shuffle —
-    chunking 100 TB is exactly a full scan, nothing more."""
-    d = _docs(spark, sf_dir)
+    chunking 100 TB is exactly a full scan, nothing more.
+
+    NULL-text docs yield NO chunks (filtered here, WHERE'd in the
+    oracle): unguarded, Spark's null-skipping concat_ws/least and
+    DuckDB's null-ignoring greatest each manufactured one phantom
+    chunk — with different contents ('' vs NULL) — for a NULL doc
+    (pathological-corpus probe, round 11)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     C, S = CHUNK_TOKENS, CHUNK_STRIDE
 
     def chunks_of(t):
@@ -80,6 +86,7 @@ WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT doc_id,
        s // {CHUNK_STRIDE} AS chunk_id,
@@ -380,8 +387,15 @@ def pack_docs_nextfit(
     d = docs if docs is not None else _docs(spark, sf_dir)
     B = PACK_BUDGET
     shard = list(shard_cols)
+    # coalesce: a NULL-text doc packs with 0 tokens — unguarded, its NULL
+    # n_tok poisons the fold accumulator (Spark's -1 init bin and the
+    # oracle's anchor bin then stick for the whole shard — r11 probe)
     per_doc = d.select(
-        "doc_id", *shard, F.size(tokens()).cast("long").alias("n_tok")
+        "doc_id",
+        *shard,
+        F.coalesce(F.size(tokens()).cast("long"), F.lit(0).cast("long")).alias(
+            "n_tok"
+        ),
     )
     out_t = "array<struct<doc_id:bigint,n_tok:bigint,bin_id:bigint>>"
     zero = F.struct(
@@ -436,7 +450,8 @@ def pack_sql(
     join = " AND ".join(f"t.{c} = p.{c}" for c in cols)
     return f"""
 WITH RECURSIVE t AS (
-  SELECT doc_id{sel_derived}, source, len(string_split(text, ' ')) AS n_tok,
+  SELECT doc_id{sel_derived}, source,
+         coalesce(len(string_split(text, ' ')), 0) AS n_tok,
          row_number() OVER (PARTITION BY {key} ORDER BY doc_id) AS rn
   FROM documents
 ),

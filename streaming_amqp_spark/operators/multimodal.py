@@ -40,9 +40,16 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         nbytes.alias("n_bytes"),
         F.md5(blob).alias("content_md5"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (nbytes % 3 + 1).cast("int"),
+        # the isNotNull guard matters: Catalyst rewrites element_at over a
+        # literal array into CASE WHEN idx=1 ... ELSE 'video' END, whose
+        # non-exhaustive ELSE turns a NULL blob's NULL index into 'video'
+        # — a silent wrong value (pathological-corpus probe, round 11)
+        F.when(
+            nbytes.isNotNull(),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (nbytes % 3 + 1).cast("int"),
+            ),
         ).alias("modality"),
         (nbytes % 640).alias("fake_width"),
         (nbytes % 480).alias("fake_height"),
@@ -95,15 +102,39 @@ def decode_images(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_image_stub(b) for b in pdf[blob_col]]
+            # a NULL blob decodes to NULL features, never a worker crash
+            # (pathological-corpus probe, round 11); pandas nullable
+            # dtypes keep the Arrow columns typed with None present
+            decoded = [
+                None if b is None else decode_image_stub(b)
+                for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [len(b) for b in pdf[blob_col]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "channels": [d[2] for d in decoded],
-                    "mean_byte": [d[3] for d in decoded],
+                    "n_bytes": pd.array(
+                        [
+                            None if b is None else len(b)
+                            for b in pdf[blob_col]
+                        ],
+                        dtype="Int32",
+                    ),
+                    "width": pd.array(
+                        [None if d is None else d[0] for d in decoded],
+                        dtype="Int32",
+                    ),
+                    "height": pd.array(
+                        [None if d is None else d[1] for d in decoded],
+                        dtype="Int32",
+                    ),
+                    "channels": pd.array(
+                        [None if d is None else d[2] for d in decoded],
+                        dtype="Int32",
+                    ),
+                    "mean_byte": pd.array(
+                        [None if d is None else d[3] for d in decoded],
+                        dtype="Float64",
+                    ),
                 }
             )
 
@@ -121,19 +152,35 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The stub's arithmetic is exact-integer (sum of bytes / length), so even
-# the mapInPandas path is oracle-checkable.  The corpus is ASCII, so the
-# byte sum equals the code-point sum.
+# the mapInPandas path is oracle-checkable.  mean_byte sums the UTF-8
+# BYTES via a hex-digit fold (DuckDB cannot index a BLOB directly), so
+# the oracle is byte-exact on ANY text, not just ASCII (r11 probe: the
+# old unicode(text[i]) code-point fold diverged on non-ASCII docs).
+# CASE-NULL channels + NULL-propagating n keep a NULL blob's row
+# all-NULL, matching the engine's None-safe decode.  b is MATERIALIZED:
+# inlined, the hx expression would re-expand per lambda element (O(n²)).
 _DECODE_SQL = """
-WITH b AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+WITH b AS MATERIALIZED (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx
+  FROM documents
 )
 SELECT doc_id,
        CAST(n AS INTEGER) AS n_bytes,
        CAST(CASE WHEN n % 640 = 0 THEN 1 ELSE n % 640 END AS INTEGER) AS width,
        CAST(CASE WHEN n % 480 = 0 THEN 1 ELSE n % 480 END AS INTEGER) AS height,
-       3 AS channels,
-       CAST(list_sum(list_transform(range(1, n + 1), i -> unicode(text[i])))
-            AS DOUBLE) / n AS mean_byte
+       CASE WHEN text IS NULL THEN NULL ELSE 3 END AS channels,
+       -- coalesce + greatest(n,1): the stub's sum/max(n,1) is 0.0 for an
+       -- EMPTY payload (DuckDB list_sum([]) is NULL); the outer CASE
+       -- keeps a NULL payload NULL (DuckDB greatest ignores NULLs)
+       CASE WHEN text IS NULL THEN NULL ELSE
+         CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1)
+                       * 16
+                   + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))),
+              0)
+              AS DOUBLE) / greatest(n, 1)
+       END AS mean_byte
 FROM b
 """
 
@@ -171,11 +218,23 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:
+                    # NULL blob -> NULL dims/fingerprint, never a worker
+                    # crash (pathological-corpus probe, round 11)
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
                 n = len(blob)
                 w, h = (n % 640 or 1), (n % 480 or 1)  # ≡ decode_image_stub dims
                 scale = float(RESIZE_BOX) / float(max(w, h))
                 nw = max(1, int(w * scale))
                 nh = max(1, int(h * scale))
+                # fingerprint = md5 of the UPPERCASE HEX of the byte
+                # prefix: DuckDB's md5 only takes VARCHAR, and a raw byte
+                # prefix can split a multi-byte character (invalid UTF-8),
+                # so hashing the hex rendering keeps the oracle byte-exact
+                # on ANY payload (r11 probe: md5-of-bytes was
+                # oracle-checkable for ASCII only)
+                prefix = bytes(blob)[: nw * nh % max(n, 1)]
                 rows.append(
                     (
                         doc_id,
@@ -183,7 +242,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         h,
                         nw,
                         nh,
-                        hashlib.md5(bytes(blob)[: nw * nh % max(n, 1)]).hexdigest(),
+                        hashlib.md5(prefix.hex().upper().encode()).hexdigest(),
                     )
                 )
             yield pd.DataFrame(
@@ -202,10 +261,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # int(w*scale) truncates toward zero = floor for the positive values here;
-# blob[:k] on ASCII ≡ substring(text, 1, k).
+# the fingerprint hashes the UPPERCASE HEX of the byte prefix (2 hex
+# chars per byte), ≡ the engine's md5(prefix.hex().upper()) — byte-exact
+# for any payload where character-based substring(text, ...) was
+# ASCII-only (r11 probe).  NULL text propagates: w/h/new_*/md5 all NULL.
 _RESIZE_SQL = f"""
-WITH b AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
+WITH b AS MATERIALIZED (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx,
          CASE WHEN octet_length(encode(text)) % 640 = 0 THEN 1
               ELSE octet_length(encode(text)) % 640 END AS w,
          CASE WHEN octet_length(encode(text)) % 480 = 0 THEN 1
@@ -215,14 +278,21 @@ WITH b AS (
 SELECT doc_id,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       CAST(greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
-            AS INTEGER) AS new_width,
-       CAST(greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
-            AS INTEGER) AS new_height,
-       md5(substring(text, 1,
-           (greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
-            * greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT)))
-           % greatest(n, 1))) AS resized_md5
+       -- the CASE guards matter: DuckDB greatest IGNORES NULLs, so an
+       -- unguarded greatest(1, trunc(NULL)) manufactures 1x1 dims for a
+       -- NULL payload where the engine correctly yields NULL
+       CASE WHEN n IS NULL THEN NULL ELSE
+         CAST(greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+              AS INTEGER)
+       END AS new_width,
+       CASE WHEN n IS NULL THEN NULL ELSE
+         CAST(greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+              AS INTEGER)
+       END AS new_height,
+       md5(substring(hx, 1, 2 *
+           ((greatest(1, CAST(trunc(w * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT))
+             * greatest(1, CAST(trunc(h * ({RESIZE_BOX}.0 / greatest(w, h))) AS BIGINT)))
+            % greatest(n, 1)))) AS resized_md5
 FROM b
 """
 

@@ -233,8 +233,12 @@ FROM h
 
 
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (see functions.text.simhash16)."""
-    d = _docs(spark, sf_dir)
+    """16-bit SimHash per document (see functions.text.simhash16).
+
+    NULL-text docs are dropped (≡ the oracle's unnest over a NULL split):
+    hashing nothing to '0000000000000000' would alias every NULL doc into
+    one near-dup bucket (pathological-corpus probe, round 11)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     return d.select("doc_id", simhash16(tokens()).alias("simhash"))
 
 

@@ -56,17 +56,21 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership, distinct count, joins back to string."""
     d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
+    # concat_ws silently renders a NULL array as '' — the when-guards
+    # keep every derived field NULL for a NULL doc, matching the oracle
+    # (pathological-corpus probe, round 11)
+    notnull = F.col("text").isNotNull()
     return d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
-        F.concat_ws("-", F.slice(toks, 1, 3)).alias("first3"),
+        F.when(notnull, F.concat_ws("-", F.slice(toks, 1, 3))).alias("first3"),
         F.array_position(toks, "join").cast("bigint").alias("join_pos"),
-        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).alias(
-            "sorted_vocab"
-        ),
+        F.when(
+            notnull, F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("sorted_vocab"),
     )
 
 
@@ -77,8 +81,10 @@ SELECT doc_id,
        string_split(text, ' ')[1] AS first_tok,
        string_split(text, ' ')[-1] AS last_tok,
        array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
-       CAST(coalesce(list_position(string_split(text, ' '), 'join'), 0) AS BIGINT)
-         AS join_pos,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(coalesce(list_position(string_split(text, ' '), 'join'),
+                               0) AS BIGINT)
+       END AS join_pos,
        array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
          AS sorted_vocab
 FROM documents

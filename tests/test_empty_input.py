@@ -186,3 +186,90 @@ def test_variance_stats_null_on_single_row_group(spark, one_row_sf_dir):
     assert r.price_var is None
     assert r.price_stddev is None
     assert r.price_qty_corr is None
+
+
+# ---------------------------------------------------------------------------
+# Pathological-text corpus: sf0.001 documents with the first rows
+# replaced by empty / whitespace-only / unicode (CJK, emoji) / huge-token
+# / NULL texts.  The full-registry probe on this corpus found 8
+# divergences, all fixed:
+#
+# - NULL text crashed the Arrow decode workers (len(None)) and, via
+#   Spark's null-SKIPPING functions (concat_ws -> '', least/greatest
+#   ignore NULL, element_at over a literal array rewritten by Catalyst
+#   into a CASE with ELSE 'video'), manufactured phantom values where
+#   DuckDB produced NULL (text_chunk_sliding, scalar_array_funcs,
+#   multimodal_meta/storage_report) or poisoned an ordered fold
+#   (pack_docs_nextfit bin ids).  text_simhash hashed NULL to the
+#   all-zero fingerprint, aliasing every NULL doc into one near-dup
+#   bucket.  Fixes: NULL docs filtered (simhash, chunking), coalesced to
+#   0 tokens (packing), or NULL-propagated (scalars, multimodal).
+# - Non-ASCII text broke the multimodal oracles' byte arithmetic (DuckDB
+#   md5 takes VARCHAR only; unicode() folds code points, not bytes).
+#   The oracles now fold UTF-8 bytes via hex digits, and the resize
+#   fingerprint convention is md5-of-UPPERCASE-HEX of the byte prefix on
+#   both sides — byte-exact for ANY payload, not just ASCII.
+# ---------------------------------------------------------------------------
+
+_PATHOLOGICAL_TEXTS = [
+    "",
+    " ",
+    "\n\t  \n",
+    "héllo wörld naïve café",
+    "日本語のテキスト 中文文本 한국어",
+    "emoji 😀🎉 mixed with text",
+    "a" * 5000,
+    "word " * 2000,
+    None,
+    "Tab\tseparated\tand\rcarriage",
+]
+
+
+@pytest.fixture(scope="module")
+def pathological_sf_dir(tmp_path_factory) -> str:
+    import shutil
+
+    dst = tmp_path_factory.mktemp("sfpath")
+    for f in sorted(os.listdir(SF_DIR)):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "documents.parquet":
+            t = pq.read_table(os.path.join(SF_DIR, f))
+            df = t.to_pandas()
+            for i, txt in enumerate(_PATHOLOGICAL_TEXTS):
+                df.loc[i, "text"] = txt
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+                str(dst / f),
+            )
+        else:
+            shutil.copy(os.path.join(SF_DIR, f), str(dst / f))
+    return str(dst)
+
+
+_PATHOLOGICAL_ORACLED = (
+    "text_simhash",
+    "text_chunk_sliding",
+    "pack_docs_nextfit",
+    "scalar_array_funcs",
+    "multimodal_meta",
+    "multimodal_decode_features",
+    "multimodal_resize",
+    "multimodal_storage_report",
+)
+
+
+@pytest.mark.parametrize("name", _PATHOLOGICAL_ORACLED)
+def test_touched_queries_match_oracle_on_pathological_text(
+    spark, pathological_sf_dir, name
+):
+    import __spark_entry__ as entrymod
+
+    from tests.oracle import compare_query
+
+    e = entrymod
+    compare_query(
+        e.queries()[name](spark, pathological_sf_dir),
+        e.oracle_sql()[name],
+        pathological_sf_dir,
+    )
