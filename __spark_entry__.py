@@ -50,22 +50,25 @@ _MODULES = (
 # query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r7:28 r8:47 r9:50 r10:50).
 # Composition, per VERDICT r10 #1 + the touch-a-query→rotate-it-in rule:
-# - 5 TOUCHED names: the round-11 empty-corpus and 1-row-corpus probes
-#   fixed ANSI crashes / NULL-vs-0 divergences / sqrt(-ε) brittleness in
-#   events_funnel, events_holt_daily, dedup_minhash_recall,
-#   agg_variance_corr and events_zscore_anomaly
-#   (tests/test_empty_input.py) — any edited query must re-attest this
-#   round.  (ann_pq_kmeans_codebook / ann_pq_kmeans_recall were also
-#   touched — the positional-slice codebook fix — and already sit in the
-#   r8 fills below.)
+# - 6 TOUCHED names: the round-11 degenerate-input probes (empty /
+#   1-row / constant / pathological-text / NULL-NaN corpora) fixed ANSI
+#   crashes, NULL-vs-0 divergences, sqrt(-ε) brittleness, and the
+#   drop-not-crash oracle mirror in events_funnel, events_holt_daily,
+#   dedup_minhash_recall, agg_variance_corr, events_zscore_anomaly and
+#   envelope_body_roundtrip (tests/test_empty_input.py) — any edited
+#   query must re-attest this round.  (The 8 pathological-text names and
+#   the kmeans-codebook names were also touched and already sit in the
+#   r7/r8 cohorts below.  The ingest gates in tables.py rewrite EVERY
+#   oracle's embeddings/events read; sweeps at sf0.01/sf0.1 prove the
+#   gates change no result at driver scales.)
 # - all 28 names whose latest verdict is r7 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 17 r8-freshness fills (next-oldest cohort, alphabetical; the last 5
+# - 16 r8-freshness fills (next-oldest cohort, alphabetical; the last 6
 #   of the planned 22 displaced by the touched names).
 _FIRST_50 = (
     # touched this round (degenerate-input robustness fixes)
     "events_funnel", "events_holt_daily", "dedup_minhash_recall",
-    "agg_variance_corr", "events_zscore_anomaly",
+    "agg_variance_corr", "events_zscore_anomaly", "envelope_body_roundtrip",
     # r7-stale (latest verdict is r7)
     "events_json_props", "events_sessionize_30m", "events_sliding_10m_5m",
     "events_window_hourly_by_type", "knn_cosine_topk",
@@ -85,7 +88,7 @@ _FIRST_50 = (
     "domain_mixture_weights", "embedding_l2_normalize",
     "embedding_pca_power", "embedding_quantize_int8",
     "events_conversion_latency", "events_cum_distinct_users",
-    "events_dow_hour_heatmap", "events_mad_anomaly",
+    "events_dow_hour_heatmap",
 )
 
 

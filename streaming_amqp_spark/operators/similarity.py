@@ -23,9 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from streaming_amqp_spark.functions.vectors import cosine, dot, sql_cosine
+from streaming_amqp_spark.tables import EMBEDDING_DIMS as DIMS
 from streaming_amqp_spark.tables import load_table
-
-DIMS = 64
 KNN_K = 5
 N_QUERIES = 8  # query set = vec_id < 8
 N_PLANES = 4

@@ -16,6 +16,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_registries(*modules) -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from streaming_amqp_spark.tables import gate_oracle_sql
+
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for m in modules:
@@ -23,5 +25,10 @@ def collect_registries(*modules) -> tuple[dict[str, QueryFn], dict[str, str]]:
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r}")
             queries[name] = fn
-        oracles.update(getattr(m, "ORACLES", {}))
+        # every oracle read of a gated table (embeddings, events) goes
+        # through its ingest-gate subquery — the DuckDB twin of the
+        # engine-side gates in tables.load_table (see ORACLE_INGEST_GATES)
+        oracles.update(
+            {k: gate_oracle_sql(v) for k, v in getattr(m, "ORACLES", {}).items()}
+        )
     return queries, oracles

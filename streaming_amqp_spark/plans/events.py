@@ -238,11 +238,16 @@ def envelope_body_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The double→string→double body round-trip is lossless (shortest-roundtrip
 # formatting in both engines), so the oracle reads the value directly.
+# WHERE value IS NOT NULL mirrors the converter's drop-not-crash semantic
+# (AMQPBodyFunction.scala:31-40 / SURVEY §7.4.2): a message whose body
+# cannot cast is DROPPED, so a NULL-valued event never reaches the agg
+# (NULL/NaN-corpus probe, round 11).
 _ENVELOPE_SQL = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        max(value) AS max_temp,
        count(*) AS n_msgs
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1
 """
 

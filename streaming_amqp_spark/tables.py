@@ -7,6 +7,8 @@ the scan is the narrowest projection the query needs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES: tuple[str, ...] = (
@@ -23,6 +25,58 @@ TABLE_NAMES: tuple[str, ...] = (
 )
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+EMBEDDING_DIMS = 64
+
+# Ingest gates (round-11 NULL/NaN corpus probe): the two columns where
+# non-finite / malformed data realistically arrives in production —
+# embedding vectors and the free-form events.value metric — get a DEFINED
+# degenerate-input semantic, applied identically in the engine
+# (load_table, below) and in every DuckDB oracle (gate_oracle_sql,
+# applied once at registry collection):
+#
+# - embeddings: a vector that is NULL, has the wrong dimensionality, or
+#   contains a NULL/NaN/Inf element is INVALID and excluded from index,
+#   queries, and training (the standard ANN ingest gate).  Unguarded,
+#   such vectors poisoned every distance fold differently per engine.
+# - events.value: a NaN/Inf metric value is treated as MISSING (NULL) —
+#   the row keeps counting for sessionization/windows, but the metric
+#   drops out of aggregates.  Unguarded, the exact-DECIMAL aggregation
+#   convention is undefined there: Spark's decimal cast silently maps
+#   non-finite to NULL while DuckDB errors on the cast.
+ORACLE_INGEST_GATES: dict[str, str] = {
+    "embeddings": (
+        "SELECT * FROM embeddings WHERE embedding IS NOT NULL"
+        f" AND len(embedding) = {EMBEDDING_DIMS}"
+        " AND len(list_filter(embedding,"
+        " x -> x IS NULL OR NOT isfinite(x))) = 0"
+    ),
+    "events": (
+        "SELECT * REPLACE (CASE WHEN value IS NULL OR isfinite(value)"
+        " THEN value END AS value) FROM events"
+    ),
+}
+
+_GATE_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(embeddings|events)\b"
+    r"(?:\s+(?:AS\s+)?"
+    r"(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b"
+    r"|LEFT\b|RIGHT\b|INNER\b|CROSS\b|JOIN\b|WINDOW\b|AS\b)"
+    r"([A-Za-z_]\w*))?"
+)
+
+
+def gate_oracle_sql(sql: str) -> str:
+    """Rewrite every oracle read of a gated table to go through its
+    ingest-gate subquery, preserving an explicit alias when one follows
+    and re-aliasing to the table name otherwise (bare reads may use
+    table-qualified column refs)."""
+
+    def _sub(m: re.Match) -> str:
+        kw, tbl, alias = m.group(1), m.group(2), m.group(3)
+        return f"{kw} ({ORACLE_INGEST_GATES[tbl]}) {alias or tbl}"
+
+    return _GATE_RE.sub(_sub, sql)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
@@ -67,6 +121,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"events.ts: unexpected parquet dtype {ts_type!r}; expected "
                 "bigint (legacy nanos), timestamp_ntz, or timestamp"
             )
+        # ingest gate (see ORACLE_INGEST_GATES): non-finite metric -> NULL
+        v = F.col("value")
+        finite = ~(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))))
+        df = df.withColumn("value", F.when(v.isNull() | finite, v))
+    elif name == "embeddings":
+        # ingest gate (see ORACLE_INGEST_GATES): malformed vectors are
+        # excluded from index, queries, and training
+        from pyspark.sql import functions as F
+
+        bad = F.filter(
+            F.col("embedding"),
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
+        df = df.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMBEDDING_DIMS)
+            & (F.size(bad) == 0)
+        )
     return df
 
 

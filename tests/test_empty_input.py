@@ -273,3 +273,115 @@ def test_touched_queries_match_oracle_on_pathological_text(
         e.oracle_sql()[name],
         pathological_sf_dir,
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL/NaN/Inf corpus: events.value gets a NULL, a NaN, and an Inf;
+# embeddings get a NULL vector, a vector with a NULL element, and a
+# vector with a NaN element.  This probe motivated the INGEST GATES in
+# tables.py (ORACLE_INGEST_GATES + the load_table twins): malformed
+# vectors are excluded from index/queries/training, and a non-finite
+# metric value is treated as missing — unguarded, the exact-DECIMAL
+# aggregation convention was undefined there (Spark's decimal cast
+# silently maps NaN/Inf to NULL; DuckDB ERRORS on the cast), and
+# NULL/NaN vector elements poisoned every distance fold differently per
+# engine (14 registry divergences, all closed by the two gates plus the
+# envelope oracle's drop-not-crash mirror).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nullnan_sf_dir(tmp_path_factory) -> str:
+    import shutil
+
+    dst = tmp_path_factory.mktemp("sfnull")
+    for f in sorted(os.listdir(SF_DIR)):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "events.parquet":
+            t = pq.read_table(os.path.join(SF_DIR, f))
+            df = t.to_pandas()
+            df.loc[0, "value"] = None
+            df.loc[1, "value"] = float("nan")
+            df.loc[2, "value"] = float("inf")
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+                str(dst / f),
+            )
+        elif f == "embeddings.parquet":
+            t = pq.read_table(os.path.join(SF_DIR, f))
+            df = t.to_pandas()
+            df.at[0, "embedding"] = None
+            v = list(df.at[1, "embedding"])
+            v[3] = None
+            df.at[1, "embedding"] = v
+            w = list(df.at[2, "embedding"])
+            w[5] = float("nan")
+            df.at[2, "embedding"] = w
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+                str(dst / f),
+            )
+        else:
+            shutil.copy(os.path.join(SF_DIR, f), str(dst / f))
+    return str(dst)
+
+
+_NULLNAN_ORACLED = (
+    "ann_pq_adc",
+    "ann_pq_kmeans_recall",
+    "embedding_centroids",
+    "knn_cosine_topk",
+    "events_zscore_anomaly",
+    "events_window_hourly_by_type",
+    "envelope_body_roundtrip",
+    "streaming_rollup_twin",
+)
+
+
+@pytest.mark.parametrize("name", _NULLNAN_ORACLED)
+def test_gated_queries_match_oracle_on_nullnan(spark, nullnan_sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    from tests.oracle import compare_query
+
+    e = entrymod
+    compare_query(
+        e.queries()[name](spark, nullnan_sf_dir),
+        e.oracle_sql()[name],
+        nullnan_sf_dir,
+    )
+
+
+def test_ingest_gates_drop_malformed_vectors_and_scrub_values(
+    spark, nullnan_sf_dir
+):
+    from streaming_amqp_spark.tables import load_table
+
+    # the poisoned rows are positional rows 0-2 of each file
+    bad_vec = pq.read_table(
+        os.path.join(nullnan_sf_dir, "embeddings.parquet")
+    ).column("vec_id")[:3].to_pylist()
+    bad_ev = pq.read_table(
+        os.path.join(nullnan_sf_dir, "events.parquet")
+    ).column("event_id")[:3].to_pylist()
+
+    emb = load_table(spark, nullnan_sf_dir, "embeddings")
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert not ids.intersection(bad_vec)  # malformed vectors excluded
+    ev = load_table(spark, nullnan_sf_dir, "events")
+    vals = [
+        r.value
+        for r in ev.where(F_col_in("event_id", bad_ev))
+        .select("value")
+        .collect()
+    ]
+    # rows survive (ts/type still count); the non-finite metric is missing
+    assert len(vals) == 3
+    assert all(v is None for v in vals)
+
+
+def F_col_in(col: str, values):
+    from pyspark.sql import functions as F
+
+    return F.col(col).isin(*values)

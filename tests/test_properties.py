@@ -317,12 +317,21 @@ def test_quantization_matches_numpy_reimpl(spark, tmp_path):
 
     from streaming_amqp_spark.operators import similarity
 
+    # padded to EMBEDDING_DIMS: the round-11 ingest gate (tables.py)
+    # excludes wrong-dimensionality vectors by design, so adversarial
+    # test vectors must be production-shaped (zero padding preserves the
+    # adversarial structure: amax, spikes, signs are unchanged)
+    from streaming_amqp_spark.tables import EMBEDDING_DIMS
+
+    def pad(v):
+        return v + [0.0] * (EMBEDDING_DIMS - len(v))
+
     vecs = [
-        [0.0] * 8,                                # all-zero: scale 0 path
-        [1.0] + [0.0] * 7,                        # single spike
-        [-3.5, 2.25, -1.125, 0.5, 0.0, 7.75, -7.75, 0.001],
-        [1e-7] * 8,                               # tiny magnitudes
-        [127.0, -127.0, 63.5, -63.5, 1.0, -1.0, 0.25, -0.25],
+        pad([0.0] * 8),                           # all-zero: scale 0 path
+        pad([1.0] + [0.0] * 7),                   # single spike
+        pad([-3.5, 2.25, -1.125, 0.5, 0.0, 7.75, -7.75, 0.001]),
+        pad([1e-7] * 8),                          # tiny magnitudes
+        pad([127.0, -127.0, 63.5, -63.5, 1.0, -1.0, 0.25, -0.25]),
     ]
     rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
     path = str(tmp_path / "emb")
