@@ -46,49 +46,43 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-11 window (175 registered total; cumulative ledger after r10: every
+# Round-12 window (175 registered total; cumulative ledger after r11: every
 # query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r7:28 r8:47 r9:50 r10:50).
-# Composition, per VERDICT r10 #1 + the touch-a-query→rotate-it-in rule:
-# - 6 TOUCHED names: the round-11 degenerate-input probes (empty /
-#   1-row / constant / pathological-text / NULL-NaN corpora) fixed ANSI
-#   crashes, NULL-vs-0 divergences, sqrt(-ε) brittleness, and the
-#   drop-not-crash oracle mirror in events_funnel, events_holt_daily,
-#   dedup_minhash_recall, agg_variance_corr, events_zscore_anomaly and
-#   envelope_body_roundtrip (tests/test_empty_input.py) — any edited
-#   query must re-attest this round.  (The 8 pathological-text names and
-#   the kmeans-codebook names were also touched and already sit in the
-#   r7/r8 cohorts below.  The ingest gates in tables.py rewrite EVERY
-#   oracle's embeddings/events read; sweeps at sf0.01/sf0.1 prove the
-#   gates change no result at driver scales.)
-# - all 28 names whose latest verdict is r7 — the oldest evidence in the
+# latest-verdict distribution r8:30 r9:48 r10:47 r11:50).
+# Composition, per VERDICT r11 #1 + the touch-a-query→rotate-it-in rule:
+# - 2 TOUCHED names: the PQ codebook-subspace selection now slices
+#   positionally when the codebook is full and field-filters only on
+#   degenerate sub-PQ_K codebooks (_cb_subspace, ADVICE r11) — the two
+#   queries whose Spark plan that changes re-attest this round.  (The
+#   gate_oracle_sql hardening — IGNORECASE + loud-failure guards — is
+#   proven byte-identical on all 175 current oracles, so it touches no
+#   oracle; tests/test_ingest_gate_rewrite.py.)
+# - all 30 names whose latest verdict is r8 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 16 r8-freshness fills (next-oldest cohort, alphabetical; the last 6
-#   of the planned 22 displaced by the touched names).
+# - 18 r9-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
-    # touched this round (degenerate-input robustness fixes)
-    "events_funnel", "events_holt_daily", "dedup_minhash_recall",
-    "agg_variance_corr", "events_zscore_anomaly", "envelope_body_roundtrip",
-    # r7-stale (latest verdict is r7)
-    "events_json_props", "events_sessionize_30m", "events_sliding_10m_5m",
-    "events_window_hourly_by_type", "knn_cosine_topk",
-    "multimodal_decode_features", "multimodal_frame_sample",
-    "multimodal_meta", "multimodal_resize", "pack_docs_nextfit",
-    "pii_mask_events", "profile_table", "scalar_array_funcs",
-    "scalar_conditional_funcs", "scalar_date_funcs", "scalar_string_funcs",
-    "text_bigram_counts", "text_chunk_sliding", "text_doc_frequency",
-    "text_encode_tokens", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_simhash", "text_token_stats",
-    "text_winnowing_fingerprints", "unpivot_order_measures",
-    "window_rank_variants",
-    # r8-freshness fills (next-oldest cohort, alphabetical)
-    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
-    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ann_pq_recall",
-    "ann_two_stage_recall", "anti_join_idle_customers", "dedup_chunk_cdc",
-    "domain_mixture_weights", "embedding_l2_normalize",
-    "embedding_pca_power", "embedding_quantize_int8",
-    "events_conversion_latency", "events_cum_distinct_users",
-    "events_dow_hour_heatmap",
+    # touched this round (PQ codebook positional fast path)
+    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall",
+    # r8-stale (latest verdict is r8)
+    "events_mad_anomaly", "events_resample_15m", "events_rolling_dau_7d",
+    "events_top_paths", "events_transition_counts", "events_user_streaks",
+    "layout_zorder_events", "mixture_sqrt_temperature",
+    "mixture_token_budget", "multimodal_audio_frames",
+    "multimodal_storage_report", "order_fulfillment_latency",
+    "orders_backlog_sweepline", "q10_returned_items", "q6_whatif_grid",
+    "revenue_mom_change", "rfm_segmentation", "sample_stratified_balanced",
+    "sample_topk_per_stratum", "skew_key_report", "text_boilerplate_prefixes",
+    "text_bpe_merges", "text_bpe_vocab", "text_chunk_cdc",
+    "text_gopher_rules", "text_readability", "text_tfidf_topk",
+    "text_token_entropy", "text_unigram_logprob", "window_first_last",
+    # r9-freshness fills (next-oldest cohort, oldest-first)
+    "agg_cube_lineitem", "agg_distinct_by_segment",
+    "agg_grouping_sets_orders", "agg_minmax_by", "ann_lsh_candidate_pairs",
+    "contamination_fuzzy", "curate_documents", "curate_substring_policy",
+    "dedup_cluster_sizes", "dedup_clusters", "dedup_containment",
+    "dedup_cross_source", "dedup_keep_best", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash_hamming1", "dedup_substring_runs",
+    "q11_important_parts",
 )
 
 

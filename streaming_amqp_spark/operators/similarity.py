@@ -1458,6 +1458,26 @@ def _cb_onerow(cb_rows: DataFrame) -> DataFrame:
     )
 
 
+def _cb_subspace(m: int):
+    """Subspace ``m``'s codes out of the broadcast sorted codebook column
+    ``cb``.  On a FULL codebook (PQ_M*PQ_K entries — one code_id set per
+    subspace by construction, see _pq_init_codebook) the (m, code_id)
+    sort puts subspace m exactly at positions [m*PQ_K+1, PQ_K], so the
+    positional slice extracts PQ_K structs; a sub-PQ_K corpus (1-row
+    probe, round 11) falls back to the m-field filter, because there the
+    positional slice crosses subspace boundaries (wrong-dim distances,
+    NULL codes — the silent-wrong-answer class fixed in r11).  Both
+    branches select the IDENTICAL set whenever the codebook is full; the
+    CASE costs one array-length compare per row and keeps the hot path
+    from scanning all PQ_M*PQ_K entries per subspace (ADVICE r11 — the
+    unconditional field filter regressed the kmeans-recall family ~1.6×
+    warm at sf0.1)."""
+    return F.when(
+        F.size("cb") == PQ_M * PQ_K,
+        F.slice(F.col("cb"), m * PQ_K + 1, PQ_K),
+    ).otherwise(F.filter(F.col("cb"), lambda c: c["m"] == F.lit(m)))
+
+
 def _pq_assign(emb: DataFrame, cb_rows: DataFrame) -> DataFrame:
     """Nearest-centroid code per (vector, subspace) against a trained
     codebook: transform scores each code ONCE, array_min's field-wise
@@ -1466,13 +1486,8 @@ def _pq_assign(emb: DataFrame, cb_rows: DataFrame) -> DataFrame:
     wc = emb.crossJoin(F.broadcast(_cb_onerow(cb_rows)))
 
     def best(m: int):
-        # filter by the m FIELD, not slice by position: a positional
-        # slice assumes exactly PQ_K codes per subspace, which silently
-        # breaks (cross-subspace distances, NULL codes) on a corpus with
-        # fewer than PQ_K vectors — 1-row-corpus probe, round 11.  On a
-        # full codebook the sorted array makes both selections identical.
         scored = F.transform(
-            F.filter(F.col("cb"), lambda c: c["m"] == F.lit(m)),
+            _cb_subspace(m),
             lambda c: F.struct(
                 _cvec_l2sq_spark(F.col("embedding"), c["cvec"], m).alias("d"),
                 c["code_id"].alias("k"),
@@ -1643,10 +1658,8 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = q.crossJoin(F.broadcast(_cb_onerow(cb)))
 
     def qdists(m: int):
-        # field-filter, not positional slice — same degenerate-codebook
-        # hazard as _pq_assign.best (see the comment there)
         return F.transform(
-            F.filter(F.col("cb"), lambda c: c["m"] == F.lit(m)),
+            _cb_subspace(m),
             lambda c: F.struct(
                 F.lit(m).cast("long").alias("m"),
                 c["code_id"].alias("code_id"),

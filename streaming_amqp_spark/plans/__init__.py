@@ -4,6 +4,13 @@ Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
 and ``ORACLES: dict[name, str]`` (DuckDB-runnable ANSI SQL over the same
 parquet views).  Column names/aliases match pairwise so the driver's
 order-insensitive value-hash comparison can line them up.
+
+INVARIANT (ADVICE r11): a module-level ``ORACLES`` dict holds the RAW
+oracle SQL — the ingest gates (``tables.ORACLE_INGEST_GATES``) are
+applied once, here in ``collect_registries``.  Every consumer must go
+through ``collect_registries`` (or ``__spark_entry__.oracle_sql()``,
+which wraps it); reading a module's ``ORACLES`` directly yields UNGATED
+SQL that diverges from the engine on malformed input.
 """
 
 from __future__ import annotations

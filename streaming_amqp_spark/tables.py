@@ -61,8 +61,19 @@ _GATE_RE = re.compile(
     r"\b(FROM|JOIN)\s+(embeddings|events)\b"
     r"(?:\s+(?:AS\s+)?"
     r"(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b|HAVING\b|LIMIT\b|UNION\b"
-    r"|LEFT\b|RIGHT\b|INNER\b|CROSS\b|JOIN\b|WINDOW\b|AS\b)"
-    r"([A-Za-z_]\w*))?"
+    r"|LEFT\b|RIGHT\b|INNER\b|CROSS\b|JOIN\b|WINDOW\b|AS\b"
+    r"|FULL\b|NATURAL\b|ASOF\b|SEMI\b|ANTI\b|POSITIONAL\b|LATERAL\b"
+    r"|QUALIFY\b)"
+    r"([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+# loud-failure guards (ADVICE r11): an oracle the rewriter cannot handle
+# must fail at registration, not silently bypass the gate
+_UNGATED_RE = re.compile(r"\b(?:FROM|JOIN)\s+(?:embeddings|events)\b",
+                         re.IGNORECASE)
+_CTE_SHADOW_RE = re.compile(
+    r"(?:\bWITH\b|,)\s*(embeddings|events)\s+AS\s*\(", re.IGNORECASE
 )
 
 
@@ -70,13 +81,39 @@ def gate_oracle_sql(sql: str) -> str:
     """Rewrite every oracle read of a gated table to go through its
     ingest-gate subquery, preserving an explicit alias when one follows
     and re-aliasing to the table name otherwise (bare reads may use
-    table-qualified column refs)."""
+    table-qualified column refs).
+
+    Raises ValueError (at registry collection — import time for the
+    driver contract) when the oracle is one the rewriter cannot handle
+    soundly: a CTE shadowing a gated table name (the rewrite would
+    re-gate the CTE reference against the BASE table), or any
+    ``FROM/JOIN embeddings|events`` read that survives the rewrite
+    outside an injected gate subquery.  A nonconforming future oracle
+    fails loudly here instead of silently diverging only on malformed
+    data (ADVICE r11)."""
+    if _CTE_SHADOW_RE.search(sql):
+        raise ValueError(
+            "oracle defines a CTE named after a gated table "
+            "(embeddings/events); rename the CTE — the ingest-gate "
+            "rewriter cannot distinguish it from the base table"
+        )
 
     def _sub(m: re.Match) -> str:
-        kw, tbl, alias = m.group(1), m.group(2), m.group(3)
+        kw, tbl, alias = m.group(1), m.group(2).lower(), m.group(3)
         return f"{kw} ({ORACLE_INGEST_GATES[tbl]}) {alias or tbl}"
 
-    return _GATE_RE.sub(_sub, sql)
+    out = _GATE_RE.sub(_sub, sql)
+    residue = out
+    for gate in ORACLE_INGEST_GATES.values():
+        residue = residue.replace(gate, "")
+    leftover = _UNGATED_RE.search(residue)
+    if leftover:
+        raise ValueError(
+            f"ungated read survived the ingest-gate rewrite: "
+            f"{leftover.group(0)!r} — extend _GATE_RE rather than "
+            "shipping an oracle that bypasses the gate"
+        )
+    return out
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
