@@ -50,19 +50,22 @@ _MODULES = (
 # query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r8:30 r9:48 r10:47 r11:50).
 # Composition, per VERDICT r11 #1 + the touch-a-query→rotate-it-in rule:
-# - 2 TOUCHED names: the PQ codebook-subspace selection now slices
+# - 3 TOUCHED names: the PQ codebook-subspace selection now slices
 #   positionally when the codebook is full and field-filters only on
 #   degenerate sub-PQ_K codebooks (_cb_subspace, ADVICE r11) — the two
-#   queries whose Spark plan that changes re-attest this round.  (The
-#   gate_oracle_sql hardening — IGNORECASE + loud-failure guards — is
-#   proven byte-identical on all 175 current oracles, so it touches no
-#   oracle; tests/test_ingest_gate_rewrite.py.)
+#   queries whose Spark plan that changes re-attest this round — and
+#   ols_quantity_price, whose slope/r2 now try_divide (the r12
+#   degenerate-sweep tool's constant corpus caught Spark 4 ANSI raising
+#   DIVIDE_BY_ZERO on a zero-variance regressor where DuckDB is NULL).
+#   (The gate_oracle_sql hardening — IGNORECASE + loud-failure guards —
+#   is proven byte-identical on all 175 current oracles, so it touches
+#   no oracle; tests/test_ingest_gate_rewrite.py.)
 # - all 30 names whose latest verdict is r8 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 18 r9-freshness fills (next-oldest cohort, oldest-first order).
+# - 17 r9-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
-    # touched this round (PQ codebook positional fast path)
-    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall",
+    # touched this round (PQ positional fast path; OLS try_divide)
+    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ols_quantity_price",
     # r8-stale (latest verdict is r8)
     "events_mad_anomaly", "events_resample_15m", "events_rolling_dau_7d",
     "events_top_paths", "events_transition_counts", "events_user_streaks",
@@ -82,7 +85,6 @@ _FIRST_50 = (
     "dedup_cluster_sizes", "dedup_clusters", "dedup_containment",
     "dedup_cross_source", "dedup_keep_best", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_hamming1", "dedup_substring_runs",
-    "q11_important_parts",
 )
 
 

@@ -1435,9 +1435,15 @@ def ols_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / varx_n
+    # try_divide: a zero-variance regressor (constant l_quantity in a
+    # brand group — the r12 constant-corpus probe) makes the slope
+    # undefined.  Spark 4 ANSI raises DIVIDE_BY_ZERO even for DOUBLE
+    # division, where DuckDB yields NULL — NULL (propagating into
+    # intercept via slope) matches the oracle on degenerate groups and
+    # is identical to `/` whenever varx > 0.
+    slope = F.try_divide(cov_n, varx_n)
     intercept = (F.col("sy") - slope * F.col("sx")) / n
-    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    r2 = F.try_divide(cov_n * cov_n, varx_n * vary_n)
     # round(9): Σy² at DECIMAL(38,4) scales past 2^53, and the engines'
     # decimal→double casts then differ in the last ulp (Spark rounds the
     # exact decimal, DuckDB divides a rounded int128) — 1e-19 relative,

@@ -276,6 +276,54 @@ def test_touched_queries_match_oracle_on_pathological_text(
 
 
 # ---------------------------------------------------------------------------
+# Constant/skew corpus (the tools/degenerate_sweep.py `constant` shape):
+# each fact table = its FIRST row replicated 100× with the primary key
+# remapped, every other value identical; dimension tables intact — so
+# fact→dim joins SURVIVE total duplication (stricter than the r11
+# session corpus, which replicated dims too and emptied the joins).
+# The r12 first full-matrix run of the tool caught exactly one defect
+# here: ols_quantity_price's slope divided by a zero-variance
+# regressor's varx — Spark 4 ANSI raises DIVIDE_BY_ZERO even for DOUBLE
+# division where DuckDB yields NULL → F.try_divide (NULL slope/r2/
+# intercept on the degenerate group, identical to `/` whenever
+# varx > 0).  Pinned here against the oracle.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def constant_sf_dir(tmp_path_factory) -> str:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.degenerate_sweep import synth_constant
+
+    dst = tmp_path_factory.mktemp("sfconst")
+    synth_constant(SF_DIR, str(dst))
+    return str(dst)
+
+
+def test_ols_null_slope_on_zero_variance_regressor(spark, constant_sf_dir):
+    import __spark_entry__ as entrymod
+
+    from tests.oracle import compare_query
+
+    e = entrymod
+    compare_query(
+        e.queries()["ols_quantity_price"](spark, constant_sf_dir),
+        e.oracle_sql()["ols_quantity_price"],
+        constant_sf_dir,
+    )
+    rows = e.queries()["ols_quantity_price"](
+        spark, constant_sf_dir
+    ).collect()
+    assert len(rows) == 1  # one brand group, n=100, zero variance
+    r = rows[0]
+    assert r.n == 100
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+# ---------------------------------------------------------------------------
 # NULL/NaN/Inf corpus: events.value gets a NULL, a NaN, and an Inf;
 # embeddings get a NULL vector, a vector with a NULL element, and a
 # vector with a NaN element.  This probe motivated the INGEST GATES in

@@ -1,0 +1,319 @@
+"""Degenerate-input verification matrix: five adversarial corpora × the
+full query registry vs the DuckDB oracles — the round-11 campaign
+(PARITY.md §r11-session-2) as ONE resumable, dated command.
+
+A 100 TB pipeline constantly meets the regions no sf-scaled sweep can
+reach: empty partitions / empty days (``empty``), single-element groups
+with broken referential integrity (``one_row``), total duplication and
+one-hot-key skew (``constant``), NULL / unicode / huge-token text
+(``pathological``), and NULL/NaN/Inf metrics and vectors (``nullnan``).
+Each corpus is synthesized deterministically from a source SF dir
+(default sf0.001 — production schemas, smallest tables) and the FULL
+registry is compared engine-vs-oracle on it.
+
+The documented residues — engine-level semantics deliberately NOT
+"fixed" (see tests/test_empty_input.py's module docstring: Spark's
+rollup/cube/grouping-sets over empty input return 0 rows vs the SQL
+standard's grand-total row; DuckDB ``list()`` over an empty group is
+NULL) — are MACHINE-CHECKED here: the sweep passes only when the
+failure set of every corpus equals its expected-residue set exactly, so
+both a new divergence AND a silently-vanished documented residue fail
+loudly.
+
+    python tools/degenerate_sweep.py                    # full matrix
+    python tools/degenerate_sweep.py --corpus empty one_row
+    python tools/degenerate_sweep.py --state /tmp/deg.txt --deadline 500
+
+Exit: 0 = matrix complete and every corpus's failures == its expected
+residues; 1 = any unexpected divergence or missing residue; 2 =
+incomplete (deadline hit — rerun with the same --state until DONE).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_DEFAULT = "/root/testdata/sf0.001"
+DST_DEFAULT = "/tmp/spark_graft_degenerate"
+
+# Tables whose first row is replicated under the constant/skew corpus
+# (PK remapped so keys stay unique; every VALUE identical → one hot
+# user, zero variance at n=REPLICAS, REPLICAS identical docs/vectors).
+_FACT_PK = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+REPLICAS = 100
+
+_PATHOLOGICAL_TEXTS = [  # mirrors tests/test_empty_input.py
+    "",
+    " ",
+    "\n\t  \n",
+    "héllo wörld naïve café",
+    "日本語のテキスト 中文文本 한국어",
+    "emoji 😀🎉 mixed with text",
+    "a" * 5000,
+    "word " * 2000,
+    None,
+    "Tab\tseparated\tand\rcarriage",
+]
+
+# Documented engine-semantic residues per corpus (the machine-checked
+# form of the r11 campaign's prose tallies), as OBSERVED by this tool's
+# first full-matrix run (r12, 2026-08-16).  A sweep FAILS if a corpus's
+# observed failure set differs from this in EITHER direction.
+#
+# NOTE this tool's constant corpus is stricter than the r11 session's:
+# dimension tables stay intact here, so fact→dim joins survive total
+# duplication — which is how the first run caught ols_quantity_price's
+# ANSI DIVIDE_BY_ZERO on a zero-variance regressor (Spark 4 ANSI raises
+# even for DOUBLE division; DuckDB yields NULL; fixed with try_divide),
+# a crash the r11 corpus masked by emptying the join.
+EXPECTED_RESIDUES: dict[str, set[str]] = {
+    # Spark returns 0 rows for rollup/cube/grouping-sets over empty
+    # input (upstream semantic vs the SQL standard's grand-total row
+    # DuckDB emits); DuckDB list() over an empty group is NULL where
+    # Spark collect_list is [] (embedding_pca_power).
+    "empty": {
+        "agg_rollup_region_nation",
+        "agg_cube_lineitem",
+        "agg_grouping_sets_orders",
+        "embedding_pca_power",
+    },
+    # one-row corpus breaks referential integrity: the region⋈nation
+    # join goes empty → the same empty-input rollup semantic (Spark 0
+    # rows, DuckDB the () grand-total row).
+    "one_row": {"agg_rollup_region_nation"},
+    "constant": set(),
+    "pathological": set(),
+    "nullnan": set(),
+}
+
+
+def _copy_others(src: str, dst: str, special: set[str]) -> None:
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet") and f[: -len(".parquet")] not in special:
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+
+
+def synth_empty(src: str, dst: str) -> None:
+    """Zero rows, exact production schemas."""
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        schema = pq.read_schema(os.path.join(src, f))
+        empty = pa.table(
+            {n: pa.array([], type=schema.field(n).type) for n in schema.names}
+        )
+        pq.write_table(empty, os.path.join(dst, f))
+
+
+def synth_one_row(src: str, dst: str) -> None:
+    """Exactly the FIRST row of every table (referential integrity
+    deliberately broken; every group has n = 1)."""
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, f)).slice(0, 1)
+        pq.write_table(t, os.path.join(dst, f))
+
+
+def synth_constant(src: str, dst: str) -> None:
+    """Each fact table = its first row replicated REPLICAS× with the
+    primary key remapped 0..REPLICAS-1 and every other value identical
+    (total duplication, one hot key, zero variance); dimension tables
+    copied unchanged."""
+    _copy_others(src, dst, set(_FACT_PK))
+    for name, pk in _FACT_PK.items():
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        one = t.slice(0, 1)
+        rep = pa.concat_tables([one] * REPLICAS)
+        ids = pa.array(range(REPLICAS), type=t.schema.field(pk).type)
+        rep = rep.set_column(t.schema.get_field_index(pk), pk, ids)
+        pq.write_table(rep, os.path.join(dst, f"{name}.parquet"))
+
+
+def synth_pathological(src: str, dst: str) -> None:
+    """documents with the first rows replaced by empty / whitespace /
+    CJK / emoji / huge-token / NULL texts."""
+    _copy_others(src, dst, {"documents"})
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    df = t.to_pandas()
+    for i, txt in enumerate(_PATHOLOGICAL_TEXTS):
+        df.loc[i, "text"] = txt
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "documents.parquet"),
+    )
+
+
+def synth_nullnan(src: str, dst: str) -> None:
+    """events.value gets NULL/NaN/Inf; embeddings get a NULL vector, a
+    NULL element, and a NaN element — the corpus the tables.py ingest
+    gates exist for."""
+    _copy_others(src, dst, {"events", "embeddings"})
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    df = t.to_pandas()
+    df.loc[0, "value"] = None
+    df.loc[1, "value"] = float("nan")
+    df.loc[2, "value"] = float("inf")
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "events.parquet"),
+    )
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    df = t.to_pandas()
+    df.at[0, "embedding"] = None
+    v = list(df.at[1, "embedding"])
+    v[3] = None
+    df.at[1, "embedding"] = v
+    w = list(df.at[2, "embedding"])
+    w[5] = float("nan")
+    df.at[2, "embedding"] = w
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "embeddings.parquet"),
+    )
+
+
+SYNTH = {
+    "empty": synth_empty,
+    "one_row": synth_one_row,
+    "constant": synth_constant,
+    "pathological": synth_pathological,
+    "nullnan": synth_nullnan,
+}
+
+# bump when any synthesizer changes: stale corpora rebuild instead of
+# resuming against old data (the oracle_sweep _DONE-marker discipline)
+_SYNTH_VERSION = "deg-v1"
+
+
+def ensure_corpus(name: str, src: str, base: str) -> str:
+    dst = os.path.join(base, name)
+    marker = os.path.join(dst, "_DONE")
+    want = f"{_SYNTH_VERSION}|src={src}"
+    if os.path.exists(marker) and open(marker).read().strip() == want:
+        return dst
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    SYNTH[name](src, dst)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return dst
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument("--base", default=DST_DEFAULT)
+    ap.add_argument("--corpus", nargs="*", choices=sorted(SYNTH),
+                    help="subset of corpora (default: all five)")
+    ap.add_argument("--state", default=None, help="resume file")
+    ap.add_argument("--deadline", type=float, default=None,
+                    help="stop starting new comparisons after N seconds")
+    args = ap.parse_args()
+
+    corpora = args.corpus or sorted(SYNTH)
+    header = f"#degenerate|{_SYNTH_VERSION}|src={args.src}"
+    done: set[str] = set()
+    if args.state and os.path.exists(args.state):
+        lines = [l.strip() for l in open(args.state) if l.strip()]
+        got = next((l for l in lines if l.startswith("#degenerate")), None)
+        if got != header:
+            print(f"REFUSED: state file header {got!r} != {header!r} — "
+                  "it was produced for different corpora; delete it")
+            return 1
+        done = {l for l in lines if not l.startswith("#")}
+    elif args.state:
+        with open(args.state, "w") as fh:
+            fh.write(header + "\n")
+
+    sys.path.insert(0, REPO)
+    from streaming_amqp_spark.session import get_spark
+    from streaming_amqp_spark.tables import clear_shared_cache
+
+    spark = get_spark("degenerate-sweep")
+    import __spark_entry__ as e
+    from tests.oracle import compare_query
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = sorted(osql)
+    t_start = time.time()
+    unexpected: list[str] = []
+    missing_residue: list[str] = []
+    incomplete = False
+    for corpus in corpora:
+        sf_dir = ensure_corpus(corpus, args.src, args.base)
+        expected = EXPECTED_RESIDUES[corpus]
+        observed_fail: set[str] = set()
+        n_run = 0
+        # a fresh corpus invalidates shared caches keyed on sf_dir paths
+        # only by path — same path, new data after a version bump
+        clear_shared_cache(spark)
+        for name in names:
+            key = f"{corpus}:{name}"
+            if key in done:
+                continue
+            if args.deadline and time.time() - t_start > args.deadline:
+                incomplete = True
+                break
+            t0 = time.time()
+            try:
+                compare_query(qs[name](spark, sf_dir), osql[name], sf_dir)
+                verdict = "OK  "
+            except Exception as ex:
+                observed_fail.add(name)
+                verdict = "FAIL" if name not in expected else "RESID"
+                if name not in expected:
+                    unexpected.append(key)
+                    print(f"FAIL {key} {str(ex)[:240]}", flush=True)
+            n_run += 1
+            if verdict != "FAIL":
+                print(f"{verdict} {key} {time.time() - t0:.1f}s", flush=True)
+                if args.state:
+                    with open(args.state, "a") as fh:
+                        fh.write(key + "\n")
+        if incomplete:
+            left = sum(1 for n in names if f"{corpus}:{n}" not in done)
+            print(f"DEADLINE: stopping in corpus {corpus} "
+                  f"({left} names unfinished)", flush=True)
+            break
+        # residue check only when the WHOLE corpus ran fresh this
+        # invocation (a resumed corpus's earlier fails aren't replayed,
+        # so only the expected-but-green direction is checkable there)
+        if n_run == len(names):
+            gone = expected - observed_fail
+            if gone:
+                missing_residue.extend(f"{corpus}:{n}" for n in sorted(gone))
+                print(f"RESIDUE-GONE {corpus}: {sorted(gone)} — documented "
+                      "divergence no longer reproduces; update "
+                      "EXPECTED_RESIDUES + the docs", flush=True)
+        green = len(names) - len(observed_fail)
+        print(f"CORPUS {corpus}: {green}/{len(names)} green, "
+              f"residues {sorted(observed_fail & expected)}", flush=True)
+    if unexpected or missing_residue:
+        print("UNEXPECTED", unexpected)
+        print("MISSING_RESIDUE", missing_residue)
+        return 1
+    if incomplete:
+        return 2
+    print(f"DONE: matrix green across {corpora} "
+          f"(residues exactly as documented)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
