@@ -103,3 +103,69 @@ class TestOracleViewRegistration:
         os.makedirs(tbl)  # directory exists, zero part files
         with pytest.raises(FileNotFoundError, match="no part files"):
             run_oracle("SELECT 1", sf)
+
+
+class TestDegenerateSweepHarness:
+    """tools/degenerate_sweep.py guard + synthesizer pins (no Spark):
+    the degenerate matrix only attests something if the corpora carry
+    the shapes the campaign defined and a stale resume file is refused."""
+
+    def test_expected_residues_cover_exactly_the_corpora(self):
+        from degenerate_sweep import EXPECTED_RESIDUES, SYNTH
+
+        assert set(EXPECTED_RESIDUES) == set(SYNTH)
+
+    def test_synth_empty_zero_rows_production_schemas(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from degenerate_sweep import synth_empty
+
+        synth_empty(SF001, str(tmp_path))
+        for f in os.listdir(SF001):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(str(tmp_path / f))
+            assert t.num_rows == 0
+            assert t.schema.names == pq.read_schema(
+                os.path.join(SF001, f)
+            ).names
+
+    def test_synth_constant_replicates_with_unique_pks(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from degenerate_sweep import _FACT_PK, REPLICAS, synth_constant
+
+        synth_constant(SF001, str(tmp_path))
+        for name, pk in _FACT_PK.items():
+            t = pq.read_table(str(tmp_path / f"{name}.parquet"))
+            assert t.num_rows == REPLICAS
+            keys = t.column(pk).to_pylist()
+            assert len(set(keys)) == REPLICAS  # remapped, unique
+            # every NON-key column is one constant value (or NULL)
+            for col in t.schema.names:
+                if col == pk:
+                    continue
+                vals = t.column(col).to_pylist()
+                first = vals[0]
+                assert all(v == first for v in vals), (name, col)
+        # dimension tables untouched
+        dims = pq.read_table(str(tmp_path / "region.parquet"))
+        assert dims.num_rows == pq.read_table(
+            os.path.join(SF001, "region.parquet")
+        ).num_rows
+
+    def test_ensure_corpus_rebuilds_on_version_change(self, tmp_path):
+        import degenerate_sweep as ds
+
+        base = str(tmp_path)
+        d1 = ds.ensure_corpus("empty", SF001, base)
+        marker = os.path.join(d1, "_DONE")
+        assert os.path.exists(marker)
+        # stale marker (old synth version) must force a rebuild
+        with open(marker, "w") as fh:
+            fh.write("deg-v0|src=" + SF001)
+        stale_stat = os.stat(marker).st_mtime_ns
+        d2 = ds.ensure_corpus("empty", SF001, base)
+        assert d2 == d1
+        assert open(marker).read().startswith(ds._SYNTH_VERSION)
+        assert os.stat(marker).st_mtime_ns != stale_stat
