@@ -50,22 +50,30 @@ _MODULES = (
 # query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r8:30 r9:48 r10:47 r11:50).
 # Composition, per VERDICT r11 #1 + the touch-a-query→rotate-it-in rule:
-# - 3 TOUCHED names: the PQ codebook-subspace selection now slices
-#   positionally when the codebook is full and field-filters only on
-#   degenerate sub-PQ_K codebooks (_cb_subspace, ADVICE r11) — the two
-#   queries whose Spark plan that changes re-attest this round — and
-#   ols_quantity_price, whose slope/r2 now try_divide (the r12
-#   degenerate-sweep tool's constant corpus caught Spark 4 ANSI raising
-#   DIVIDE_BY_ZERO on a zero-variance regressor where DuckDB is NULL).
-#   (The gate_oracle_sql hardening — IGNORECASE + loud-failure guards —
-#   is proven byte-identical on all 175 current oracles, so it touches
-#   no oracle; tests/test_ingest_gate_rewrite.py.)
+# - 7 TOUCHED names (+1 already in the r8 cohort): the PQ codebook-subspace selection now slices
+#   positionally when the codebook is full (_cb_subspace, ADVICE r11) —
+#   ann_pq_kmeans_codebook/recall re-attest — plus the r12
+#   degenerate-sweep findings: ols_quantity_price (try_divide on a
+#   zero-variance regressor, constant corpus) and the extreme-corpus
+#   fixes — agg_variance_corr / events_zscore_anomaly (try_cast on the
+#   second-moment BIGINT hop instead of CAST_OVERFLOW) and
+#   q1_pricing_summary / q6_forecast_revenue / q6_whatif_grid (oracle
+#   multiplies widened to DECIMAL(28,2), value-identical, so DuckDB's
+#   int64 decimal multiply cannot overflow on extreme money).
+#   (The gate_oracle_sql hardening is proven byte-identical on all 175
+#   oracles; the events-gate DOMAIN extension rewrites every events
+#   oracle via the same single mechanism as r11's gates — result-
+#   neutrality at driver scales proven by the full sf0.01/sf0.1 sweeps,
+#   the r11 precedent for not rotating every events name.)
 # - all 30 names whose latest verdict is r8 — the oldest evidence in the
 #   project (`tools/freshness.py --suggest`).
-# - 17 r9-freshness fills (next-oldest cohort, oldest-first order).
+# - 13 r9-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
-    # touched this round (PQ positional fast path; OLS try_divide)
+    # touched this round (PQ fast path; degenerate/extreme-corpus fixes;
+    # q6_whatif_grid is also touched but already sits in the r8 cohort)
     "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ols_quantity_price",
+    "agg_variance_corr", "events_zscore_anomaly", "q1_pricing_summary",
+    "q6_forecast_revenue",
     # r8-stale (latest verdict is r8)
     "events_mad_anomaly", "events_resample_15m", "events_rolling_dau_7d",
     "events_top_paths", "events_transition_counts", "events_user_streaks",
@@ -83,8 +91,7 @@ _FIRST_50 = (
     "agg_grouping_sets_orders", "agg_minmax_by", "ann_lsh_candidate_pairs",
     "contamination_fuzzy", "curate_documents", "curate_substring_policy",
     "dedup_cluster_sizes", "dedup_clusters", "dedup_containment",
-    "dedup_cross_source", "dedup_keep_best", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash_hamming1", "dedup_substring_runs",
+    "dedup_cross_source", "dedup_keep_best",
 )
 
 

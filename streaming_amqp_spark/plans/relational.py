@@ -37,7 +37,11 @@ def _revenue_term() -> F.Column:
 
 
 _REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    # DECIMAL(28,2): value-identical to the 18,2 cast, but forces
+    # DuckDB's multiply onto the int128 path — with extreme-but-valid
+    # money values the 18,2×(1±d) product otherwise overflows DuckDB's
+    # int64 decimal multiply mid-query (r12 extreme-corpus probe)
+    "CAST(l_extendedprice AS DECIMAL(28,2))"
     " * (1 - CAST(l_discount AS DECIMAL(8,2)))"
 )
 
@@ -188,8 +192,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6_SQL = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+                * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -260,8 +264,8 @@ def _whatif_sql() -> str:
             )
             aggs.append(
                 f"CAST(sum(CASE WHEN {cond} THEN"
-                " CAST(l_extendedprice AS DECIMAL(18,2))"
-                " * CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)"
+                " CAST(l_extendedprice AS DECIMAL(28,2))"
+                " * CAST(l_discount AS DECIMAL(8,2)) END) AS DOUBLE)"
                 f" AS rev_{bi}_{ci}"
             )
             aggs.append(
@@ -1463,14 +1467,14 @@ WITH m AS (
   SELECT p_brand, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
-                       * CAST(l_extendedprice AS DECIMAL(18,2))
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,2))
+                       * CAST(l_extendedprice AS DECIMAL(28,2))
                        AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
-                       * CAST(l_quantity AS DECIMAL(18,2))
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(28,2))
+                       * CAST(l_quantity AS DECIMAL(28,2))
                        AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(l_extendedprice AS DECIMAL(18,2))
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2))
+                       * CAST(l_extendedprice AS DECIMAL(28,2))
                        AS DECIMAL(38,4))) AS DOUBLE) AS syy
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand

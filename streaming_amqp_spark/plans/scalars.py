@@ -242,10 +242,17 @@ def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum(y).cast("double")
     # second moments overflow 2^53 after decimal scaling, where decimal→
     # double conversion double-rounds differently across engines; rounding
-    # to an integer BIGINT first makes the conversion exact in both
-    sxx = F.round(F.sum(x * x), 0).cast("long").cast("double")
-    syy = F.round(F.sum(y * y), 0).cast("long").cast("double")
-    sxy = F.round(F.sum(x * y), 0).cast("long").cast("double")
+    # to an integer BIGINT first makes the conversion exact in both.
+    # try_cast (mirrored as TRY_CAST in the oracle): a moment beyond
+    # BIGINT's 9.2e18 is outside the exact-moment convention's domain —
+    # the statistics read NULL there instead of CAST_OVERFLOW killing
+    # the job (r12 extreme-corpus probe).  At a true-100TB row count a
+    # production pipeline would switch to var_samp/corr (order-dependent
+    # doubles) — this query's contract is exact-and-verifiable, and the
+    # NULL marks where that contract ends.
+    sxx = F.round(F.sum(x * x), 0).try_cast("long").cast("double")
+    syy = F.round(F.sum(y * y), 0).try_cast("long").cast("double")
+    sxy = F.round(F.sum(x * y), 0).try_cast("long").cast("double")
     grouped = li.groupBy("l_returnflag").agg(
         n.alias("n"), sx.alias("sx"), sy.alias("sy"),
         sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
@@ -288,14 +295,14 @@ WITH m AS (
          CAST(count(*) AS DOUBLE) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT)
+         CAST(TRY_CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+                  * CAST(l_extendedprice AS DECIMAL(28,2))), 0) AS BIGINT)
               AS DOUBLE) AS sxx,
-         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))
-                  * CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT)
+         CAST(TRY_CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))
+                  * CAST(l_quantity AS DECIMAL(28,2))), 0) AS BIGINT)
               AS DOUBLE) AS syy,
-         CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_quantity AS DECIMAL(18,2))), 0) AS BIGINT)
+         CAST(TRY_CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))
+                  * CAST(l_quantity AS DECIMAL(28,2))), 0) AS BIGINT)
               AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )

@@ -255,10 +255,14 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  Scale: one agg shuffle for the 5-row per-type stats,
     broadcast back onto the scan — the flagging pass is map-side."""
     ev = _t(spark, sf_dir, "events")
+    # the ingest gate (tables.EVENTS_VALUE_DOMAIN) guarantees |value| <
+    # 1e12, so this cast cannot overflow; try_cast on the second-moment
+    # BIGINT hop marks where the exact-moment convention's domain ends
+    # (see agg_variance_corr) instead of CAST_OVERFLOW killing the job
     v = F.col("value").cast("decimal(18,6)")
     n = F.count("*").cast("double")
     s1 = F.sum(v).cast("double")
-    s2 = F.round(F.sum(v * v), 0).cast("long").cast("double")
+    s2 = F.round(F.sum(v * v), 0).try_cast("long").cast("double")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         (s1 / n).alias("mean_value"),
@@ -302,7 +306,7 @@ WITH stats0 AS (
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS mean_value,
-         (CAST(CAST(round(sum(CAST(value AS DECIMAL(18,6))
+         (CAST(TRY_CAST(round(sum(CAST(value AS DECIMAL(18,6))
                       * CAST(value AS DECIMAL(18,6))), 0) AS BIGINT) AS DOUBLE)
           - CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
             * CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)

@@ -39,11 +39,18 @@ EMBEDDING_DIMS = 64
 #   contains a NULL/NaN/Inf element is INVALID and excluded from index,
 #   queries, and training (the standard ANN ingest gate).  Unguarded,
 #   such vectors poisoned every distance fold differently per engine.
-# - events.value: a NaN/Inf metric value is treated as MISSING (NULL) —
-#   the row keeps counting for sessionization/windows, but the metric
-#   drops out of aggregates.  Unguarded, the exact-DECIMAL aggregation
-#   convention is undefined there: Spark's decimal cast silently maps
-#   non-finite to NULL while DuckDB errors on the cast.
+# - events.value: a NaN/Inf metric value, or one whose magnitude lies
+#   outside the exact-DECIMAL(18,6) aggregation domain (|v| >= 1e12 —
+#   the narrowest decimal view any query takes of the metric), is
+#   treated as MISSING (NULL) — the row keeps counting for
+#   sessionization/windows, but the metric drops out of aggregates.
+#   Unguarded, the exact-DECIMAL convention is undefined there: Spark's
+#   decimal cast silently maps non-finite to NULL while DuckDB errors
+#   on the cast, and an in-range-double but out-of-DECIMAL(18,6) value
+#   (the r12 extreme-corpus probe: a 1e12 telemetry counter) crashes
+#   BOTH engines' casts with NUMERIC_VALUE_OUT_OF_RANGE mid-job.
+EVENTS_VALUE_DOMAIN = 1e12  # DECIMAL(18,6): 12 integer digits
+
 ORACLE_INGEST_GATES: dict[str, str] = {
     "embeddings": (
         "SELECT * FROM embeddings WHERE embedding IS NOT NULL"
@@ -52,7 +59,8 @@ ORACLE_INGEST_GATES: dict[str, str] = {
         " x -> x IS NULL OR NOT isfinite(x))) = 0"
     ),
     "events": (
-        "SELECT * REPLACE (CASE WHEN value IS NULL OR isfinite(value)"
+        "SELECT * REPLACE (CASE WHEN value IS NULL OR (isfinite(value)"
+        f" AND abs(value) < {EVENTS_VALUE_DOMAIN!r})"
         " THEN value END AS value) FROM events"
     ),
 }
@@ -158,10 +166,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"events.ts: unexpected parquet dtype {ts_type!r}; expected "
                 "bigint (legacy nanos), timestamp_ntz, or timestamp"
             )
-        # ingest gate (see ORACLE_INGEST_GATES): non-finite metric -> NULL
+        # ingest gate (see ORACLE_INGEST_GATES): non-finite or
+        # out-of-DECIMAL(18,6)-domain metric -> NULL
         v = F.col("value")
-        finite = ~(F.isnan(v) | (F.abs(v) == F.lit(float("inf"))))
-        df = df.withColumn("value", F.when(v.isNull() | finite, v))
+        in_domain = ~F.isnan(v) & (F.abs(v) < F.lit(EVENTS_VALUE_DOMAIN))
+        df = df.withColumn("value", F.when(v.isNull() | in_domain, v))
     elif name == "embeddings":
         # ingest gate (see ORACLE_INGEST_GATES): malformed vectors are
         # excluded from index, queries, and training

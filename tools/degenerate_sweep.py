@@ -1,12 +1,15 @@
-"""Degenerate-input verification matrix: five adversarial corpora × the
+"""Degenerate-input verification matrix: six adversarial corpora × the
 full query registry vs the DuckDB oracles — the round-11 campaign
-(PARITY.md §r11-session-2) as ONE resumable, dated command.
+(PARITY.md §r11-session-2) as ONE resumable, dated command, extended
+with the r12 ``extreme`` corpus.
 
 A 100 TB pipeline constantly meets the regions no sf-scaled sweep can
 reach: empty partitions / empty days (``empty``), single-element groups
 with broken referential integrity (``one_row``), total duplication and
 one-hot-key skew (``constant``), NULL / unicode / huge-token text
-(``pathological``), and NULL/NaN/Inf metrics and vectors (``nullnan``).
+(``pathological``), NULL/NaN/Inf metrics and vectors (``nullnan``), and
+extreme-but-valid magnitudes at the exact-DECIMAL conventions' domain
+edge (``extreme``).
 Each corpus is synthesized deterministically from a source SF dir
 (default sf0.001 — production schemas, smallest tables) and the FULL
 registry is compared engine-vs-oracle on it.
@@ -98,6 +101,20 @@ EXPECTED_RESIDUES: dict[str, set[str]] = {
     "constant": set(),
     "pathological": set(),
     "nullnan": set(),
+    # extreme corpus: money sums whose scaled integers exceed 2^53 leave
+    # the exact-money domain — decimal↔double conversion then diverges
+    # in the final ulp across engines (the documented boundary the
+    # round(9)/BIGINT-hop conventions are engineered to stay inside).
+    # Every residue here is a value-epsilon on a $100T-scale sum, never
+    # a crash; the four extreme-corpus CRASHES found in r12 (Spark ANSI
+    # CAST_OVERFLOW ×2, DuckDB int64-decimal-multiply overflow ×2) are
+    # FIXED, not documented.
+    "extreme": {
+        "agg_grouping_sets_orders",
+        "orders_cohort_ltv",
+        "q1_pricing_summary",
+        "window_running_revenue",
+    },
 }
 
 
@@ -187,17 +204,58 @@ def synth_nullnan(src: str, dst: str) -> None:
     )
 
 
+def synth_extreme(src: str, dst: str) -> None:
+    """Production-plausible extreme magnitudes: money near the
+    DECIMAL(18,2) upper range, boundary discounts/taxes, a 1e6
+    quantity, and ±1e12 / 1e-9 metric values — the corpus that stresses
+    the exact-DECIMAL conventions' DOMAIN (r12: caught two engine
+    crashes and two DuckDB int64-decimal-multiply overflows)."""
+    _copy_others(src, dst, {"lineitem", "orders", "events"})
+    t = pq.read_table(os.path.join(src, "lineitem.parquet"))
+    df = t.to_pandas()
+    df.loc[0, "l_extendedprice"] = 99999999999999.99
+    df.loc[1, "l_extendedprice"] = 0.01
+    df.loc[2, "l_extendedprice"] = 12345678901234.56
+    df.loc[0, "l_quantity"] = 1000000.0
+    df.loc[1, "l_quantity"] = 0.0
+    df.loc[0, "l_discount"] = 0.99
+    df.loc[1, "l_discount"] = 0.0
+    df.loc[0, "l_tax"] = 0.99
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "lineitem.parquet"),
+    )
+    t = pq.read_table(os.path.join(src, "orders.parquet"))
+    df = t.to_pandas()
+    df.loc[0, "o_totalprice"] = 99999999999999.99
+    df.loc[1, "o_totalprice"] = 0.01
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "orders.parquet"),
+    )
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    df = t.to_pandas()
+    df.loc[0, "value"] = 1e12  # at the ingest gate's domain bound
+    df.loc[1, "value"] = -1e12
+    df.loc[2, "value"] = 1e-9
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "events.parquet"),
+    )
+
+
 SYNTH = {
     "empty": synth_empty,
     "one_row": synth_one_row,
     "constant": synth_constant,
     "pathological": synth_pathological,
     "nullnan": synth_nullnan,
+    "extreme": synth_extreme,
 }
 
 # bump when any synthesizer changes: stale corpora rebuild instead of
 # resuming against old data (the oracle_sweep _DONE-marker discipline)
-_SYNTH_VERSION = "deg-v1"
+_SYNTH_VERSION = "deg-v2"
 
 
 def ensure_corpus(name: str, src: str, base: str) -> str:
