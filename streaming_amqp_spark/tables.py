@@ -81,7 +81,9 @@ _GATE_RE = re.compile(
 _UNGATED_RE = re.compile(r"\b(?:FROM|JOIN)\s+(?:embeddings|events)\b",
                          re.IGNORECASE)
 _CTE_SHADOW_RE = re.compile(
-    r"(?:\bWITH\b|,)\s*(embeddings|events)\s+AS\s*\(", re.IGNORECASE
+    r"(?:\bWITH\b(?:\s+RECURSIVE\b)?|,)\s*(embeddings|events)"
+    r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+    re.IGNORECASE,
 )
 
 

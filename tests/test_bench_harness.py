@@ -156,3 +156,54 @@ def test_slope_denominator_measured_at_synthesis_base(harness, monkeypatch):
     bench._sf1_spot(None, queries, {}, deadline_ts=None)
     assert seen_bases == ["/custom/sfX"]
     assert {d for _, d in calls} == {"/custom/sfX", "/fake-sf1"}
+
+
+# ---------------------------------------------------------------- probe_best
+
+
+def test_probe_best_two_clean_successes_skip_third():
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return 50_000.0
+
+    failed = {}
+    assert bench.probe_best(fn, "k", 25_000, failed) == 50_000.0
+    assert len(calls) == 2  # two plausible readings, third skipped
+    assert failed == {}
+
+
+def test_probe_best_exception_does_not_count_toward_quota():
+    # ADVICE r12: success + raise must NOT satisfy the two-run rule —
+    # a third attempt is owed so the record is a true best-of-2.
+    seq = iter([60_000.0, RuntimeError("boom"), 55_000.0])
+
+    def fn():
+        v = next(seq)
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+    failed = {}
+    assert bench.probe_best(fn, "k", 25_000, failed) == 60_000.0
+    # all three attempts consumed (the iterator is exhausted)
+    assert next(seq, "done") == "done"
+    # the later success supersedes the failure record (ADVICE r5)
+    assert failed == {}
+
+
+def test_probe_best_below_floor_takes_third_attempt():
+    seq = iter([1_000.0, 2_000.0, 90_000.0])
+    failed = {}
+    assert bench.probe_best(lambda: next(seq), "k", 25_000, failed) == 90_000.0
+    assert next(seq, "done") == "done"
+
+
+def test_probe_best_all_raise_records_failure_and_returns_none():
+    def fn():
+        raise RuntimeError("dead broker")
+
+    failed = {}
+    assert bench.probe_best(fn, "k", 25_000, failed) is None
+    assert "dead broker" in failed["k"]

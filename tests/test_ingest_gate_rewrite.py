@@ -65,6 +65,20 @@ def test_cte_shadowing_gated_table_raises():
             "WITH a AS (SELECT 1), embeddings AS (SELECT 2) "
             "SELECT * FROM embeddings"
         )
+    # ADVICE r12: column-list and RECURSIVE spellings must also be caught
+    with pytest.raises(ValueError, match="CTE"):
+        gate_oracle_sql(
+            "WITH events(v) AS (SELECT 1) SELECT * FROM events"
+        )
+    with pytest.raises(ValueError, match="CTE"):
+        gate_oracle_sql(
+            "WITH RECURSIVE events AS (SELECT 1 AS v) SELECT * FROM events"
+        )
+    with pytest.raises(ValueError, match="CTE"):
+        gate_oracle_sql(
+            "WITH RECURSIVE embeddings(id, e) AS (SELECT 1, 2) "
+            "SELECT * FROM embeddings"
+        )
 
 
 def test_ungated_residue_raises(monkeypatch):

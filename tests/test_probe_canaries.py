@@ -1,0 +1,114 @@
+"""Negative controls for the r13 verification axes (the sweeps must be
+able to FAIL, or a green matrix attests nothing).
+
+Both tools passed 175/175 on their first full-registry run, so each
+gets a canary here: a deliberately NON-conforming query shape that the
+probe's corpus provably detects.  If a refactor ever blunts the corpus
+(permutation lost in a rewrite, texts ASCII-folded by an encoding bug),
+the canary goes green-on-green and this file fails loudly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from degenerate_sweep import _UNICODE_TEXTS, synth_unicode  # noqa: E402
+from roworder_sweep import synth_permuted  # noqa: E402
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_permuted_twin_moves_the_first_row(tmp_path):
+    synth_permuted(SF001, str(tmp_path))
+    src = pq.read_table(os.path.join(SF001, "documents.parquet"))
+    twin = pq.read_table(str(tmp_path / "documents.parquet"))
+    assert src.num_rows == twin.num_rows
+    assert sorted(src.column("doc_id").to_pylist()) == sorted(
+        twin.column("doc_id").to_pylist()
+    )  # same rows...
+    assert (
+        src.column("doc_id").to_pylist()[:20]
+        != twin.column("doc_id").to_pylist()[:20]
+    )  # ...different arrival order
+    # and the row groups are re-cut, so split boundaries move too
+    assert (
+        pq.ParquetFile(str(tmp_path / "documents.parquet")).num_row_groups
+        >= 7
+    )
+
+
+def test_roworder_probe_detects_first_without_ordering(spark, tmp_path):
+    """The canary: F.first over an unordered scan is exactly the
+    order-sensitive shape the sweep exists to catch — it MUST give a
+    different answer on the permuted twin.  (Engine convention: every
+    first/min_by-style pick in the registry carries a total order.)"""
+    synth_permuted(SF001, str(tmp_path))
+    pick = lambda d: (  # noqa: E731
+        spark.read.parquet(os.path.join(d, "documents.parquet"))
+        .agg(F.first("doc_id").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert pick(SF001) != pick(str(tmp_path))
+    # while an order-INSENSITIVE aggregate is invariant (the sweep's
+    # green rows are meaningful, not vacuous)
+    cnt = lambda d: (  # noqa: E731
+        spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+    )
+    assert cnt(SF001) == cnt(str(tmp_path))
+
+
+def test_unicode_corpus_detects_case_mapping_divergence(spark, tmp_path):
+    """The canary: Java/Spark case maps with full mappings (ß→SS,
+    ﬁ→FI, İ→i+̇ ) where DuckDB/utf8proc maps per-codepoint — so ANY
+    registry query that case-folded raw document text would hash-split
+    the engines on this corpus.  The 175/175 green run is therefore a
+    real property (case mapping only ever touches controlled-ASCII
+    dimension columns), not a blind spot."""
+    synth_unicode(SF001, str(tmp_path))
+    doc = str(tmp_path / "documents.parquet")
+    spark_up = {
+        r["doc_id"]: r["u"]
+        for r in spark.read.parquet(doc)
+        .select("doc_id", F.upper("text").alias("u"))
+        .limit(50)
+        .collect()
+    }
+    duck_up = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, upper(text) FROM read_parquet(?) LIMIT 50",
+            [doc],
+        )
+        .fetchall()
+    )
+    diverged = {
+        k
+        for k in spark_up
+        if k in duck_up and spark_up[k] != duck_up[k]
+    }
+    assert diverged, "corpus lost its case-expansion rows"
+
+
+def test_unicode_corpus_texts_survive_spark_roundtrip(spark, tmp_path):
+    # the probe is only as sharp as what Spark actually reads back
+    synth_unicode(SF001, str(tmp_path))
+    got = {
+        r["text"]
+        for r in spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select("text")
+        .collect()
+    }
+    missing = [t for t in _UNICODE_TEXTS if t not in got]
+    assert not missing, missing
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -169,3 +169,31 @@ class TestDegenerateSweepHarness:
         assert d2 == d1
         assert open(marker).read().startswith(ds._SYNTH_VERSION)
         assert os.stat(marker).st_mtime_ns != stale_stat
+
+    def test_synth_unicode_carries_each_encoding_class(self, tmp_path):
+        import unicodedata
+
+        import pyarrow.parquet as pq
+
+        from degenerate_sweep import _UNICODE_TEXTS, synth_unicode
+
+        synth_unicode(SF001, str(tmp_path))
+        t = pq.read_table(str(tmp_path / "documents.parquet"))
+        assert t.schema.names == pq.read_schema(
+            os.path.join(SF001, "documents.parquet")
+        ).names
+        texts = t.column("text").to_pylist()[: len(_UNICODE_TEXTS)]
+        assert texts == _UNICODE_TEXTS  # survived the parquet round-trip
+        joined = "".join(texts)
+        # each encoding-edge class the corpus exists for is present:
+        # NFC≠NFD pair, NBSP-class whitespace, zero-width/format
+        # controls, astral plane, combining-mark-leading, RTL, raw
+        # control chars, replacement char
+        nfc_row = texts[0]
+        assert unicodedata.normalize("NFC", nfc_row) != nfc_row  # NFD half
+        assert " " in joined and "　" in joined
+        assert {"​", "‌", "‍", "﻿"} <= set(joined)
+        assert any(ord(c) > 0xFFFF for c in joined)  # astral
+        assert unicodedata.combining(texts[8][0])  # leading combining
+        assert any("֐" <= c <= "ۿ" for c in joined)  # RTL
+        assert "\x01" in joined and "�" in joined

@@ -1,15 +1,18 @@
-"""Degenerate-input verification matrix: six adversarial corpora × the
-full query registry vs the DuckDB oracles — the round-11 campaign
+"""Degenerate-input verification matrix: seven adversarial corpora ×
+the full query registry vs the DuckDB oracles — the round-11 campaign
 (PARITY.md §r11-session-2) as ONE resumable, dated command, extended
-with the r12 ``extreme`` corpus.
+with the r12 ``extreme`` and r13 ``unicode`` corpora.
 
 A 100 TB pipeline constantly meets the regions no sf-scaled sweep can
 reach: empty partitions / empty days (``empty``), single-element groups
 with broken referential integrity (``one_row``), total duplication and
 one-hot-key skew (``constant``), NULL / unicode / huge-token text
-(``pathological``), NULL/NaN/Inf metrics and vectors (``nullnan``), and
+(``pathological``), NULL/NaN/Inf metrics and vectors (``nullnan``),
 extreme-but-valid magnitudes at the exact-DECIMAL conventions' domain
-edge (``extreme``).
+edge (``extreme``), and encoding-edge text — combining marks, astral
+plane, zero-width/format controls, NBSP-class whitespace, confusables,
+case-folding edges — where the two engines' unicode semantics can
+legitimately differ (``unicode``).
 Each corpus is synthesized deterministically from a source SF dir
 (default sf0.001 — production schemas, smallest tables) and the FULL
 registry is compared engine-vs-oracle on it.
@@ -115,6 +118,9 @@ EXPECTED_RESIDUES: dict[str, set[str]] = {
         "q1_pricing_summary",
         "window_running_revenue",
     },
+    # unicode corpus residues are filled from the first observed run
+    # (r13) — see the per-name comments.
+    "unicode": set(),
 }
 
 
@@ -204,6 +210,46 @@ def synth_nullnan(src: str, dst: str) -> None:
     )
 
 
+# Encoding-edge texts (r13): each row targets a DISTINCT unicode
+# failure class.  All are valid UTF-8 (parquet requires it); the axis
+# being probed is where Spark (Java/UTF8String) and DuckDB (utf8proc)
+# may disagree — code-point vs grapheme counting, \s vs NBSP-class
+# whitespace, case-folding expansion (ß→SS), default-ignorable format
+# controls inside tokens, NFC vs NFD equality, astral-plane slicing.
+_UNICODE_TEXTS = [
+    "café café identical looking",  # NFC vs NFD "café"
+    "non breaking space and　ideographic　space",
+    "zero​width‌space‍joined token",  # ZWSP/ZWNJ/ZWJ
+    "﻿BOM prefixed text",
+    "straße STRASSE Straße",  # ß case-folding expansion
+    "İstanbul iılık dotted/dotless",  # Turkish İ/ı
+    "\U0001d518\U0001d52b\U0001d526 fraktur astral \U0001f9ec\U0001f600",
+    "\U0001f4af" * 300,  # astral-only run: bytes≫chars, one "word"
+    "́leading combining mark",
+    "שלום ‏ mixed أهلا rtl",
+    "pаypаl сonfusables",  # Cyrillic а/с in latin words
+    "ＦＵＬＬＷＩＤＴＨ text",
+    "fi ligature ﬁnance ofﬃce",  # U+FB01/U+FB03
+    "control\x01chars\x07bell\x0bvtab",
+    "repl�cement ch�r",
+    "é" * 500 + " combining heavy",  # 1000 cps, 500 graphemes
+]
+
+
+def synth_unicode(src: str, dst: str) -> None:
+    """documents with the first rows replaced by encoding-edge texts —
+    one unicode failure class per row (see _UNICODE_TEXTS)."""
+    _copy_others(src, dst, {"documents"})
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    df = t.to_pandas()
+    for i, txt in enumerate(_UNICODE_TEXTS):
+        df.loc[i, "text"] = txt
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+        os.path.join(dst, "documents.parquet"),
+    )
+
+
 def synth_extreme(src: str, dst: str) -> None:
     """Production-plausible extreme magnitudes: money near the
     DECIMAL(18,2) upper range, boundary discounts/taxes, a 1e6
@@ -251,11 +297,12 @@ SYNTH = {
     "pathological": synth_pathological,
     "nullnan": synth_nullnan,
     "extreme": synth_extreme,
+    "unicode": synth_unicode,
 }
 
 # bump when any synthesizer changes: stale corpora rebuild instead of
 # resuming against old data (the oracle_sweep _DONE-marker discipline)
-_SYNTH_VERSION = "deg-v2"
+_SYNTH_VERSION = "deg-v3"
 
 
 def ensure_corpus(name: str, src: str, base: str) -> str:
@@ -278,7 +325,7 @@ def main() -> int:
     ap.add_argument("--src", default=SRC_DEFAULT)
     ap.add_argument("--base", default=DST_DEFAULT)
     ap.add_argument("--corpus", nargs="*", choices=sorted(SYNTH),
-                    help="subset of corpora (default: all five)")
+                    help="subset of corpora (default: all)")
     ap.add_argument("--state", default=None, help="resume file")
     ap.add_argument("--deadline", type=float, default=None,
                     help="stop starting new comparisons after N seconds")
