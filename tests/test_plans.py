@@ -44,6 +44,19 @@ def test_q6_single_scan_no_join_no_shuffle_agg_input(spark, sf_dir):
     assert "l_extendedprice" in read and "l_returnflag" not in read
 
 
+def test_unicode_profile_is_one_scan_one_fanout_projection(spark, sf_dir):
+    # 7 regexp class counts must stay ONE pruned scan + the deliberate
+    # fan_out exchange + ONE codegen projection — a refactor that turns
+    # the census into per-class passes or a join fails here
+    plan = _plan(spark, sf_dir, "text_unicode_profile")
+    # formatted plans print each node twice (tree line + detail section)
+    assert plan.count("Scan parquet") == 2, plan[:800]
+    assert plan.count("Exchange") == 2  # fan_out only
+    assert "Join" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read and "source" not in read  # pruned to 2 cols
+
+
 def test_sort_limit_is_top_k_not_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sort_limit_top_lineitems")
     assert "TakeOrderedAndProject" in plan
