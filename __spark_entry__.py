@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streaming_amqp_spark.operators import curation as _curation  # noqa: E402
 from streaming_amqp_spark.operators import dedup as _dedup  # noqa: E402
+from streaming_amqp_spark.operators import index_store as _index_store  # noqa: E402
 from streaming_amqp_spark.operators import multimodal as _multimodal  # noqa: E402
 from streaming_amqp_spark.operators import pipeline as _pipeline  # noqa: E402
 from streaming_amqp_spark.operators import similarity as _similarity  # noqa: E402
@@ -32,6 +33,7 @@ from streaming_amqp_spark.plans import tpch_extra as _tpch_extra  # noqa: E402
 _MODULES = (
     _textstats,
     _dedup,
+    _index_store,
     _similarity,
     _multimodal,
     _pipeline,
@@ -50,16 +52,19 @@ _MODULES = (
 # every query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r9:33 r10:46 r11:46 r12:50).
 # Composition, per the touch-a-query→rotate-it-in rule:
-# - 1 TOUCHED name: text_unicode_profile is NEW this round (per-doc
+# - 2 TOUCHED names, both NEW this round: text_unicode_profile (per-doc
 #   unicode class census — the batch twin of the r13 unicode degenerate
 #   corpus; verified vs its oracle at sf0.01 and on the unicode /
-#   pathological / empty / one_row corpora before registration).
+#   pathological / empty / one_row corpora before registration) and
+#   dedup_minhash_lsh_indexed (the persisted-LSH-index query path —
+#   result-identical to dedup_minhash_lsh, which is also in this
+#   window, so BOTH paths attest the same round).
 # - all 33 names whose latest verdict is r9 — the oldest evidence in
 #   the project (`tools/freshness.py --suggest`).
-# - 16 r10-freshness fills (next-oldest cohort, oldest-first order).
+# - 15 r10-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
-    # touched this round (new query)
-    "text_unicode_profile",
+    # touched this round (new queries)
+    "text_unicode_profile", "dedup_minhash_lsh_indexed",
     # r9-stale (latest verdict is r9)
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming1",
     "dedup_substring_runs", "q11_important_parts", "q12_shipmode_priority",
@@ -80,7 +85,6 @@ _FIRST_50 = (
     "ann_lsh_buckets", "ann_pq_adc", "asof_join_error_purchase",
     "asof_join_forward", "basket_brand_lift", "basket_brand_pairs",
     "brand_graph_pagerank", "contamination_check", "corpus_len_histogram",
-    "customer_order_gaps",
 )
 
 

@@ -380,6 +380,19 @@ def dedup_minhash_lsh(
         br = _shared_band_stats(spark, sf_dir)
     else:
         br = _band_stats_rows(sh)
+    return minhash_pairs_from(sh, br, max_band_freq)
+
+
+def minhash_pairs_from(
+    sh: DataFrame,
+    br: DataFrame,
+    max_band_freq: int | None = MAX_BAND_FREQ,
+) -> DataFrame:
+    """The LSH pair phase over an already-materialized shingle relation
+    ``sh`` (doc_id, shingles, n) and stats-annotated band relation ``br``
+    (band_idx, band_hash, doc_id, bsz, hub) — the seam the persisted
+    index store (operators/index_store.py) drives with parquet-backed
+    relations instead of per-job recomputation."""
     cap = F.lit(max_band_freq) if max_band_freq is not None else F.col("bsz")
     cold = br.where(F.col("bsz") <= cap)
     cold_pairs = (

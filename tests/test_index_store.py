@@ -1,0 +1,68 @@
+"""Persisted-MinHash-index invariants: the parquet-backed query path is
+result-identical to the recompute path, the store layout actually
+enables pruning, and the version marker rebuilds on any contract
+change (a stale index silently served is a wrong-dedup at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from streaming_amqp_spark.operators import index_store as ixs
+from streaming_amqp_spark.operators.dedup import dedup_minhash_lsh
+from tests.conftest import SF_DIR
+from tests.oracle import canon
+
+
+@pytest.fixture()
+def fresh_index(spark):
+    path = ixs.minhash_index_path(SF_DIR)
+    shutil.rmtree(path, ignore_errors=True)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _rows(df):
+    return canon(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_indexed_path_is_result_identical(spark, fresh_index):
+    direct = _rows(dedup_minhash_lsh(spark, SF_DIR))
+    indexed = _rows(ixs.dedup_minhash_lsh_indexed(spark, SF_DIR))
+    assert indexed == direct
+    assert len(indexed) > 0  # non-vacuous: the fixture corpus has dups
+
+
+def test_band_partitioning_prunes_at_the_scan(spark, fresh_index):
+    path = ixs.ensure_minhash_index(spark, SF_DIR)
+    bands = os.path.join(path, "bands")
+    # directory-partitioned layout on disk
+    assert any(
+        d.startswith("band_idx=") for d in os.listdir(bands)
+    ), os.listdir(bands)
+    probe = spark.read.parquet(bands).where(F.col("band_idx") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band_idx" in plan
+
+
+def test_marker_caches_and_version_change_rebuilds(spark, fresh_index):
+    path = ixs.ensure_minhash_index(spark, SF_DIR)
+    marker = os.path.join(path, "_DONE")
+    stamp = os.path.getmtime(marker)
+    assert ixs.ensure_minhash_index(spark, SF_DIR) == path
+    assert os.path.getmtime(marker) == stamp  # served, not rebuilt
+    # contract change (version / cap constants) → rebuild
+    with open(marker, "w") as fh:
+        fh.write("mhidx-v0|src=whatever|cap=99")
+    ixs.ensure_minhash_index(spark, SF_DIR)
+    assert open(marker).read() == ixs._marker_want(SF_DIR)
+
+
+def test_index_is_distinct_per_sf_dir():
+    a = ixs.minhash_index_path("/root/testdata/sf0.001")
+    b = ixs.minhash_index_path("/root/testdata/sf0.01")
+    assert a != b
