@@ -51,12 +51,20 @@ sizes AS (
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n) of any (doc_id, text, ...) relation — the
+    single shingle-space definition, shared by the per-sf loaders and
+    the incremental index append path."""
     return (
-        d.where(F.size(tokens()) >= 3)
+        docs.where(F.size(tokens()) >= 3)
         .select("doc_id", shingles().alias("shingles"))
         .withColumn("n", F.size("shingles"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     )
 
 
@@ -320,12 +328,14 @@ def band_rows_of(sh: DataFrame, *extra_cols: str) -> DataFrame:
 MAX_BAND_FREQ = 8
 
 
-def _band_stats_rows(sh: DataFrame) -> DataFrame:
+def annotate_band_stats(band_rows: DataFrame) -> DataFrame:
     """Band rows annotated with their bucket's size and hub (min doc_id):
     one map-side-combined aggregate over the band keys plus one equi-join
     back — AQE-skew-splittable, so a pathologically hot bucket never
-    concentrates raw rows in the aggregate."""
-    band_rows = band_rows_of(sh)
+    concentrates raw rows in the aggregate.  Stats are always computed
+    over the rows GIVEN, never persisted: an incrementally appended
+    batch changes the bsz/hub of buckets its docs land in, so stored
+    stats would go stale on the first append (index_store.py)."""
     stats = band_rows.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
     )
@@ -334,6 +344,10 @@ def _band_stats_rows(sh: DataFrame) -> DataFrame:
     # can never broadcast them (the r9 8 GiB pairs-broadcast class —
     # see _posting_pair_stats)
     return band_rows.join(stats.hint("shuffle_hash"), ["band_idx", "band_hash"])
+
+
+def _band_stats_rows(sh: DataFrame) -> DataFrame:
+    return annotate_band_stats(band_rows_of(sh))
 
 
 def _shared_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,5 @@
-"""Persisted LSH index: build once on the cluster, query many jobs.
+"""Persisted LSH index: build once on the cluster, query many jobs,
+append daily increments.
 
 The r12 slope decomposition (SCALING.md §r12) measured the MinHash
 index REBUILD — tokenize → shingle → 16 minhashes → band rows — at
@@ -10,40 +11,58 @@ the dedup family.  The reference has no notion of a persisted index
 (its converters are per-message, `AMQPBodyFunction.scala:29-41`); this
 is the batch-side capability a training-data pipeline adds on top.
 
-The store writes exactly the two relations the pair phase consumes:
+The store writes exactly the two EXPENSIVE relations:
 
 - ``shingles/`` — (doc_id, shingles array, n), laid out in doc_id hash
   buckets so the verification join reads co-located files;
-- ``bands/`` — the stats-annotated LSH band rows (doc_id, band_hash,
-  bsz, hub), directory-partitioned by ``band_idx`` so any band-targeted
-  probe prunes to one directory (PartitionFilters at the scan).
+- ``bands/`` — the RAW LSH band rows (doc_id, band_hash), directory-
+  partitioned by ``band_idx`` so any band-targeted probe prunes to one
+  directory (PartitionFilters at the scan).
+
+Bucket stats (bsz, hub) are deliberately NOT stored: an appended batch
+changes the size and hub of every bucket its docs land in, so stored
+stats would go stale on the first append.  The query path re-derives
+them with one map-side-combined aggregate over the narrow stored rows
+(``annotate_band_stats``) — linear, AQE-skew-splittable, and a small
+fraction of the shingling cost the store removes.
+
+``append_minhash_index`` is the incremental path: shingle ONLY the new
+docs, append their rows to both datasets (parquet append; the band
+partitioning absorbs appends natively).  Invariant, pinned by
+``tests/test_index_store.py``: build(A) + append(B) answers queries
+identically to build(A ∪ B).
 
 ``dedup_minhash_lsh_indexed`` is result-IDENTICAL to
-``dedup_minhash_lsh`` (same oracle SQL attests both; the equality is
-also pinned by ``tests/test_index_store.py``) — the only difference is
-where the candidate phase's inputs come from.  The _DONE marker
-records the synth version + the two cap constants, so a change to the
-banding space or caps rebuilds instead of silently serving a stale
+``dedup_minhash_lsh`` (same oracle SQL attests both) — the only
+difference is where the pair phase's inputs come from.  The _DONE
+marker records the synth version + the cap constant, so a change to
+the banding space or caps rebuilds instead of silently serving a stale
 index (the bench-sf1/degenerate-corpus discipline).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+from pyspark.sql.types import StructType
 
 from streaming_amqp_spark.operators.dedup import (
     MAX_BAND_FREQ,
-    _band_stats_rows,
     _doc_shingles,
     _MINHASH_SQL,
+    annotate_band_stats,
+    band_rows_of,
     minhash_pairs_from,
+    shingles_of,
 )
 
 INDEX_ROOT = "/tmp/spark_graft_index"
-_INDEX_VERSION = "mhidx-v1"
+_INDEX_VERSION = "mhidx-v3"  # v2: raw band rows, stats at query time;
+# v3: _SCHEMA sidecar so zero-row (empty-corpus) indexes load
 _N_SHINGLE_BUCKETS = 8
 
 
@@ -56,20 +75,59 @@ def _marker_want(sf_dir: str) -> str:
     return f"{_INDEX_VERSION}|src={os.path.abspath(sf_dir)}|cap={MAX_BAND_FREQ}"
 
 
+def _write_batch(sh: DataFrame, path: str, mode: str) -> None:
+    """One shingled batch → both datasets.  ``mode='append'`` is the
+    incremental path; parquet directory-append is atomic per file and
+    the band partitioning absorbs new files per band_idx dir."""
+    sh.repartition(_N_SHINGLE_BUCKETS, "doc_id").write.mode(mode).parquet(
+        os.path.join(path, "shingles")
+    )
+    bands = band_rows_of(
+        sh
+        if mode == "append"
+        # band rows derive from the JUST-WRITTEN shingles so the corpus
+        # projection is computed once, not once per dataset (on append
+        # the stored dir already holds prior batches, so band the new
+        # relation directly)
+        else _read(sh.sparkSession, os.path.join(path, "shingles"), sh.schema)
+    )
+    bands.write.mode(mode).partitionBy("band_idx").parquet(
+        os.path.join(path, "bands")
+    )
+    if mode != "append":
+        # persist both read schemas: a zero-row build (empty corpus /
+        # empty bootstrap increment) writes no parquet part files, and
+        # read-side inference then fails with UNABLE_TO_INFER_SCHEMA —
+        # found by the r13 empty-corpus sweep on this very module
+        with open(os.path.join(path, "_SCHEMA"), "w") as fh:
+            json.dump(
+                {
+                    "shingles": sh.schema.jsonValue(),
+                    "bands": bands.schema.jsonValue(),
+                },
+                fh,
+            )
+
+
+def _read(spark: SparkSession, data_dir: str, schema: StructType) -> DataFrame:
+    return spark.read.schema(schema).parquet(data_dir)
+
+
 def build_minhash_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """One full corpus pass, two parquet writes.  At 100 TB this is the
-    nightly (or incremental) index job; every later dedup query is
+    nightly (or bootstrap) index job; every later dedup query is
     pair-phase-only."""
-    sh = _doc_shingles(spark, sf_dir)
-    sh.repartition(_N_SHINGLE_BUCKETS, "doc_id").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "shingles"))
-    # re-read the written shingles so the band pass doesn't recompute
-    # the shingle projection a second time
-    sh_stored = spark.read.parquet(os.path.join(path, "shingles"))
-    _band_stats_rows(sh_stored).write.mode("overwrite").partitionBy(
-        "band_idx"
-    ).parquet(os.path.join(path, "bands"))
+    _write_batch(_doc_shingles(spark, sf_dir), path, "overwrite")
+
+
+def append_minhash_index(docs: DataFrame, path: str) -> None:
+    """Incremental index maintenance: shingle ONLY ``docs`` (doc_id,
+    text, …) and append.  Caller owns doc_id uniqueness across batches
+    (same contract as the base corpus).  Queries pick up the new docs
+    immediately — bucket stats are computed at query time, so a bucket
+    that grows past MAX_BAND_FREQ through appends switches to star
+    expansion exactly as a built-from-scratch index would."""
+    _write_batch(shingles_of(docs), path, "append")
 
 
 def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
@@ -90,8 +148,19 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    sh = spark.read.parquet(os.path.join(path, "shingles"))
-    br = spark.read.parquet(os.path.join(path, "bands"))
+    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    sh = _read(
+        spark,
+        os.path.join(path, "shingles"),
+        StructType.fromJson(meta["shingles"]),
+    )
+    br = annotate_band_stats(
+        _read(
+            spark,
+            os.path.join(path, "bands"),
+            StructType.fromJson(meta["bands"]),
+        )
+    )
     return sh, br
 
 

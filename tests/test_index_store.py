@@ -13,7 +13,11 @@ import pyspark.sql.functions as F
 import pytest
 
 from streaming_amqp_spark.operators import index_store as ixs
-from streaming_amqp_spark.operators.dedup import dedup_minhash_lsh
+from streaming_amqp_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    minhash_pairs_from,
+    shingles_of,
+)
 from tests.conftest import SF_DIR
 from tests.oracle import canon
 
@@ -62,7 +66,50 @@ def test_marker_caches_and_version_change_rebuilds(spark, fresh_index):
     assert open(marker).read() == ixs._marker_want(SF_DIR)
 
 
+def test_append_equals_full_build(spark, fresh_index, tmp_path):
+    """The incremental contract: build(A) + append(B) must answer the
+    pair query identically to build(A ∪ B) — including bucket stats
+    (bsz/hub) that appends CHANGE for existing buckets, which is why
+    the store holds raw band rows and derives stats at query time."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    ixs._write_batch(shingles_of(half_a), inc, "overwrite")
+    ixs.append_minhash_index(half_b, inc)
+
+    full = ixs.ensure_minhash_index(spark, SF_DIR)
+    q_inc = _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, inc)))
+    q_full = _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, full)))
+    assert q_inc == q_full
+    assert len(q_inc) > 0
+
+
 def test_index_is_distinct_per_sf_dir():
     a = ixs.minhash_index_path("/root/testdata/sf0.001")
     b = ixs.minhash_index_path("/root/testdata/sf0.01")
     assert a != b
+
+
+def test_empty_corpus_index_roundtrips(spark, tmp_path):
+    """A zero-row build (empty corpus / empty bootstrap increment)
+    writes no parquet part files; the _SCHEMA sidecar must still make
+    the index loadable and the pair query empty — found by the r13
+    empty-corpus degenerate sweep."""
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.lit(False))
+    )
+    p = str(tmp_path / "emptyix")
+    ixs._write_batch(shingles_of(docs), p, "overwrite")
+    sh, br = ixs.load_minhash_index(spark, p)
+    assert sh.count() == 0 and br.count() == 0
+    assert minhash_pairs_from(sh, br).count() == 0
+    # and an append onto the empty bootstrap works
+    half = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).limit(50)
+    ixs.append_minhash_index(half, p)
+    sh2, _ = ixs.load_minhash_index(spark, p)
+    assert sh2.count() > 0
