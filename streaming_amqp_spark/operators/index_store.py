@@ -94,11 +94,13 @@ def _write_batch(sh: DataFrame, path: str, mode: str) -> None:
     bands.write.mode(mode).partitionBy("band_idx").parquet(
         os.path.join(path, "bands")
     )
-    if mode != "append":
+    if mode != "append" or not os.path.exists(os.path.join(path, "_SCHEMA")):
         # persist both read schemas: a zero-row build (empty corpus /
         # empty bootstrap increment) writes no parquet part files, and
         # read-side inference then fails with UNABLE_TO_INFER_SCHEMA —
-        # found by the r13 empty-corpus sweep on this very module
+        # found by the r13 empty-corpus sweep on this very module.
+        # (append-to-fresh-dir — a stream bootstrapping its own index —
+        # also writes it)
         with open(os.path.join(path, "_SCHEMA"), "w") as fh:
             json.dump(
                 {
@@ -148,18 +150,25 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
+    """Reads NORMALIZE: appends are at-least-once (a crashed streaming
+    batch may replay — streaming/index_sink.py), so a doc's rows can be
+    stored more than once.  Shingle rows collapse by doc_id and band
+    rows by full value; both are map-side-combinable aggregates over
+    narrow columns, which is what turns at-least-once storage into
+    effectively-once query semantics (bsz/hub would otherwise count the
+    replay and could flip a bucket to star expansion)."""
     meta = json.load(open(os.path.join(path, "_SCHEMA")))
     sh = _read(
         spark,
         os.path.join(path, "shingles"),
         StructType.fromJson(meta["shingles"]),
-    )
+    ).dropDuplicates(["doc_id"])
     br = annotate_band_stats(
         _read(
             spark,
             os.path.join(path, "bands"),
             StructType.fromJson(meta["bands"]),
-        )
+        ).dropDuplicates()
     )
     return sh, br
 

@@ -1,0 +1,87 @@
+"""Streaming index maintenance invariants (streaming/index_sink.py):
+a document stream appended batch-by-batch answers the dedup query
+exactly like a one-shot batch build, epoch replays are skipped by the
+marker, and even a marker-less duplicate append (the crash window
+between parquet write and marker write) is neutralized by the
+normalizing reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from streaming_amqp_spark.operators import index_store as ixs
+from streaming_amqp_spark.operators.dedup import minhash_pairs_from, shingles_of
+from streaming_amqp_spark.streaming.index_sink import (
+    append_batch,
+    start_minhash_index_maintenance,
+)
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    from tests.oracle import canon
+
+    return canon(df.columns, [tuple(r) for r in df.collect()])
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _query(spark, path):
+    return _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, path)))
+
+
+def test_streamed_appends_equal_batch_build(spark, tmp_path):
+    docs = _docs(spark)
+    # bootstrap: first half built as a batch
+    path = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.col("doc_id") % 2 == 0)),
+                     path, "overwrite")
+    # second half arrives as a parquet STREAM in several small files
+    stream_dir = str(tmp_path / "incoming")
+    docs.where(F.col("doc_id") % 2 == 1).repartition(4).write.parquet(
+        stream_dir
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(stream_dir)
+    )
+    q = start_minhash_index_maintenance(
+        stream, path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(os.listdir(os.path.join(path, "_batches"))) >= 2
+    full = ixs.ensure_minhash_index(spark, SF_DIR)
+    assert _query(spark, path) == _query(spark, full)
+
+
+def test_epoch_replay_is_skipped_by_marker(spark, tmp_path):
+    docs = _docs(spark).limit(100)
+    path = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.lit(False))), path, "overwrite")
+    assert append_batch(docs, path, epoch_id=7) is True
+    before = _query(spark, path)
+    assert append_batch(docs, path, epoch_id=7) is False  # replay skipped
+    assert _query(spark, path) == before
+
+
+def test_markerless_duplicate_append_is_normalized(spark, tmp_path):
+    # the crash window: append completed, marker write did not — the
+    # replay appends the same rows AGAIN and only the normalizing reads
+    # keep the query identical
+    docs = _docs(spark).limit(200)
+    path = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.lit(False))), path, "overwrite")
+    ixs.append_minhash_index(docs, path)
+    once = _query(spark, path)
+    ixs.append_minhash_index(docs, path)  # duplicate, no marker guard
+    assert _query(spark, path) == once
+    assert len(once) > 0
