@@ -114,10 +114,10 @@ HEADLINE = [
     "dedup_simhash_hamming1",
     # round-13: unicode-class census (7 regexp passes/row, codegen-bound)
     "text_unicode_profile",
-    # round-13: persisted-LSH-index query path (pair phase only; the
-    # one-time build runs inside the first cold iteration and min-of-2
-    # keeps the query-only figure)
+    # round-13: persisted-index query paths (build runs inside the
+    # first cold iteration; min-of-2 keeps the query-only figure)
     "dedup_minhash_lsh_indexed",
+    "ann_ivf_topk_indexed",
 ]
 
 

@@ -187,12 +187,100 @@ def dedup_minhash_lsh_indexed(
     return minhash_pairs_from(sh, br)
 
 
+# ---------------------------------------------------------------- IVF
+
+_IVF_VERSION = "ivfidx-v1"
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(INDEX_ROOT, f"ivf_{tag}")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Train once (per-label centroids), lay the vectors out by cluster:
+    ``vectors/`` is directory-partitioned by ``label``, so the probe
+    join's dynamic partition pruning reads ONLY probed clusters — the
+    IVF promise made literal at the storage layer.  ``centroids/`` is
+    the tiny broadcast side."""
+    from streaming_amqp_spark.operators.similarity import (
+        _emb,
+        ivf_centroids_of,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = ivf_centroids_of(emb)
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    emb.write.mode("overwrite").partitionBy("label").parquet(
+        os.path.join(path, "vectors")
+    )
+    with open(os.path.join(path, "_SCHEMA"), "w") as fh:
+        json.dump(
+            {
+                "centroids": cent.schema.jsonValue(),
+                "vectors": emb.schema.jsonValue(),
+            },
+            fh,
+        )
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    path = ivf_index_path(sf_dir)
+    marker = os.path.join(path, "_DONE")
+    want = f"{_IVF_VERSION}|src={os.path.abspath(sf_dir)}"
+    if os.path.exists(marker) and open(marker).read().strip() == want:
+        return path
+    os.makedirs(path, exist_ok=True)
+    if os.path.exists(marker):
+        os.unlink(marker)
+    build_ivf_index(spark, sf_dir, path)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return path
+
+
+def load_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    vec = _read(
+        spark,
+        os.path.join(path, "vectors"),
+        StructType.fromJson(meta["vectors"]),
+    )
+    cent = _read(
+        spark,
+        os.path.join(path, "centroids"),
+        StructType.fromJson(meta["centroids"]),
+    )
+    return vec, cent
+
+
+def ann_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the PERSISTED index — result-identical to
+    ``ann_ivf_topk`` (same centroids, probes, tie-breaks; same oracle
+    SQL attests both), but training never runs at query time and the
+    cluster scan prunes to probed ``label=`` partitions."""
+    from streaming_amqp_spark.operators.similarity import ivf_topk_from
+
+    vec, cent = load_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    return ivf_topk_from(vec, cent)
+
+
+def _ivf_indexed_oracle() -> str:
+    from streaming_amqp_spark.operators.similarity import _ivf_oracle
+
+    return _ivf_oracle()
+
+
 QUERIES = {
     "dedup_minhash_lsh_indexed": dedup_minhash_lsh_indexed,
+    "ann_ivf_topk_indexed": ann_ivf_topk_indexed,
 }
 
-# identical semantics → identical oracle (the hot-bucket cap constant
-# flows in via _MINHASH_SQL; never fork the SQL string)
+# identical semantics → identical oracles (cap/banding constants flow
+# in via the shared SQL builders; never fork the SQL strings)
 ORACLES = {
     "dedup_minhash_lsh_indexed": _MINHASH_SQL,
+    "ann_ivf_topk_indexed": _ivf_indexed_oracle(),
 }

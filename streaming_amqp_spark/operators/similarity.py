@@ -202,8 +202,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs → bit-identical results.
     """
     emb = _emb(spark, sf_dir)
-    # phase 0: centroids (reuses the oracle-checked definition)
-    cent = (
+    return ivf_topk_from(emb, ivf_centroids_of(emb))
+
+
+def ivf_centroids_of(emb: DataFrame) -> DataFrame:
+    """Per-label mean centroids, rounded to 6 decimals (the
+    oracle-checked definition shared by the IVF searches and the
+    persisted index build)."""
+    return (
         emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias("v"))
@@ -214,7 +220,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pv", lambda s: s["v"]).alias("centroid"),
         )
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+
+
+def ivf_topk_from(vec: DataFrame, cent: DataFrame) -> DataFrame:
+    """The IVF search phases over any (vec_id, label, embedding)
+    relation and (c_label, centroid) table — the seam the persisted
+    index store (operators/index_store.py) drives with parquet-backed
+    relations."""
+    q = vec.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     # phase 1: nearest centroid per query (K×Q tiny cross join)
@@ -231,8 +244,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "q_emb", F.col("c_label").alias("probe_label"))
     )
     # phase 2: exact search inside the probed cluster only
-    cand = emb.join(
-        F.broadcast(probe), emb.label == probe.probe_label
+    cand = vec.join(
+        F.broadcast(probe), vec.label == probe.probe_label
     ).where(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",

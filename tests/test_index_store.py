@@ -113,3 +113,21 @@ def test_empty_corpus_index_roundtrips(spark, tmp_path):
     ixs.append_minhash_index(half, p)
     sh2, _ = ixs.load_minhash_index(spark, p)
     assert sh2.count() > 0
+
+
+def test_ivf_indexed_equals_recompute_and_prunes(spark, tmp_path):
+    import shutil as _sh
+
+    from streaming_amqp_spark.operators.similarity import ann_ivf_topk
+
+    _sh.rmtree(ixs.ivf_index_path(SF_DIR), ignore_errors=True)
+    direct = _rows(ann_ivf_topk(spark, SF_DIR))
+    indexed_df = ixs.ann_ivf_topk_indexed(spark, SF_DIR)
+    assert _rows(indexed_df) == direct and len(direct) > 0
+    # the IVF promise made literal: probed clusters only, via dynamic
+    # partition pruning on the label= directory layout
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:600]
+    vecs = os.path.join(ixs.ivf_index_path(SF_DIR), "vectors")
+    assert any(d.startswith("label=") for d in os.listdir(vecs))
+    _sh.rmtree(ixs.ivf_index_path(SF_DIR), ignore_errors=True)
