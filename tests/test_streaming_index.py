@@ -85,3 +85,54 @@ def test_markerless_duplicate_append_is_normalized(spark, tmp_path):
     ixs.append_minhash_index(docs, path)  # duplicate, no marker guard
     assert _query(spark, path) == once
     assert len(once) > 0
+
+
+def test_amqp_envelope_stream_maintains_index(spark, tmp_path):
+    """End-to-end: documents arrive as AMQP message bodies (JSON doc_id
+    + text) through the repo's own source (spool transport), are parsed
+    off the envelope, and maintain the persisted LSH index — the
+    reference's ingestion surface (AMQPInputDStream/AMQPJsonFunction)
+    feeding the batch-side index capability."""
+    import json as _json
+
+    from streaming_amqp_spark.sources.amqp import register_amqp_source
+
+    register_amqp_source(spark)
+    docs = [
+        {"doc_id": 900001, "text": "the quick brown fox jumps over a dog"},
+        {"doc_id": 900002, "text": "the quick brown fox jumps over a dog"},
+        {"doc_id": 900003, "text": "an entirely different sentence here now"},
+    ]
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with open(spool / "000.jsonl", "w") as f:
+        for i, d in enumerate(docs):
+            f.write(_json.dumps({
+                "message_id": f"m{i}", "to_address": "docs",
+                "body": _json.dumps(d),
+                "ingest_ts": "2024-01-01T00:00:00",
+            }) + "\n")
+    env = (
+        spark.readStream.format("amqp")
+        .option("transport", "spool")
+        .option("spooldir", str(spool))
+        .load()
+    )
+    parsed = env.select(
+        F.get_json_object("body", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("body", "$.text").alias("text"),
+    )
+    path = str(tmp_path / "ix")
+    ixs._write_batch(
+        shingles_of(spark.createDataFrame([], "doc_id long, text string")),
+        path,
+        "overwrite",
+    )
+    q = start_minhash_index_maintenance(parsed, path, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = _query(spark, path)
+    # exactly the one exact-duplicate pair, found via the index
+    assert [(p[0], p[1]) for p in pairs] == [(900001, 900002)]
