@@ -140,6 +140,12 @@ SF1_SPOT = [
     # in a committed run).  Standing rule: a row added to this panel
     # goes directly after the canary, ahead of every established row.
     "q1_pricing_summary",
+    # r13: the persisted-index query path — its slope tracks the pair
+    # phase alone (the store survives _cold_min's cache clear by
+    # design; build lands in the first iteration, min-of-2 keeps the
+    # query-only figure).  Compare against dedup_minhash_lsh's row to
+    # read the rebuild share round-over-round.
+    "dedup_minhash_lsh_indexed",
     # r10 (VERDICT r9 #6): the merge-pinned substring-policy plan — the
     # steepest non-capped family; track its slope round-over-round
     "curate_substring_policy",
