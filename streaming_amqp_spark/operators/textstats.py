@@ -1205,8 +1205,70 @@ FROM documents
 """
 
 
+def text_encoding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation rule the unicode census feeds: per-document
+    keep/drop verdict with the FIRST failing rule as the reason —
+    replacement chars (transcode damage), raw C0/C1 controls, format-
+    control spam (zero-width flooding), or a sub-50% ASCII ratio on a
+    ≥20-char doc (mojibake heuristic; CJK corpora would tune this
+    threshold per-domain).  NULL/empty texts drop as 'empty'.  Same
+    single-pass projection shape as text_unicode_profile."""
+    d = _docs(spark, sf_dir)
+
+    def cnt(pat: str):
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+
+    n_chars = F.length("text")
+    n_ascii = cnt(r"[\x00-\x7F]")
+    reason = (
+        F.when(n_chars.isNull() | (n_chars == 0), F.lit("empty"))
+        .when(cnt("�") > 0, F.lit("replacement_chars"))
+        .when(cnt(r"\p{Cc}") > 0, F.lit("control_chars"))
+        .when(cnt(r"\p{Cf}") >= 3, F.lit("format_control_spam"))
+        .when(
+            (n_chars >= 20)
+            & (n_ascii.cast("double") / n_chars < 0.5),
+            F.lit("low_ascii_ratio"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    # nested select so the CASE chain (5 regex passes) evaluates once
+    # per row, not once per output column (no CSE inside a projection)
+    return d.select("doc_id", reason.alias("reason")).select(
+        "doc_id",
+        "reason",
+        (F.col("reason") == "ok").alias("keep"),
+    )
+
+
+_ENCODING_POLICY_SQL = """
+SELECT doc_id, reason, reason = 'ok' AS keep FROM (
+  SELECT doc_id,
+    CASE
+      WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+      WHEN length(text)
+           - length(regexp_replace(text, '\\x{FFFD}', '', 'g')) > 0
+        THEN 'replacement_chars'
+      WHEN length(text)
+           - length(regexp_replace(text, '\\p{Cc}', '', 'g')) > 0
+        THEN 'control_chars'
+      WHEN length(text)
+           - length(regexp_replace(text, '\\p{Cf}', '', 'g')) >= 3
+        THEN 'format_control_spam'
+      WHEN length(text) >= 20
+           AND CAST(length(text)
+                - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                AS DOUBLE) / length(text) < 0.5
+        THEN 'low_ascii_ratio'
+      ELSE 'ok'
+    END AS reason
+  FROM documents)
+"""
+
+
 QUERIES = {
     "text_unicode_profile": text_unicode_profile,
+    "text_encoding_policy": text_encoding_policy,
     "text_bigram_counts": text_bigram_counts,
     "text_vocab_growth": text_vocab_growth,
     "text_gopher_rules": text_gopher_rules,
@@ -1230,6 +1292,7 @@ QUERIES = {
 
 ORACLES = {
     "text_unicode_profile": _UNICODE_PROFILE_SQL,
+    "text_encoding_policy": _ENCODING_POLICY_SQL,
     "text_bigram_counts": _BIGRAM_SQL,
     "text_gopher_rules": _GOPHER_SQL,
     "corpus_len_histogram": _LEN_HIST_SQL,
