@@ -118,6 +118,7 @@ HEADLINE = [
     # first cold iteration; min-of-2 keeps the query-only figure)
     "dedup_minhash_lsh_indexed",
     "ann_ivf_topk_indexed",
+    "ann_pq_kmeans_recall_indexed",
 ]
 
 

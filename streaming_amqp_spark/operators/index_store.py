@@ -273,9 +273,103 @@ def _ivf_indexed_oracle() -> str:
     return _ivf_oracle()
 
 
+# ----------------------------------------------------------------- PQ
+
+_PQ_VERSION = "pqidx-v1"
+
+
+def pq_index_path(sf_dir: str) -> str:
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(INDEX_ROOT, f"pq_{tag}")
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Train the PQ codebook (Lloyd) and encode the corpus ONCE; store
+    the codebook (tiny broadcast side) and the long-form codes
+    partitioned by subspace ``m``.  At 100 TB Lloyd + encode is the
+    dominant ANN maintenance cost — serving reads 8-byte codes only."""
+    from streaming_amqp_spark.operators.similarity import (
+        _emb,
+        _pq_trained,
+        pq_codes_long,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = _pq_trained(spark, sf_dir)
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    codes = pq_codes_long(emb, cb)
+    codes.write.mode("overwrite").partitionBy("m").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "_SCHEMA"), "w") as fh:
+        json.dump(
+            {
+                "codebook": cb.schema.jsonValue(),
+                "codes": codes.schema.jsonValue(),
+            },
+            fh,
+        )
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    path = pq_index_path(sf_dir)
+    marker = os.path.join(path, "_DONE")
+    want = f"{_PQ_VERSION}|src={os.path.abspath(sf_dir)}"
+    if os.path.exists(marker) and open(marker).read().strip() == want:
+        return path
+    os.makedirs(path, exist_ok=True)
+    if os.path.exists(marker):
+        os.unlink(marker)
+    build_pq_index(spark, sf_dir, path)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return path
+
+
+def load_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    cb = _read(
+        spark,
+        os.path.join(path, "codebook"),
+        StructType.fromJson(meta["codebook"]),
+    )
+    codes = _read(
+        spark,
+        os.path.join(path, "codes"),
+        StructType.fromJson(meta["codes"]),
+    )
+    return cb, codes
+
+
+def ann_pq_kmeans_recall_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ-ADC recall served from the PERSISTED trained index —
+    result-identical to ``ann_pq_kmeans_recall`` (same Lloyd codebook,
+    ADC sums, tie-breaks; same oracle SQL attests both), but neither
+    Lloyd nor the corpus encode runs at query time."""
+    from streaming_amqp_spark.operators.similarity import (
+        pq_kmeans_recall_from,
+    )
+
+    cb, codes = load_pq_index(spark, ensure_pq_index(spark, sf_dir))
+    return pq_kmeans_recall_from(spark, sf_dir, cb, codes)
+
+
+def _pq_indexed_oracle() -> str:
+    from streaming_amqp_spark.operators.similarity import (
+        _pq_kmeans_recall_oracle,
+    )
+
+    return _pq_kmeans_recall_oracle()
+
+
 QUERIES = {
     "dedup_minhash_lsh_indexed": dedup_minhash_lsh_indexed,
     "ann_ivf_topk_indexed": ann_ivf_topk_indexed,
+    "ann_pq_kmeans_recall_indexed": ann_pq_kmeans_recall_indexed,
 }
 
 # identical semantics → identical oracles (cap/banding constants flow
@@ -283,4 +377,5 @@ QUERIES = {
 ORACLES = {
     "dedup_minhash_lsh_indexed": _MINHASH_SQL,
     "ann_ivf_topk_indexed": _ivf_indexed_oracle(),
+    "ann_pq_kmeans_recall_indexed": _pq_indexed_oracle(),
 }

@@ -1658,13 +1658,30 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dist, neighbor_id) tie-breaks."""
     emb = _emb(spark, sf_dir)
     cb = _pq_trained(spark, sf_dir)
-    enc = _pq_assign(emb, cb).selectExpr(
+    return pq_kmeans_recall_from(spark, sf_dir, cb, pq_codes_long(emb, cb))
+
+
+def pq_codes_long(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ codes in long form (vec_id, m, code) — the encode pass the
+    persisted index stores so serving never re-runs it."""
+    return _pq_assign(emb, cb).selectExpr(
         "vec_id",
         "stack({n}, {args}) AS (m, code)".format(
             n=PQ_M,
             args=", ".join(f"{m}L, code{m}" for m in range(PQ_M)),
         ),
     )
+
+
+def pq_kmeans_recall_from(
+    spark: SparkSession, sf_dir: str, cb: DataFrame, enc: DataFrame
+) -> DataFrame:
+    """The ADC + recall phases over an already-materialized trained
+    codebook ``cb`` (m, code_id, cvec) and long-form codes ``enc`` —
+    the seam the persisted index store drives (queries and the exact
+    baseline still read the corpus vectors; codebook and codes come
+    from storage)."""
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

@@ -131,3 +131,19 @@ def test_ivf_indexed_equals_recompute_and_prunes(spark, tmp_path):
     vecs = os.path.join(ixs.ivf_index_path(SF_DIR), "vectors")
     assert any(d.startswith("label=") for d in os.listdir(vecs))
     _sh.rmtree(ixs.ivf_index_path(SF_DIR), ignore_errors=True)
+
+
+def test_pq_indexed_equals_recompute(spark, tmp_path):
+    import shutil as _sh
+
+    from streaming_amqp_spark.operators.similarity import (
+        ann_pq_kmeans_recall,
+    )
+
+    _sh.rmtree(ixs.pq_index_path(SF_DIR), ignore_errors=True)
+    direct = _rows(ann_pq_kmeans_recall(spark, SF_DIR))
+    assert _rows(ixs.ann_pq_kmeans_recall_indexed(spark, SF_DIR)) == direct
+    assert len(direct) > 0
+    codes = os.path.join(ixs.pq_index_path(SF_DIR), "codes")
+    assert any(d.startswith("m=") for d in os.listdir(codes))
+    _sh.rmtree(ixs.pq_index_path(SF_DIR), ignore_errors=True)
