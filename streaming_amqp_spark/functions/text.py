@@ -35,12 +35,34 @@ def let(col: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+def guarded_sequence(lo: Column, hi: Column) -> Column:
+    """``F.sequence(lo, hi)`` that is EMPTY when ``hi < lo``.
+
+    The 2-arg sequence otherwise DESCENDS (sequence(0, -1) = [0, -1]),
+    feeding past-the-end / zero indices into the ``element_at`` calls
+    of every n-gram builder.  A WHERE on the row is NOT enough to rely
+    on: whole-stage codegen's subexpression elimination can hoist the
+    projection's n-gram expression into the filter stage and evaluate
+    it on rows the predicate is about to reject — whether that fusion
+    happens depends on the physical layout (observed: the same query on
+    the same data crashed with a re-cut multi-row-group file and passed
+    with the original single-row-group file; r13 roworder×unicode
+    cross-product).  On a cluster, split layout must never decide
+    whether a job survives, so the guard lives INSIDE the expression
+    (CaseWhen branches evaluate lazily per row)."""
+    return F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles(col: Column | str = "text", k: int = 3) -> Column:
     """Distinct k-word shingles (word n-grams), the unit for Jaccard/MinHash
-    near-dup detection.  Requires ≥k tokens — guard with a filter."""
+    near-dup detection.  TOTAL: yields [] below k tokens (callers still
+    filter those rows out; the expression itself must be layout-safe —
+    see guarded_sequence)."""
 
     def from_toks(t: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.size(t) - F.lit(k))
+        idx = guarded_sequence(F.lit(0), F.size(t) - F.lit(k))
         parts = lambda i: [F.element_at(t, i + F.lit(j + 1)) for j in range(k)]  # noqa: E731
         return F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))

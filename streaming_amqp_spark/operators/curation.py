@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from streaming_amqp_spark.functions.text import let, shingles, tokens
+from streaming_amqp_spark.functions.text import (
+    guarded_sequence,
+    let,
+    shingles,
+    tokens,
+)
 from streaming_amqp_spark.tables import fan_out, load_table
 
 CHUNK_TOKENS = 32  # chunk size C
@@ -295,7 +300,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats_of(t):
         n = F.size(t)
         pos3 = F.transform(
-            F.sequence(F.lit(0), n - F.lit(3)),
+            guarded_sequence(F.lit(0), n - F.lit(3)),
             lambda i: F.concat_ws(
                 " ",
                 F.element_at(t, i + 1),

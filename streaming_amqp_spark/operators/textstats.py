@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streaming_amqp_spark.functions.text import (
     STOPWORDS,
+    guarded_sequence,
     let,
     shingles,
     simhash16,
@@ -186,7 +187,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hashes_of(tt):  # positional (non-distinct) shingles, hashed in order
         return F.transform(
-            F.sequence(F.lit(0), F.size(tt) - F.lit(3)),
+            guarded_sequence(F.lit(0), F.size(tt) - F.lit(3)),
             lambda i: F.md5(
                 F.concat_ws(
                     " ",
@@ -200,7 +201,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     def picks_of(h):  # min-hash of each sliding window over bound hashes
         return F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(h) - F.lit(WINNOW_W)),
+                guarded_sequence(F.lit(0), F.size(h) - F.lit(WINNOW_W)),
                 lambda i: F.array_min(F.slice(h, i + 1, WINNOW_W)),
             )
         )
@@ -322,7 +323,7 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bigrams_of(t):  # let-bound: element_at must hit a lambda variable,
         # not re-split the text per position (O(n²) HOF trap)
         return F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
+            guarded_sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.concat_ws(
                 " ", F.element_at(t, i), F.element_at(t, i + 1)
             ),

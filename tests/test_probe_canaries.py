@@ -112,3 +112,32 @@ def test_unicode_corpus_texts_survive_spark_roundtrip(spark, tmp_path):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_ngram_builders_are_total_on_short_docs(spark):
+    """r13 roworder×unicode finding: whole-stage codegen's subexpression
+    elimination can evaluate a projection's n-gram expression inside the
+    filter stage, on rows the size>=k predicate is about to reject —
+    and whether it does depends on the file layout.  The builders must
+    therefore be TOTAL: empty array below k tokens, never a descending
+    sequence feeding element_at past the end (2-arg F.sequence(0, -1)
+    is [0, -1], not [])."""
+    from streaming_amqp_spark.functions.text import (
+        guarded_sequence,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("two tokens",), ("one",), ("",), (None,)], ["text"]
+    )
+    # no filter at all — the expression itself must be safe.  NULL text
+    # also collapses to [] (total), which every caller's size>=k row
+    # filter makes invisible to results.
+    rows = df.select(shingles().alias("sh")).collect()
+    assert [r["sh"] for r in rows] == [[], [], [], []]
+    got = (
+        spark.range(1)
+        .select(guarded_sequence(F.lit(0), F.lit(-1)).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == []
