@@ -152,17 +152,23 @@ def load_minhash_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Reads NORMALIZE: appends are at-least-once (a crashed streaming
     batch may replay — streaming/index_sink.py), so a doc's rows can be
-    stored more than once.  Shingle rows collapse by doc_id and band
-    rows by full value; both are map-side-combinable aggregates over
-    narrow columns, which is what turns at-least-once storage into
-    effectively-once query semantics (bsz/hub would otherwise count the
-    replay and could flip a bucket to star expansion)."""
+    stored more than once.  Both datasets collapse by FULL row value —
+    a replay writes byte-identical rows (shingles_of is deterministic),
+    so full-row dedup is exact for replays AND deterministic: deduping
+    shingles by doc_id alone would silently pick an arbitrary (layout-
+    dependent!) variant if a contract-violating append ever reused a
+    doc_id with different text, masking the violation with exactly the
+    nondeterminism class the roworder sweep exists to catch.  Map-side-
+    combinable aggregates over narrow columns either way — this is what
+    turns at-least-once storage into effectively-once query semantics
+    (bsz/hub would otherwise count the replay and could flip a bucket
+    to star expansion)."""
     meta = json.load(open(os.path.join(path, "_SCHEMA")))
     sh = _read(
         spark,
         os.path.join(path, "shingles"),
         StructType.fromJson(meta["shingles"]),
-    ).dropDuplicates(["doc_id"])
+    ).dropDuplicates()
     br = annotate_band_stats(
         _read(
             spark,
