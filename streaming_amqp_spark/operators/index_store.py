@@ -38,6 +38,13 @@ difference is where the pair phase's inputs come from.  The _DONE
 marker records the synth version + the cap constant, so a change to
 the banding space or caps rebuilds instead of silently serving a stale
 index (the bench-sf1/degenerate-corpus discipline).
+
+Concurrency contract: ONE writer per index path.  ``ensure_*`` is
+read-mostly (marker check), but two processes that both observe a
+missing/stale marker would overwrite the same parquet directories
+concurrently — coordinate builders externally (the driver and the
+verification tools run queries serially; the streaming sink is a
+single query per path by construction).
 """
 
 from __future__ import annotations
@@ -86,9 +93,12 @@ def _write_batch(sh: DataFrame, path: str, mode: str) -> None:
         sh
         if mode == "append"
         # band rows derive from the JUST-WRITTEN shingles so the corpus
-        # projection is computed once, not once per dataset (on append
+        # projection is computed once, not once per dataset.  On append
         # the stored dir already holds prior batches, so band the new
-        # relation directly)
+        # relation directly — that recomputes the batch's shingle
+        # projection once more, an accepted cost on increment-sized
+        # batches (bounding it with a persist would pin executor memory
+        # per micro-batch for a projection that is cheap at that size)
         else _read(sh.sparkSession, os.path.join(path, "shingles"), sh.schema)
     )
     bands.write.mode(mode).partitionBy("band_idx").parquet(
