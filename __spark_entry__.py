@@ -52,7 +52,7 @@ _MODULES = (
 # every query's latest driver verdict is green, zero never-attested,
 # latest-verdict distribution r9:33 r10:46 r11:46 r12:50).
 # Composition, per the touch-a-query→rotate-it-in rule:
-# - 5 TOUCHED names, all NEW this round: text_unicode_profile and
+# - 6 TOUCHED names, all NEW this round: text_unicode_profile and
 #   text_encoding_policy (per-doc
 #   unicode class census — the batch twin of the r13 unicode degenerate
 #   corpus; verified vs its oracle at sf0.01 and on the unicode /
@@ -61,15 +61,16 @@ _MODULES = (
 #   ann_pq_kmeans_recall_indexed (the persisted-index query paths —
 #   result-identical to dedup_minhash_lsh / ann_ivf_topk /
 #   ann_pq_kmeans_recall; the first is also in this window, so both
-#   minhash paths attest the same round).
+#   minhash paths attest the same round) and minhash_index_stats
+#   (store-vs-recompute consistency panel).
 # - all 33 names whose latest verdict is r9 — the oldest evidence in
 #   the project (`tools/freshness.py --suggest`).
-# - 12 r10-freshness fills (next-oldest cohort, oldest-first order).
+# - 11 r10-freshness fills (next-oldest cohort, oldest-first order).
 _FIRST_50 = (
     # touched this round (new queries)
     "text_unicode_profile", "text_encoding_policy",
     "dedup_minhash_lsh_indexed", "ann_ivf_topk_indexed",
-    "ann_pq_kmeans_recall_indexed",
+    "ann_pq_kmeans_recall_indexed", "minhash_index_stats",
     # r9-stale (latest verdict is r9)
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming1",
     "dedup_substring_runs", "q11_important_parts", "q12_shipmode_priority",
@@ -88,7 +89,7 @@ _FIRST_50 = (
     "agg_approx_stats", "agg_bit_bool", "agg_percentiles",
     "agg_rollup_region_nation", "ann_ivf_recall", "ann_ivf_topk",
     "ann_lsh_buckets", "ann_pq_adc", "asof_join_error_purchase",
-    "asof_join_forward", "basket_brand_lift", "basket_brand_pairs",
+    "asof_join_forward", "basket_brand_lift",
 )
 
 

@@ -457,8 +457,11 @@ def minhash_pairs_from(
     return verified.select("id1", "id2", "jaccard")
 
 
-_MINHASH_SQL = f"""
-WITH {_SHINGLE_CTE},
+# Shared CTE prefix producing the LSH band rows — the single SQL-side
+# definition of the 16-hash / 4x4-band space (mirrors band_rows_of);
+# consumed by _MINHASH_SQL and the index-stats oracle so the two can
+# never diverge on banding parameters.
+_BANDS_CTES = f"""{_SHINGLE_CTE},
 sig AS (
   SELECT doc_id, j,
          min(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
@@ -470,7 +473,11 @@ bands AS (
          md5(string_agg(h, '' ORDER BY j)) AS band_hash
   FROM sig
   GROUP BY doc_id, j // 4
-),
+)"""
+
+
+_MINHASH_SQL = f"""
+WITH {_BANDS_CTES},
 bstats AS (
   SELECT band_idx, band_hash, count(*) AS bsz, min(doc_id) AS hub
   FROM bands

@@ -203,6 +203,55 @@ def dedup_minhash_lsh_indexed(
     return minhash_pairs_from(sh, br)
 
 
+def minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational observability for the persisted index: per band, the
+    stored row count, occupied-bucket count, largest bucket, and how
+    many buckets exceed MAX_BAND_FREQ (i.e. run star expansion).  The
+    panel that tells an operator whether boilerplate is flooding a band
+    BEFORE a dedup job pays for it.
+
+    Reads the STORE while the oracle recomputes from ``documents`` — a
+    green hash-match is therefore also an end-to-end index-consistency
+    check (stored band rows ≡ the banding of the current corpus)."""
+    path = ensure_minhash_index(spark, sf_dir)
+    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    bands = _read(
+        spark,
+        os.path.join(path, "bands"),
+        StructType.fromJson(meta["bands"]),
+    ).dropDuplicates()
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bsz")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.sum("bsz").alias("n_rows"),
+        F.count("*").alias("n_buckets"),
+        F.max("bsz").alias("max_bucket"),
+        F.count(F.when(F.col("bsz") > MAX_BAND_FREQ, 1)).alias(
+            "n_star_buckets"
+        ),
+    )
+
+
+def _index_stats_oracle() -> str:
+    from streaming_amqp_spark.operators.dedup import _BANDS_CTES
+
+    return f"""
+WITH {_BANDS_CTES},
+buckets AS (
+  SELECT band_idx, band_hash, count(*) AS bsz
+  FROM bands GROUP BY 1, 2
+)
+SELECT band_idx,
+       CAST(sum(bsz) AS BIGINT) AS n_rows,
+       count(*) AS n_buckets,
+       CAST(max(bsz) AS BIGINT) AS max_bucket,
+       count(CASE WHEN bsz > {MAX_BAND_FREQ} THEN 1 END) AS n_star_buckets
+FROM buckets
+GROUP BY band_idx
+"""
+
+
 # ---------------------------------------------------------------- IVF
 
 _IVF_VERSION = "ivfidx-v1"
@@ -384,6 +433,7 @@ def _pq_indexed_oracle() -> str:
 
 QUERIES = {
     "dedup_minhash_lsh_indexed": dedup_minhash_lsh_indexed,
+    "minhash_index_stats": minhash_index_stats,
     "ann_ivf_topk_indexed": ann_ivf_topk_indexed,
     "ann_pq_kmeans_recall_indexed": ann_pq_kmeans_recall_indexed,
 }
@@ -392,6 +442,7 @@ QUERIES = {
 # in via the shared SQL builders; never fork the SQL strings)
 ORACLES = {
     "dedup_minhash_lsh_indexed": _MINHASH_SQL,
+    "minhash_index_stats": _index_stats_oracle(),
     "ann_ivf_topk_indexed": _ivf_indexed_oracle(),
     "ann_pq_kmeans_recall_indexed": _pq_indexed_oracle(),
 }
