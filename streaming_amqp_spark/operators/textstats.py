@@ -1206,12 +1206,24 @@ FROM documents
 """
 
 
+# The DROP class of control characters: \p{Cc} MINUS ordinary document
+# whitespace (\t U+0009, \n U+000A, \r U+000D) — a multi-line or
+# tab-indented document is normal text, not transcode damage (ADVICE
+# r13: classifying on bare \p{Cc} would discard most of a real corpus;
+# the sweeps stayed green only because the test corpora are
+# single-line).  Spelled as one explicit codepoint-range class used
+# VERBATIM by both engines (Java regex and DuckDB RE2 both read
+# \xNN ranges identically), so equivalence is by construction.
+_BAD_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+
 def text_encoding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation rule the unicode census feeds: per-document
     keep/drop verdict with the FIRST failing rule as the reason —
-    replacement chars (transcode damage), raw C0/C1 controls, format-
-    control spam (zero-width flooding), or a sub-50% ASCII ratio on a
-    ≥20-char doc (mojibake heuristic; CJK corpora would tune this
+    replacement chars (transcode damage), raw C0/C1 controls (minus
+    ordinary \\t/\\n/\\r document whitespace — see _BAD_CONTROL_CLASS),
+    format-control spam (zero-width flooding), or a sub-50% ASCII ratio
+    on a ≥20-char doc (mojibake heuristic; CJK corpora would tune this
     threshold per-domain).  NULL/empty texts drop as 'empty'.  Same
     single-pass projection shape as text_unicode_profile."""
     d = _docs(spark, sf_dir)
@@ -1224,7 +1236,7 @@ def text_encoding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = (
         F.when(n_chars.isNull() | (n_chars == 0), F.lit("empty"))
         .when(cnt("�") > 0, F.lit("replacement_chars"))
-        .when(cnt(r"\p{Cc}") > 0, F.lit("control_chars"))
+        .when(cnt(_BAD_CONTROL_CLASS) > 0, F.lit("control_chars"))
         .when(cnt(r"\p{Cf}") >= 3, F.lit("format_control_spam"))
         .when(
             (n_chars >= 20)
@@ -1242,19 +1254,20 @@ def text_encoding_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENCODING_POLICY_SQL = """
+_ENCODING_POLICY_SQL = f"""
 SELECT doc_id, reason, reason = 'ok' AS keep FROM (
   SELECT doc_id,
     CASE
       WHEN text IS NULL OR length(text) = 0 THEN 'empty'
       WHEN length(text)
-           - length(regexp_replace(text, '\\x{FFFD}', '', 'g')) > 0
+           - length(regexp_replace(text, '\\x{{FFFD}}', '', 'g')) > 0
         THEN 'replacement_chars'
       WHEN length(text)
-           - length(regexp_replace(text, '\\p{Cc}', '', 'g')) > 0
+           - length(regexp_replace(text,
+               '{_BAD_CONTROL_CLASS}', '', 'g')) > 0
         THEN 'control_chars'
       WHEN length(text)
-           - length(regexp_replace(text, '\\p{Cf}', '', 'g')) >= 3
+           - length(regexp_replace(text, '\\p{{Cf}}', '', 'g')) >= 3
         THEN 'format_control_spam'
       WHEN length(text) >= 20
            AND CAST(length(text)

@@ -82,7 +82,7 @@ _UNGATED_RE = re.compile(r"\b(?:FROM|JOIN)\s+(?:embeddings|events)\b",
                          re.IGNORECASE)
 _CTE_SHADOW_RE = re.compile(
     r"(?:\bWITH\b(?:\s+RECURSIVE\b)?|,)\s*(embeddings|events)"
-    r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+    r"\s*(?:\([^)]*\))?\s+AS\s*(?:NOT\s+)?(?:MATERIALIZED\s*)?\(",
     re.IGNORECASE,
 )
 

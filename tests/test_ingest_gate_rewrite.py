@@ -79,6 +79,17 @@ def test_cte_shadowing_gated_table_raises():
             "WITH RECURSIVE embeddings(id, e) AS (SELECT 1, 2) "
             "SELECT * FROM embeddings"
         )
+    # ADVICE r13: DuckDB's AS [NOT] MATERIALIZED spellings too
+    with pytest.raises(ValueError, match="CTE"):
+        gate_oracle_sql(
+            "WITH events AS MATERIALIZED (SELECT 1 AS v) "
+            "SELECT * FROM events"
+        )
+    with pytest.raises(ValueError, match="CTE"):
+        gate_oracle_sql(
+            "WITH embeddings(v) AS NOT MATERIALIZED (SELECT 1) "
+            "SELECT * FROM embeddings"
+        )
 
 
 def test_ungated_residue_raises(monkeypatch):

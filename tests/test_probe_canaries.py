@@ -141,3 +141,44 @@ def test_ngram_builders_are_total_on_short_docs(spark):
         .collect()[0]["s"]
     )
     assert got == []
+
+
+def test_encoding_policy_keeps_ordinary_whitespace_controls(spark, tmp_path):
+    """ADVICE r13: \\p{Cc} includes \\t/\\n/\\r, so the old drop class
+    discarded every multi-line or tab-indented document — invisible to
+    the oracle gate (both engines agreed) and to the single-line test
+    corpora.  Pin the policy's intent directly: ordinary document
+    whitespace KEEPS; C0 controls, C1 controls and DEL still DROP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from streaming_amqp_spark.operators.textstats import (
+        text_encoding_policy,
+    )
+
+    rows = [
+        (1, "a multi-line document\nwith a\ttab and\r\nCRLF endings ok"),
+        (2, "null byte \x01 inside"),          # C0 control -> drop
+        (3, "c1 control \x85 inside"),          # C1 (NEL) -> drop
+        (4, "del char \x7f inside"),            # DEL -> drop
+        (5, "plain single line stays fine ok"),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array(["t"] * len(rows)),
+                "lang": pa.array(["en"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in text_encoding_policy(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("ok", True)
+    assert got[5] == ("ok", True)
+    for d in (2, 3, 4):
+        assert got[d] == ("control_chars", False), got[d]
