@@ -45,6 +45,30 @@ missing/stale marker would overwrite the same parquet directories
 concurrently — coordinate builders externally (the driver and the
 verification tools run queries serially; the streaming sink is a
 single query per path by construction).
+
+All marker/metadata IO goes through ``streaming_amqp_spark.fs`` — the
+documented local-FS ⇄ object-store seam; the parquet data itself moves
+through Spark's own Hadoop-FS readers/writers either way.
+
+Staleness, two distinct kinds:
+
+- SOURCE staleness — the corpus at ``sf_dir`` was regenerated in place
+  (resynthesized sweep corpora, rebuilt bench sf1).  Guarded by folding
+  ``fs.stat_fingerprint`` of the source table into every ``_DONE``
+  marker: ``ensure_*`` sees the mismatch and rebuilds instead of
+  serving an index of the OLD data (ADVICE r13).
+- TRAINED-ARTIFACT staleness — appends grow the stored relations while
+  the trained part (IVF centroids, PQ codebook) stays frozen at its
+  last training run.  That is the deliberate contract of an appendable
+  ANN index (recall decays gradually; it is never "wrong" in the
+  oracle sense, because search semantics are defined BY the trained
+  artifact).  ``ivf_index_staleness`` / ``pq_index_staleness`` report
+  the appended fraction; the documented retrain trigger is ≥ 10%
+  appended since last training (RETRAIN_APPEND_FRACTION), at which
+  point run ``retrain_ivf_centroids`` (cheap: one aggregate over the
+  stored vectors) or ``build_pq_index`` (PQ retrain IS the rebuild:
+  Lloyd depends on the full corpus and every stored code must be
+  re-encoded under the new codebook).
 """
 
 from __future__ import annotations
@@ -52,10 +76,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
 from pyspark.sql.types import StructType
+
+from streaming_amqp_spark import fs
 
 from streaming_amqp_spark.operators.dedup import (
     MAX_BAND_FREQ,
@@ -68,9 +95,15 @@ from streaming_amqp_spark.operators.dedup import (
 )
 
 INDEX_ROOT = "/tmp/spark_graft_index"
-_INDEX_VERSION = "mhidx-v3"  # v2: raw band rows, stats at query time;
-# v3: _SCHEMA sidecar so zero-row (empty-corpus) indexes load
+_INDEX_VERSION = "mhidx-v4"  # v2: raw band rows, stats at query time;
+# v3: _SCHEMA sidecar so zero-row (empty-corpus) indexes load;
+# v4: source-data fingerprint in the marker, _COMPACT-aware reads
 _N_SHINGLE_BUCKETS = 8
+
+# Documented retrain trigger for the appendable ANN indexes: once the
+# appended fraction of the stored relation reaches this, the frozen
+# trained artifact (IVF centroids / PQ codebook) should be refreshed.
+RETRAIN_APPEND_FRACTION = 0.10
 
 
 def minhash_index_path(sf_dir: str) -> str:
@@ -78,8 +111,20 @@ def minhash_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"minhash_{tag}")
 
 
+def _src_tag(sf_dir: str, table: str) -> str:
+    """source identity + content fingerprint of the ONE table an index
+    derives from — a corpus regenerated in place (same path, new data)
+    changes the fingerprint and forces a rebuild (ADVICE r13)."""
+    src = os.path.abspath(sf_dir)
+    fp = fs.stat_fingerprint(os.path.join(src, f"{table}.parquet"))
+    return f"src={src}|fp={fp}"
+
+
 def _marker_want(sf_dir: str) -> str:
-    return f"{_INDEX_VERSION}|src={os.path.abspath(sf_dir)}|cap={MAX_BAND_FREQ}"
+    return (
+        f"{_INDEX_VERSION}|{_src_tag(sf_dir, 'documents')}"
+        f"|cap={MAX_BAND_FREQ}"
+    )
 
 
 def _write_batch(sh: DataFrame, path: str, mode: str) -> None:
@@ -104,21 +149,26 @@ def _write_batch(sh: DataFrame, path: str, mode: str) -> None:
     bands.write.mode(mode).partitionBy("band_idx").parquet(
         os.path.join(path, "bands")
     )
-    if mode != "append" or not os.path.exists(os.path.join(path, "_SCHEMA")):
+    if mode != "append" or not fs.exists(os.path.join(path, "_SCHEMA")):
         # persist both read schemas: a zero-row build (empty corpus /
         # empty bootstrap increment) writes no parquet part files, and
         # read-side inference then fails with UNABLE_TO_INFER_SCHEMA —
         # found by the r13 empty-corpus sweep on this very module.
         # (append-to-fresh-dir — a stream bootstrapping its own index —
         # also writes it)
-        with open(os.path.join(path, "_SCHEMA"), "w") as fh:
-            json.dump(
+        fs.write_text(
+            os.path.join(path, "_SCHEMA"),
+            json.dumps(
                 {
                     "shingles": sh.schema.jsonValue(),
                     "bands": bands.schema.jsonValue(),
-                },
-                fh,
-            )
+                }
+            ),
+        )
+    if mode != "append":
+        # a fresh build holds no replay duplicates by construction, so
+        # reads may skip normalization until the first append arrives
+        fs.write_text(os.path.join(path, "_COMPACT"), "clean")
 
 
 def _read(spark: SparkSession, data_dir: str, schema: StructType) -> DataFrame:
@@ -139,6 +189,11 @@ def append_minhash_index(docs: DataFrame, path: str) -> None:
     immediately — bucket stats are computed at query time, so a bucket
     that grows past MAX_BAND_FREQ through appends switches to star
     expansion exactly as a built-from-scratch index would."""
+    # the store may now hold replay duplicates (at-least-once streaming
+    # appends) — clear the compaction flag FIRST so a crash between the
+    # two steps fails safe (reads normalize when they didn't need to,
+    # never the reverse)
+    fs.remove(os.path.join(path, "_COMPACT"))
     _write_batch(shingles_of(docs), path, "append")
 
 
@@ -146,47 +201,91 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     path = minhash_index_path(sf_dir)
     marker = os.path.join(path, "_DONE")
     want = _marker_want(sf_dir)
-    if os.path.exists(marker) and open(marker).read().strip() == want:
+    if fs.exists(marker) and fs.read_text(marker).strip() == want:
         return path
-    os.makedirs(path, exist_ok=True)
-    if os.path.exists(marker):
-        os.unlink(marker)  # stale build: never serve it mid-rebuild
+    fs.makedirs(path)
+    fs.remove(marker)  # stale build: never serve it mid-rebuild
     build_minhash_index(spark, sf_dir, path)
-    with open(marker, "w") as fh:
-        fh.write(want)
+    fs.write_text(marker, want)
     return path
+
+
+def _load_raw(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Both stored relations, normalized only when they might hold
+    replay duplicates.
+
+    Appends are at-least-once (a crashed streaming batch may replay —
+    streaming/index_sink.py), so a doc's rows can be stored more than
+    once.  Absent the ``_COMPACT`` flag, both datasets collapse by FULL
+    row value — a replay writes byte-identical rows (shingles_of is
+    deterministic), so full-row dedup is exact for replays AND
+    deterministic: deduping shingles by doc_id alone would silently
+    pick an arbitrary (layout-dependent!) variant if a contract-
+    violating append ever reused a doc_id with different text, masking
+    the violation with exactly the nondeterminism class the roworder
+    sweep exists to catch.  This is what turns at-least-once storage
+    into effectively-once query semantics (bsz/hub would otherwise
+    count the replay and could flip a bucket to star expansion).
+
+    With ``_COMPACT`` present — a fresh build, or after
+    ``compact_minhash_index`` — the store is duplicate-free by
+    construction and reads skip the normalization shuffle entirely (at
+    100 TB that is a full extra pass over the wide shingle arrays; the
+    r13 measurement put it at noise level only because the pair phase
+    re-shuffles those rows anyway)."""
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
+    sh = _read(
+        spark,
+        os.path.join(path, "shingles"),
+        StructType.fromJson(meta["shingles"]),
+    )
+    bands = _read(
+        spark,
+        os.path.join(path, "bands"),
+        StructType.fromJson(meta["bands"]),
+    )
+    if not fs.exists(os.path.join(path, "_COMPACT")):
+        sh = sh.dropDuplicates()
+        bands = bands.dropDuplicates()
+    return sh, bands
 
 
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Reads NORMALIZE: appends are at-least-once (a crashed streaming
-    batch may replay — streaming/index_sink.py), so a doc's rows can be
-    stored more than once.  Both datasets collapse by FULL row value —
-    a replay writes byte-identical rows (shingles_of is deterministic),
-    so full-row dedup is exact for replays AND deterministic: deduping
-    shingles by doc_id alone would silently pick an arbitrary (layout-
-    dependent!) variant if a contract-violating append ever reused a
-    doc_id with different text, masking the violation with exactly the
-    nondeterminism class the roworder sweep exists to catch.  Map-side-
-    combinable aggregates over narrow columns either way — this is what
-    turns at-least-once storage into effectively-once query semantics
-    (bsz/hub would otherwise count the replay and could flip a bucket
-    to star expansion)."""
-    meta = json.load(open(os.path.join(path, "_SCHEMA")))
-    sh = _read(
-        spark,
-        os.path.join(path, "shingles"),
-        StructType.fromJson(meta["shingles"]),
-    ).dropDuplicates()
-    br = annotate_band_stats(
-        _read(
-            spark,
-            os.path.join(path, "bands"),
-            StructType.fromJson(meta["bands"]),
-        ).dropDuplicates()
-    )
-    return sh, br
+    sh, bands = _load_raw(spark, path)
+    return sh, annotate_band_stats(bands)
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Rewrite both datasets duplicate-free and flip the ``_COMPACT``
+    flag so subsequent loads skip the normalizing shuffle — the
+    periodic maintenance job that keeps read cost flat however many
+    at-least-once streamed batches have landed.  Query results are
+    IDENTICAL before and after (normalization computes the same
+    relation at read time that compaction materializes once).
+
+    Single-writer contract applies; run it when no maintenance stream
+    is active on this path."""
+    sh, bands = _load_raw(spark, path)
+    # materialize away from the directories being replaced, then swap —
+    # a lazy Spark plan cannot overwrite its own input
+    for name, df, part in (
+        ("shingles", sh.repartition(_N_SHINGLE_BUCKETS, "doc_id"), None),
+        ("bands", bands, "band_idx"),
+    ):
+        tmp = os.path.join(path, f"{name}.compact")
+        w = df.write.mode("overwrite")
+        (w.partitionBy(part) if part else w).parquet(tmp)
+        # local-FS directory swap; on an object store this becomes the
+        # copy-then-delete (or rename, where atomic) of the same seam
+        # the fs module documents
+        final = os.path.join(path, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+    fs.write_text(os.path.join(path, "_COMPACT"), "compacted")
 
 
 def dedup_minhash_lsh_indexed(
@@ -214,12 +313,7 @@ def minhash_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     green hash-match is therefore also an end-to-end index-consistency
     check (stored band rows ≡ the banding of the current corpus)."""
     path = ensure_minhash_index(spark, sf_dir)
-    meta = json.load(open(os.path.join(path, "_SCHEMA")))
-    bands = _read(
-        spark,
-        os.path.join(path, "bands"),
-        StructType.fromJson(meta["bands"]),
-    ).dropDuplicates()
+    _sh, bands = _load_raw(spark, path)
     buckets = bands.groupBy("band_idx", "band_hash").agg(
         F.count("*").alias("bsz")
     )
@@ -254,7 +348,7 @@ GROUP BY band_idx
 
 # ---------------------------------------------------------------- IVF
 
-_IVF_VERSION = "ivfidx-v1"
+_IVF_VERSION = "ivfidx-v2"  # v2: source fingerprint, append + retrain
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -262,52 +356,118 @@ def ivf_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"ivf_{tag}")
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def _record_base_count(spark: SparkSession, path: str, dataset: str) -> None:
+    """Row count of the stored relation at the moment the trained
+    artifact was (re)computed — the denominator of the staleness
+    fraction.  One metadata-only parquet count."""
+    n = spark.read.parquet(os.path.join(path, dataset)).count()
+    fs.write_text(os.path.join(path, "_BASE_COUNT"), str(n))
+
+
+def build_ivf_index_from(emb: DataFrame, path: str) -> None:
     """Train once (per-label centroids), lay the vectors out by cluster:
     ``vectors/`` is directory-partitioned by ``label``, so the probe
     join's dynamic partition pruning reads ONLY probed clusters — the
     IVF promise made literal at the storage layer.  ``centroids/`` is
     the tiny broadcast side."""
     from streaming_amqp_spark.operators.similarity import (
-        _emb,
         ivf_centroids_of,
     )
 
-    emb = _emb(spark, sf_dir)
     cent = ivf_centroids_of(emb)
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     emb.write.mode("overwrite").partitionBy("label").parquet(
         os.path.join(path, "vectors")
     )
-    with open(os.path.join(path, "_SCHEMA"), "w") as fh:
-        json.dump(
+    fs.write_text(
+        os.path.join(path, "_SCHEMA"),
+        json.dumps(
             {
                 "centroids": cent.schema.jsonValue(),
                 "vectors": emb.schema.jsonValue(),
-            },
-            fh,
-        )
+            }
+        ),
+    )
+    _record_base_count(emb.sparkSession, path, "vectors")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    from streaming_amqp_spark.operators.similarity import _emb
+
+    build_ivf_index_from(_emb(spark, sf_dir), path)
+
+
+def append_ivf_index(vecs: DataFrame, path: str) -> None:
+    """Incremental IVF maintenance: append new (vec_id, label,
+    embedding) rows into their ``label=`` partitions — the coarse
+    assignment is the label, so the partition layout absorbs appends
+    natively and probe-side pruning keeps working unchanged.  The
+    CENTROIDS stay frozen at their last training (the appendable-ANN
+    contract: search semantics are defined by the trained quantizer,
+    which drifts from the corpus means as appends accumulate — track
+    with ``ivf_index_staleness`` and refresh via
+    ``retrain_ivf_centroids`` at RETRAIN_APPEND_FRACTION).  Caller owns
+    vec_id uniqueness across batches."""
+    vecs.write.mode("append").partitionBy("label").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def retrain_ivf_centroids(spark: SparkSession, path: str) -> None:
+    """Refresh the coarse quantizer from the STORED vectors — one
+    aggregate over the index, no corpus access, no vector rewrite
+    (the cheap retrain that makes build(A)+append(B)+retrain ≡
+    build(A∪B) exactly; pinned by tests/test_index_store.py)."""
+    from streaming_amqp_spark.operators.similarity import (
+        ivf_centroids_of,
+    )
+
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
+    vec = _read(
+        spark,
+        os.path.join(path, "vectors"),
+        StructType.fromJson(meta["vectors"]),
+    )
+    # centroids derive from vectors/, not centroids/, so the overwrite
+    # never reads its own output
+    ivf_centroids_of(vec).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    _record_base_count(spark, path, "vectors")
+
+
+def ivf_index_staleness(spark: SparkSession, path: str) -> dict:
+    """How far the frozen quantizer lags the stored vectors: rows at
+    last training, rows now, appended fraction, and whether the
+    documented retrain trigger has fired."""
+    base = int(fs.read_text(os.path.join(path, "_BASE_COUNT")).strip())
+    now = spark.read.parquet(os.path.join(path, "vectors")).count()
+    frac = (now - base) / base if base else float(now > 0)
+    return {
+        "base_rows": base,
+        "current_rows": now,
+        "appended_fraction": frac,
+        "retrain_due": frac >= RETRAIN_APPEND_FRACTION,
+    }
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     path = ivf_index_path(sf_dir)
     marker = os.path.join(path, "_DONE")
-    want = f"{_IVF_VERSION}|src={os.path.abspath(sf_dir)}"
-    if os.path.exists(marker) and open(marker).read().strip() == want:
+    want = f"{_IVF_VERSION}|{_src_tag(sf_dir, 'embeddings')}"
+    if fs.exists(marker) and fs.read_text(marker).strip() == want:
         return path
-    os.makedirs(path, exist_ok=True)
-    if os.path.exists(marker):
-        os.unlink(marker)
+    fs.makedirs(path)
+    fs.remove(marker)
     build_ivf_index(spark, sf_dir, path)
-    with open(marker, "w") as fh:
-        fh.write(want)
+    fs.write_text(marker, want)
     return path
 
 
 def load_ivf_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
     vec = _read(
         spark,
         os.path.join(path, "vectors"),
@@ -340,12 +500,48 @@ def _ivf_indexed_oracle() -> str:
 
 # ----------------------------------------------------------------- PQ
 
-_PQ_VERSION = "pqidx-v1"
+_PQ_VERSION = "pqidx-v2"  # v2: source fingerprint, append + staleness
 
 
 def pq_index_path(sf_dir: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     return os.path.join(INDEX_ROOT, f"pq_{tag}")
+
+
+def build_pq_index_from(emb: DataFrame, path: str) -> None:
+    """Train the PQ codebook (Lloyd over ``emb``) and encode ``emb``
+    ONCE; store the codebook (tiny broadcast side) and the long-form
+    codes partitioned by subspace ``m``."""
+    from streaming_amqp_spark.operators.similarity import (
+        _pq_train_kmeans,
+    )
+
+    _write_pq(emb.sparkSession, emb, _pq_train_kmeans(emb), path)
+
+
+def _write_pq(
+    spark: SparkSession, emb: DataFrame, cb: DataFrame, path: str
+) -> None:
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    # re-read the materialized codebook so Lloyd doesn't run twice
+    # (once for the write above, once inside the encode)
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    from streaming_amqp_spark.operators.similarity import pq_codes_long
+
+    codes = pq_codes_long(emb, cb)
+    codes.write.mode("overwrite").partitionBy("m").parquet(
+        os.path.join(path, "codes")
+    )
+    fs.write_text(
+        os.path.join(path, "_SCHEMA"),
+        json.dumps(
+            {
+                "codebook": cb.schema.jsonValue(),
+                "codes": codes.schema.jsonValue(),
+            }
+        ),
+    )
+    _record_base_count(spark, path, "codes")
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -356,45 +552,70 @@ def build_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     from streaming_amqp_spark.operators.similarity import (
         _emb,
         _pq_trained,
-        pq_codes_long,
     )
 
-    emb = _emb(spark, sf_dir)
-    cb = _pq_trained(spark, sf_dir)
-    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    codes = pq_codes_long(emb, cb)
-    codes.write.mode("overwrite").partitionBy("m").parquet(
+    # _pq_trained is the session-cached Lloyd run (shared with the
+    # recompute queries); parquet round-trips doubles losslessly, so
+    # re-reading it inside _write_pq is value-identical
+    _write_pq(spark, _emb(spark, sf_dir), _pq_trained(spark, sf_dir), path)
+
+
+def append_pq_index(vecs: DataFrame, path: str) -> None:
+    """Incremental PQ maintenance: encode ONLY the new vectors with the
+    STORED codebook and append their long-form codes into the ``m=``
+    partitions.  Exactness contract: given a fixed codebook, encoding
+    is per-vector, so build(A)+append(B) holds byte-identical codes to
+    encoding A∪B under that same codebook (pinned by
+    tests/test_index_store.py).  The CODEBOOK stays frozen — unlike the
+    IVF centroids there is no cheap retrain: Lloyd depends on the full
+    corpus and a new codebook invalidates every stored code, so the PQ
+    retrain IS ``build_pq_index`` (track the trigger with
+    ``pq_index_staleness``).  Caller owns vec_id uniqueness."""
+    from streaming_amqp_spark.operators.similarity import pq_codes_long
+
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
+    cb = _read(
+        vecs.sparkSession,
+        os.path.join(path, "codebook"),
+        StructType.fromJson(meta["codebook"]),
+    )
+    pq_codes_long(vecs, cb).write.mode("append").partitionBy("m").parquet(
         os.path.join(path, "codes")
     )
-    with open(os.path.join(path, "_SCHEMA"), "w") as fh:
-        json.dump(
-            {
-                "codebook": cb.schema.jsonValue(),
-                "codes": codes.schema.jsonValue(),
-            },
-            fh,
-        )
+
+
+def pq_index_staleness(spark: SparkSession, path: str) -> dict:
+    """How far the frozen codebook lags the stored codes — same shape
+    as ``ivf_index_staleness``; when ``retrain_due`` fires, the remedy
+    is a full ``build_pq_index`` (see ``append_pq_index``)."""
+    base = int(fs.read_text(os.path.join(path, "_BASE_COUNT")).strip())
+    now = spark.read.parquet(os.path.join(path, "codes")).count()
+    frac = (now - base) / base if base else float(now > 0)
+    return {
+        "base_rows": base,
+        "current_rows": now,
+        "appended_fraction": frac,
+        "retrain_due": frac >= RETRAIN_APPEND_FRACTION,
+    }
 
 
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str:
     path = pq_index_path(sf_dir)
     marker = os.path.join(path, "_DONE")
-    want = f"{_PQ_VERSION}|src={os.path.abspath(sf_dir)}"
-    if os.path.exists(marker) and open(marker).read().strip() == want:
+    want = f"{_PQ_VERSION}|{_src_tag(sf_dir, 'embeddings')}"
+    if fs.exists(marker) and fs.read_text(marker).strip() == want:
         return path
-    os.makedirs(path, exist_ok=True)
-    if os.path.exists(marker):
-        os.unlink(marker)
+    fs.makedirs(path)
+    fs.remove(marker)
     build_pq_index(spark, sf_dir, path)
-    with open(marker, "w") as fh:
-        fh.write(want)
+    fs.write_text(marker, want)
     return path
 
 
 def load_pq_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    meta = json.load(open(os.path.join(path, "_SCHEMA")))
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
     cb = _read(
         spark,
         os.path.join(path, "codebook"),

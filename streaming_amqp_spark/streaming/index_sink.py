@@ -10,41 +10,61 @@ Delivery semantics, stated exactly:
 
 - Structured Streaming replays a failed micro-batch, so the sink is
   AT-LEAST-ONCE.  Two layers make that safe:
-  1. an epoch marker under ``<index>/_batches/<epoch_id>`` skips a
-     replay whose append already completed (the standard idempotent-
-     foreachBatch pattern);
+  1. an epoch marker under ``<index>/_batches/<run>-<epoch_id>`` skips
+     a replay whose append already completed (the standard idempotent-
+     foreachBatch pattern).  The marker is keyed by the QUERY LIFETIME
+     (a hash of the checkpoint location), not by epoch_id alone:
+     Structured Streaming restarts epoch ids from 0 under a fresh
+     checkpointLocation, so an epoch-only marker from a previous run
+     would silently SKIP every early batch of a restarted maintenance
+     stream — documents permanently missing from the index with no
+     error (ADVICE r13).  A restart that KEEPS its checkpoint keeps its
+     run key too, so genuine replays are still deduplicated.
   2. a crash BETWEEN the parquet append and the marker write still
-     leaves duplicate rows — which is why ``load_minhash_index``
-     normalizes (dropDuplicates on doc_id / band rows), turning
-     at-least-once storage into effectively-once query results.
+     leaves duplicate rows — which is why the index reads normalize
+     (full-row dropDuplicates until compaction), turning at-least-once
+     storage into effectively-once query results.
      ``tests/test_streaming_index.py`` pins both layers separately.
 - Appends assume doc_id uniqueness across the stream (same contract as
   the batch corpus); re-ingesting a REVISED text under the same doc_id
   is an upsert the LSH store does not model — route revisions through
   a rebuild.
+- Marker IO goes through ``streaming_amqp_spark.fs`` — the documented
+  local-FS ⇄ object-store seam.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from streaming_amqp_spark import fs
 from streaming_amqp_spark.operators.index_store import append_minhash_index
 
 
-def append_batch(batch_df: DataFrame, path: str, epoch_id: int) -> bool:
+def run_key(checkpoint_dir: str) -> str:
+    """Stable identity of one query lifetime: two streams share replay
+    history iff they share a checkpoint location."""
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def append_batch(
+    batch_df: DataFrame, path: str, epoch_id: int, run: str
+) -> bool:
     """Idempotent per-epoch append; returns True if the batch was
-    appended, False if the epoch marker showed it already was."""
+    appended, False if the (run, epoch) marker showed it already was."""
     done = os.path.join(path, "_batches")
-    os.makedirs(done, exist_ok=True)
-    marker = os.path.join(done, str(epoch_id))
-    if os.path.exists(marker):
+    fs.makedirs(done)
+    marker = os.path.join(done, f"{run}-{epoch_id}")
+    if fs.exists(marker):
         return False
     append_minhash_index(batch_df, path)
-    with open(marker, "w") as fh:
-        fh.write("appended")
+    fs.write_text(marker, "appended")
     return True
 
 
@@ -54,8 +74,9 @@ def start_minhash_index_maintenance(
     """``docs_stream`` must carry (doc_id, text, …).  The caller owns
     the trigger cadence; every micro-batch lands in the index before
     the epoch commits."""
+    run = run_key(checkpoint_dir)
     return (
         docs_stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda b, e: append_batch(b, path, e))
+        .foreachBatch(lambda b, e: append_batch(b, path, e, run))
         .start()
     )

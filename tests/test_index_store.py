@@ -147,3 +147,155 @@ def test_pq_indexed_equals_recompute(spark, tmp_path):
     codes = os.path.join(ixs.pq_index_path(SF_DIR), "codes")
     assert any(d.startswith("m=") for d in os.listdir(codes))
     _sh.rmtree(ixs.pq_index_path(SF_DIR), ignore_errors=True)
+
+
+def test_source_fingerprint_change_rebuilds(spark, tmp_path):
+    """ADVICE r13: a corpus regenerated IN PLACE (same path, new data —
+    exactly what the sweep tooling does on a synth-version bump) must
+    force a rebuild; src-path alone in the marker would serve a stale
+    index built from the old data."""
+    import shutil as _sh
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    _sh.copy(
+        os.path.join(SF_DIR, "documents.parquet"),
+        src / "documents.parquet",
+    )
+    p1 = ixs.ensure_minhash_index(spark, str(src))
+    want1 = open(os.path.join(p1, "_DONE")).read()
+    # regenerate the corpus in place: halve it (new size + mtime)
+    half = spark.read.parquet(str(src / "documents.parquet")).where(
+        F.col("doc_id") % 2 == 0
+    )
+    pdf = half.toPandas()
+    os.unlink(src / "documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "documents.parquet"),
+    )
+    p2 = ixs.ensure_minhash_index(spark, str(src))
+    want2 = open(os.path.join(p2, "_DONE")).read()
+    assert p1 == p2 and want1 != want2  # same path, REBUILT marker
+    sh, _ = ixs.load_minhash_index(spark, p2)
+    assert sh.count() == half.count()  # serving the NEW corpus
+    _sh.rmtree(p2, ignore_errors=True)
+
+
+def test_compaction_preserves_results_and_skips_normalization(
+    spark, tmp_path
+):
+    """Verdict r13 #6: a store that accumulated at-least-once replay
+    duplicates answers identically after compaction, and post-compact
+    loads skip the full-row dropDuplicates shuffle (no Deduplicate in
+    the executed plan) until the next append clears the flag."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    p = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.lit(False))), p, "overwrite")
+    batch = docs.limit(200)
+    ixs.append_minhash_index(batch, p)
+    ixs.append_minhash_index(batch, p)  # marker-less replay duplicate
+    before = _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, p)))
+    assert len(before) > 0
+    # pre-compact loads normalize (Deduplicate in the plan)
+    sh_pre, _ = ixs._load_raw(spark, p)
+    assert "Deduplicate" in sh_pre._jdf.queryExecution().toString()
+
+    ixs.compact_minhash_index(spark, p)
+    after = _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, p)))
+    assert after == before
+    sh_post, bands_post = ixs._load_raw(spark, p)
+    for df in (sh_post, bands_post):
+        assert "Deduplicate" not in df._jdf.queryExecution().toString()
+    # the stored rows themselves are now unique
+    assert sh_post.count() == batch.count()
+    # the next append re-enables normalization (fail-safe ordering)
+    more = docs.where(F.col("doc_id") >= 500).limit(50)
+    ixs.append_minhash_index(more, p)
+    sh_again, _ = ixs._load_raw(spark, p)
+    assert "Deduplicate" in sh_again._jdf.queryExecution().toString()
+
+
+def test_ivf_append_plus_retrain_equals_full_build(spark, tmp_path):
+    """Verdict r13 #4: build(A) + append(B) + retrain ≡ build(A∪B)
+    exactly — appends land in their label= partitions, and the cheap
+    retrain (one aggregate over the STORED vectors, no corpus pass)
+    refreshes the coarse quantizer to what a from-scratch build would
+    train."""
+    from streaming_amqp_spark.operators.similarity import ivf_topk_from
+    from streaming_amqp_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    ixs.build_ivf_index_from(half_a, inc)
+    ixs.append_ivf_index(half_b, inc)
+    # staleness panel: ~100% appended → retrain due
+    st = ixs.ivf_index_staleness(spark, inc)
+    assert st["retrain_due"] and st["appended_fraction"] > 0.5
+    ixs.retrain_ivf_centroids(spark, inc)
+    st2 = ixs.ivf_index_staleness(spark, inc)
+    assert not st2["retrain_due"] and st2["appended_fraction"] == 0.0
+
+    full = str(tmp_path / "ivf_full")
+    ixs.build_ivf_index_from(emb, full)
+    q_inc = _rows(ivf_topk_from(*ixs.load_ivf_index(spark, inc)))
+    q_full = _rows(ivf_topk_from(*ixs.load_ivf_index(spark, full)))
+    assert q_inc == q_full and len(q_inc) > 0
+    # appends landed inside the label= partition layout (pruning intact)
+    vecs_dir = os.path.join(inc, "vectors")
+    assert all(
+        d.startswith("label=") or d.startswith("_") or d.startswith(".")
+        for d in os.listdir(vecs_dir)
+    ), os.listdir(vecs_dir)
+
+
+def test_ivf_append_without_retrain_serves_frozen_quantizer(
+    spark, tmp_path
+):
+    """The documented staleness contract: between retrains, searches
+    run against the LAST-trained centroids (never an error, never a
+    half-updated quantizer) while the appended vectors are already
+    searchable."""
+    from streaming_amqp_spark.tables import load_table
+    from tests.oracle import canon as _canon
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "ivf")
+    ixs.build_ivf_index_from(half_a, p)
+    cent_before = _rows(ixs.load_ivf_index(spark, p)[1])
+    ixs.append_ivf_index(half_b, p)
+    vec, cent = ixs.load_ivf_index(spark, p)
+    assert _rows(cent) == cent_before  # frozen between retrains
+    assert vec.count() == emb.count()  # appended rows searchable
+
+
+def test_pq_append_encodes_with_stored_codebook(spark, tmp_path):
+    """Verdict r13 #4: with the codebook FIXED (trained on the base
+    corpus), encoding is per-vector — so build(A) + append(B) holds
+    exactly the codes that encoding A∪B under that same codebook
+    yields.  (A codebook RETRAIN invalidates every stored code, which
+    is why the PQ retrain is build_pq_index — see append_pq_index.)"""
+    from streaming_amqp_spark.operators.similarity import pq_codes_long
+    from streaming_amqp_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "pq")
+    ixs.build_pq_index_from(half_a, p)
+    st0 = ixs.pq_index_staleness(spark, p)
+    assert not st0["retrain_due"]
+    ixs.append_pq_index(half_b, p)
+    cb, codes = ixs.load_pq_index(spark, p)
+    want = _rows(pq_codes_long(emb, cb))
+    assert _rows(codes) == want and len(want) > 0
+    st = ixs.pq_index_staleness(spark, p)
+    assert st["retrain_due"] and st["appended_fraction"] > 0.5

@@ -67,10 +67,41 @@ def test_epoch_replay_is_skipped_by_marker(spark, tmp_path):
     docs = _docs(spark).limit(100)
     path = str(tmp_path / "ix")
     ixs._write_batch(shingles_of(docs.where(F.lit(False))), path, "overwrite")
-    assert append_batch(docs, path, epoch_id=7) is True
+    assert append_batch(docs, path, epoch_id=7, run="runA") is True
     before = _query(spark, path)
-    assert append_batch(docs, path, epoch_id=7) is False  # replay skipped
+    # replay within the SAME query lifetime: skipped
+    assert append_batch(docs, path, epoch_id=7, run="runA") is False
     assert _query(spark, path) == before
+
+
+def test_fresh_checkpoint_restart_does_not_skip_early_epochs(
+    spark, tmp_path
+):
+    """ADVICE r13: epoch ids restart from 0 under a new
+    checkpointLocation, so markers keyed by epoch alone would silently
+    skip every early batch of a restarted maintenance stream.  Keyed by
+    (run, epoch), a NEW run's epoch 0 appends even though an OLD run
+    already used epoch 0 — and the new docs are queryable."""
+    from streaming_amqp_spark.streaming.index_sink import run_key
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.lit(False))), path, "overwrite")
+    first = docs.where(F.col("doc_id") < 100)
+    second = docs.where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+    )
+    assert append_batch(first, path, epoch_id=0, run="run-old") is True
+    n_before = len(_query(spark, path))
+    # restarted stream, fresh checkpoint → different run key, epoch 0
+    assert append_batch(second, path, epoch_id=0, run="run-new") is True
+    sh, _br = ixs.load_minhash_index(spark, path)
+    assert sh.count() == first.count() + second.count()
+    assert len(_query(spark, path)) >= n_before
+    # and the run key derives from the checkpoint location: same dir →
+    # same key (replays dedup), different dir → different key
+    assert run_key(str(tmp_path / "ck1")) == run_key(str(tmp_path / "ck1"))
+    assert run_key(str(tmp_path / "ck1")) != run_key(str(tmp_path / "ck2"))
 
 
 def test_markerless_duplicate_append_is_normalized(spark, tmp_path):
