@@ -48,48 +48,51 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-13 window (176 registered total; cumulative ledger after r12:
+# Round-14 window (181 registered total; cumulative ledger after r13:
 # every query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r9:33 r10:46 r11:46 r12:50).
+# latest-verdict distribution r10:35 r11:46 r12:50 r13:50).
 # Composition, per the touch-a-query→rotate-it-in rule:
-# - 6 TOUCHED names, all NEW this round: text_unicode_profile and
-#   text_encoding_policy (per-doc
-#   unicode class census — the batch twin of the r13 unicode degenerate
-#   corpus; verified vs its oracle at sf0.01 and on the unicode /
-#   pathological / empty / one_row corpora before registration) and
-#   dedup_minhash_lsh_indexed / ann_ivf_topk_indexed /
-#   ann_pq_kmeans_recall_indexed (the persisted-index query paths —
-#   result-identical to dedup_minhash_lsh / ann_ivf_topk /
-#   ann_pq_kmeans_recall; the first is also in this window, so both
-#   minhash paths attest the same round) and minhash_index_stats
-#   (store-vs-recompute consistency panel).
-# - all 33 names whose latest verdict is r9 — the oldest evidence in
-#   the project (`tools/freshness.py --suggest`).
-# - 11 r10-freshness fills (next-oldest cohort, oldest-first order).
+# - 5 names TOUCHED this round: text_encoding_policy (control-char drop
+#   class excludes \t\n\r, ADVICE r13) and the four persisted-index
+#   serving paths (store rework: source fingerprints, _COMPACT-aware
+#   reads — dedup_minhash_lsh_indexed / ann_ivf_topk_indexed /
+#   ann_pq_kmeans_recall_indexed / minhash_index_stats).
+# - 3 names VERDICT r13 #5 called out as touched-in-r13-but-unrotated:
+#   dedup_containment, dedup_cross_source, ann_pq_kmeans_recall.
+# - all 35 names whose latest verdict is r10 — the oldest evidence
+#   (`tools/freshness.py --suggest`); note 8 of them are events-family,
+#   so the new events.ts ingest gate (which touches every events plan;
+#   the full-registry sweeps attest the rest) is driver-attested too.
+# - 7 r11 fills: the 5 oldest alphabetically plus the cohort's two
+#   events-family names (events_conversion_latency,
+#   events_cum_distinct_users), preferred within the equal-age cohort
+#   because the ts gate changed their plans this round.
 _FIRST_50 = (
-    # touched this round (new queries)
-    "text_unicode_profile", "text_encoding_policy",
-    "dedup_minhash_lsh_indexed", "ann_ivf_topk_indexed",
-    "ann_pq_kmeans_recall_indexed", "minhash_index_stats",
-    # r9-stale (latest verdict is r9)
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_hamming1",
-    "dedup_substring_runs", "q11_important_parts", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_promo_revenue_ratio",
-    "q15_top_supplier", "q16_part_supplier", "q17_small_quantity",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q20_potential_promotion", "q21_waiting_suppliers",
-    "q22_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "sample_weighted_bernoulli",
-    "streaming_dedup_twin", "streaming_rollup_twin", "text_bpe_compression",
-    "text_domain_divergence", "text_lang_confusion", "text_repetition_stats",
-    "text_scrub_dup_chunks", "text_vocab_growth",
-    "window_topk_orders_per_customer",
-    # r10-freshness fills (next-oldest cohort, oldest-first)
-    "agg_approx_stats", "agg_bit_bool", "agg_percentiles",
-    "agg_rollup_region_nation", "ann_ivf_recall", "ann_ivf_topk",
-    "ann_lsh_buckets", "ann_pq_adc", "asof_join_error_purchase",
-    "asof_join_forward", "basket_brand_lift",
+    # touched this round
+    "text_encoding_policy", "dedup_minhash_lsh_indexed",
+    "ann_ivf_topk_indexed", "ann_pq_kmeans_recall_indexed",
+    "minhash_index_stats",
+    # r13-touched, unrotated then (VERDICT r13 #5)
+    "dedup_containment", "dedup_cross_source", "ann_pq_kmeans_recall",
+    # r10-stale (latest verdict is r10) — the full cohort
+    "basket_brand_pairs", "brand_graph_pagerank", "contamination_check",
+    "corpus_len_histogram", "customer_order_gaps", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_simhash_buckets", "embedding_centroids",
+    "envelope_map_functions", "events_cusum_alarms", "events_cusum_daily",
+    "events_ewma", "events_from_json_typed", "events_interval_join_binned",
+    "events_retention", "events_seasonal_anomaly", "events_window_5s_max",
+    "full_outer_nation_profile", "hist_order_totalprice",
+    "orders_cohort_ltv", "pivot_status_by_priority",
+    "priciest_part_per_brand", "range_join_signup_clicks",
+    "sample_deterministic", "scalar_function_showcase", "scd_priority_asof",
+    "semi_join_big_orders", "set_ops_nation_presence",
+    "sort_limit_top_lineitems", "split_train_val_test",
+    "streaming_cms_topk_twin", "window_lag_event_delta",
+    "window_range_frame_7d", "window_running_revenue",
+    # r11 fills (oldest-first + the cohort's gate-touched events names)
+    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
+    "ann_pq_recall", "ann_two_stage_recall", "events_conversion_latency",
+    "events_cum_distinct_users",
 )
 
 

@@ -49,7 +49,20 @@ EMBEDDING_DIMS = 64
 #   on the cast, and an in-range-double but out-of-DECIMAL(18,6) value
 #   (the r12 extreme-corpus probe: a 1e12 telemetry counter) crashes
 #   BOTH engines' casts with NUMERIC_VALUE_OUT_OF_RANGE mid-job.
+# - events.ts: a NULL timestamp, or one outside [1900-01-01,
+#   2200-01-01), DROPS the row (r14 temporal-extremes corpus).  An
+#   events row exists to be placed in time; a bad-clock timestamp
+#   (device sends year 9999) is quarantined at ingest because the
+#   densifying operators (events_resample_15m materializes the
+#   min→max slot grid; burst binning explodes hour sequences) would
+#   otherwise turn ONE corrupt row into a multi-hundred-million-row
+#   grid in BOTH engines — the classic single-poison-pill OOM at
+#   100 TB.  Pre-epoch timestamps are VALID (negative epoch
+#   arithmetic is exercised by the temporal corpus); the bounds are
+#   generous enough for any real telemetry.
 EVENTS_VALUE_DOMAIN = 1e12  # DECIMAL(18,6): 12 integer digits
+EVENTS_TS_MIN = "1900-01-01"
+EVENTS_TS_MAX = "2200-01-01"  # exclusive
 
 ORACLE_INGEST_GATES: dict[str, str] = {
     "embeddings": (
@@ -62,6 +75,9 @@ ORACLE_INGEST_GATES: dict[str, str] = {
         "SELECT * REPLACE (CASE WHEN value IS NULL OR (isfinite(value)"
         f" AND abs(value) < {EVENTS_VALUE_DOMAIN!r})"
         " THEN value END AS value) FROM events"
+        " WHERE ts IS NOT NULL"
+        f" AND ts >= TIMESTAMP '{EVENTS_TS_MIN}'"
+        f" AND ts < TIMESTAMP '{EVENTS_TS_MAX}'"
     ),
 }
 
@@ -168,11 +184,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"events.ts: unexpected parquet dtype {ts_type!r}; expected "
                 "bigint (legacy nanos), timestamp_ntz, or timestamp"
             )
-        # ingest gate (see ORACLE_INGEST_GATES): non-finite or
-        # out-of-DECIMAL(18,6)-domain metric -> NULL
+        # ingest gates (see ORACLE_INGEST_GATES): non-finite or
+        # out-of-DECIMAL(18,6)-domain metric -> NULL; NULL or
+        # out-of-domain timestamp -> row dropped (bad-clock quarantine)
         v = F.col("value")
         in_domain = ~F.isnan(v) & (F.abs(v) < F.lit(EVENTS_VALUE_DOMAIN))
         df = df.withColumn("value", F.when(v.isNull() | in_domain, v))
+        ts = F.col("ts")
+        df = df.where(
+            ts.isNotNull()
+            & (ts >= F.lit(EVENTS_TS_MIN).cast("timestamp"))
+            & (ts < F.lit(EVENTS_TS_MAX).cast("timestamp"))
+        )
     elif name == "embeddings":
         # ingest gate (see ORACLE_INGEST_GATES): malformed vectors are
         # excluded from index, queries, and training

@@ -182,3 +182,59 @@ def test_encoding_policy_keeps_ordinary_whitespace_controls(spark, tmp_path):
     assert got[5] == ("ok", True)
     for d in (2, 3, 4):
         assert got[d] == ("control_chars", False), got[d]
+
+
+def test_temporal_corpus_gate_quarantines_bad_clocks(spark, tmp_path):
+    """Non-vacuity of the r14 temporal corpus: the raw file really
+    carries the two bad-clock rows (year 9999 and 2262 — the poison
+    pills that would densify the resample grid into hundreds of
+    millions of slots), and the events ts ingest gate really drops
+    exactly those two while KEEPING every in-domain extreme (pre-epoch
+    1969 rows, epoch zero, the 2025 clock-skew row)."""
+    from degenerate_sweep import synth_temporal
+
+    from streaming_amqp_spark.tables import load_table
+
+    synth_temporal(SF001, str(tmp_path))
+    raw = spark.read.parquet(str(tmp_path / "events.parquet"))
+    raw_years = {
+        r["y"] for r in raw.select(F.year("ts").alias("y")).collect()
+    }
+    assert {9999, 2262} <= raw_years  # the poison pills are present
+    gated = load_table(spark, str(tmp_path), "events")
+    years = {r["y"] for r in gated.select(F.year("ts").alias("y")).collect()}
+    assert 9999 not in years and 2262 not in years  # quarantined
+    assert {1969, 1970, 2025} <= years  # in-domain extremes KEPT
+    assert gated.count() == raw.count() - 2
+
+
+def test_temporal_corpus_has_zero_event_day_gap(spark, tmp_path):
+    """The corpus removes every event on one mid-series day, so the
+    densified resample grid must mark gap slots there — the forward-
+    fill path is actually exercised, not vacuously green."""
+    from degenerate_sweep import synth_temporal
+
+    from streaming_amqp_spark.plans.events import events_resample_15m
+
+    synth_temporal(SF001, str(tmp_path))
+    src_days = {
+        r["d"]
+        for r in spark.read.parquet(os.path.join(SF001, "events.parquet"))
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    }
+    twin_days = {
+        r["d"]
+        for r in spark.read.parquet(str(tmp_path / "events.parquet"))
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    }
+    removed = src_days - twin_days
+    assert len(removed) == 1  # exactly one zero-event day mid-series
+    grid = events_resample_15m(spark, str(tmp_path))
+    gap_on_removed_day = grid.where(
+        (F.to_date("slot") == list(removed)[0]) & F.col("is_gap")
+    )
+    assert gap_on_removed_day.count() > 0

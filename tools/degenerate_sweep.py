@@ -1,7 +1,8 @@
-"""Degenerate-input verification matrix: seven adversarial corpora ×
+"""Degenerate-input verification matrix: eight adversarial corpora ×
 the full query registry vs the DuckDB oracles — the round-11 campaign
 (PARITY.md §r11-session-2) as ONE resumable, dated command, extended
-with the r12 ``extreme`` and r13 ``unicode`` corpora.
+with the r12 ``extreme``, r13 ``unicode`` and r14 ``temporal``
+corpora.
 
 A 100 TB pipeline constantly meets the regions no sf-scaled sweep can
 reach: empty partitions / empty days (``empty``), single-element groups
@@ -9,10 +10,13 @@ with broken referential integrity (``one_row``), total duplication and
 one-hot-key skew (``constant``), NULL / unicode / huge-token text
 (``pathological``), NULL/NaN/Inf metrics and vectors (``nullnan``),
 extreme-but-valid magnitudes at the exact-DECIMAL conventions' domain
-edge (``extreme``), and encoding-edge text — combining marks, astral
+edge (``extreme``), encoding-edge text — combining marks, astral
 plane, zero-width/format controls, NBSP-class whitespace, confusables,
 case-folding edges — where the two engines' unicode semantics can
-legitimately differ (``unicode``).
+legitimately differ (``unicode``), and timestamp-domain edges —
+pre-epoch, sub-second window boundaries, leap days, bad-clock rows the
+ts ingest gate quarantines, a zero-event day mid-series
+(``temporal``).
 Each corpus is synthesized deterministically from a source SF dir
 (default sf0.001 — production schemas, smallest tables) and the FULL
 registry is compared engine-vs-oracle on it.
@@ -38,6 +42,7 @@ incomplete (deadline hit — rerun with the same --state until DONE).
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import os
 import shutil
 import sys
@@ -121,6 +126,11 @@ EXPECTED_RESIDUES: dict[str, set[str]] = {
     # unicode corpus residues are filled from the first observed run
     # (r13) — see the per-name comments.
     "unicode": set(),
+    # temporal corpus (r14): first full run observed zero residues —
+    # the ts ingest gate quarantines the bad-clock rows in BOTH engines
+    # and every in-domain edge (negative epoch, sub-second boundaries,
+    # leap day, zero-event day) agreed exactly.
+    "temporal": set(),
 }
 
 
@@ -290,6 +300,83 @@ def synth_extreme(src: str, dst: str) -> None:
     )
 
 
+# Temporal extremes (r14): the TIMESTAMP domain — epoch boundaries,
+# sub-second window edges, leap day, bad-clock far-future rows the
+# events ts ingest gate (tables.EVENTS_TS_MIN/MAX) must quarantine, and
+# a zero-event day mid-series.  Each row targets a distinct edge the
+# sessionize / resample / rolling-window / burst / as-of families'
+# timestamp arithmetic has never been probed on (Spark-vs-DuckDB
+# interval/truncation/negative-epoch semantics).
+_TEMPORAL_TS = [  # python datetime spans year 1..9999 (pandas does not)
+    _dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    _dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+    _dt.datetime(1969, 7, 20, 20, 17, 40),
+    # bad clocks: the ts ingest gate must DROP these two (one past the
+    # pandas datetime64[ns] horizon, one at the far edge of SQL time) —
+    # unquarantined, the resample grid densifies min→max and ONE such
+    # row becomes a multi-hundred-million-slot explosion in BOTH engines
+    _dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+    _dt.datetime(2262, 4, 11, 23, 47, 16, 854775),
+    # quarter boundary straddled by one microsecond
+    _dt.datetime(2024, 3, 31, 23, 59, 59, 999999),
+    _dt.datetime(2024, 4, 1, 0, 0, 0, 0),
+    # leap day, 1µs into a second
+    _dt.datetime(2024, 2, 29, 12, 0, 0, 1),
+    # slight clock-skew future: IN domain, kept
+    _dt.datetime(2025, 12, 31, 23, 59, 59, 999999),
+]
+
+_TEMPORAL_DATES = [  # planted into o_orderdate / l_shipdate
+    "1999-12-31",  # Y2K eve
+    "2000-01-01",
+    "2000-02-29",  # century leap day (divisible-by-400 rule)
+    "2024-01-31",  # month boundary pair
+    "2024-02-01",
+    "1969-12-31",  # pre-epoch business date
+    "1970-01-01",
+]
+
+
+def synth_temporal(src: str, dst: str) -> None:
+    """events with epoch-boundary / sub-second-edge / bad-clock
+    timestamps and one zero-event day removed mid-series; orders and
+    lineitem with month/year/leap boundary dates."""
+    import pyarrow.compute as pc
+
+    _copy_others(src, dst, {"events", "orders", "lineitem"})
+    # events: pure pyarrow (year 9999 overflows pandas datetime64[ns])
+    t = pq.read_table(os.path.join(src, "events.parquet"))
+    days = sorted(
+        d for d in pc.unique(pc.cast(t.column("ts"), pa.date32())).to_pylist()
+        if d is not None
+    )
+    gap_day = days[len(days) // 2]
+    t = t.filter(
+        pc.not_equal(
+            pc.cast(t.column("ts"), pa.date32()),
+            pa.scalar(gap_day, pa.date32()),
+        )
+    )
+    ts_vals = t.column("ts").to_pylist()
+    for i, v in enumerate(_TEMPORAL_TS):
+        ts_vals[i] = v
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        idx, "ts", pa.array(ts_vals, type=t.schema.field("ts").type)
+    )
+    pq.write_table(t, os.path.join(dst, "events.parquet"))
+    # orders / lineitem: boundary dates (all within pandas range)
+    for name, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        df = t.to_pandas()
+        for i, d in enumerate(_TEMPORAL_DATES):
+            df.loc[i, col] = _dt.datetime.fromisoformat(d)
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=t.schema, preserve_index=False),
+            os.path.join(dst, f"{name}.parquet"),
+        )
+
+
 SYNTH = {
     "empty": synth_empty,
     "one_row": synth_one_row,
@@ -298,11 +385,12 @@ SYNTH = {
     "nullnan": synth_nullnan,
     "extreme": synth_extreme,
     "unicode": synth_unicode,
+    "temporal": synth_temporal,
 }
 
 # bump when any synthesizer changes: stale corpora rebuild instead of
 # resuming against old data (the oracle_sweep _DONE-marker discipline)
-_SYNTH_VERSION = "deg-v3"
+_SYNTH_VERSION = "deg-v4"  # v4: temporal corpus
 
 
 def ensure_corpus(name: str, src: str, base: str) -> str:
