@@ -356,11 +356,23 @@ def ivf_index_path(sf_dir: str) -> str:
     return os.path.join(INDEX_ROOT, f"ivf_{tag}")
 
 
+def _read_stored(spark: SparkSession, path: str, dataset: str) -> DataFrame:
+    """Schema-pinned read of one stored relation: a zero-row build
+    (empty corpus) writes no part files and schema INFERENCE fails with
+    UNABLE_TO_INFER_SCHEMA — the _SCHEMA sidecar makes every store
+    loadable regardless (caught by the r14 empty-corpus matrix on the
+    staleness counters)."""
+    meta = json.loads(fs.read_text(os.path.join(path, "_SCHEMA")))
+    return _read(
+        spark, os.path.join(path, dataset), StructType.fromJson(meta[dataset])
+    )
+
+
 def _record_base_count(spark: SparkSession, path: str, dataset: str) -> None:
     """Row count of the stored relation at the moment the trained
     artifact was (re)computed — the denominator of the staleness
     fraction.  One metadata-only parquet count."""
-    n = spark.read.parquet(os.path.join(path, dataset)).count()
+    n = _read_stored(spark, path, dataset).count()
     fs.write_text(os.path.join(path, "_BASE_COUNT"), str(n))
 
 
@@ -441,7 +453,7 @@ def ivf_index_staleness(spark: SparkSession, path: str) -> dict:
     last training, rows now, appended fraction, and whether the
     documented retrain trigger has fired."""
     base = int(fs.read_text(os.path.join(path, "_BASE_COUNT")).strip())
-    now = spark.read.parquet(os.path.join(path, "vectors")).count()
+    now = _read_stored(spark, path, "vectors").count()
     frac = (now - base) / base if base else float(now > 0)
     return {
         "base_rows": base,
@@ -589,7 +601,7 @@ def pq_index_staleness(spark: SparkSession, path: str) -> dict:
     as ``ivf_index_staleness``; when ``retrain_due`` fires, the remedy
     is a full ``build_pq_index`` (see ``append_pq_index``)."""
     base = int(fs.read_text(os.path.join(path, "_BASE_COUNT")).strip())
-    now = spark.read.parquet(os.path.join(path, "codes")).count()
+    now = _read_stored(spark, path, "codes").count()
     frac = (now - base) / base if base else float(now > 0)
     return {
         "base_rows": base,

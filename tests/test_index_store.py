@@ -299,3 +299,25 @@ def test_pq_append_encodes_with_stored_codebook(spark, tmp_path):
     assert _rows(codes) == want and len(want) > 0
     st = ixs.pq_index_staleness(spark, p)
     assert st["retrain_due"] and st["appended_fraction"] > 0.5
+
+
+def test_empty_corpus_ivf_pq_builds_are_loadable(spark, tmp_path):
+    """r14 empty-corpus matrix regression: the staleness counters read
+    the stored relations, and on a zero-row build (no part files)
+    schema INFERENCE fails — every stored-relation read must go through
+    the _SCHEMA sidecar instead."""
+    from streaming_amqp_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").where(F.lit(False))
+    ivf = str(tmp_path / "ivf")
+    ixs.build_ivf_index_from(emb, ivf)
+    vec, cent = ixs.load_ivf_index(spark, ivf)
+    assert vec.count() == 0 and cent.count() == 0
+    st = ixs.ivf_index_staleness(spark, ivf)
+    assert st["base_rows"] == 0 and not st["retrain_due"]
+    pq_p = str(tmp_path / "pq")
+    ixs.build_pq_index_from(emb, pq_p)
+    cb, codes = ixs.load_pq_index(spark, pq_p)
+    assert codes.count() == 0
+    st = ixs.pq_index_staleness(spark, pq_p)
+    assert st["base_rows"] == 0 and not st["retrain_due"]
