@@ -132,14 +132,17 @@ HEADLINE = [
 # not 10x — an LSH slope under 10 on that workload is strongly
 # sub-linear in output size.
 SF1_SPOT = [
-    # Order = drop order under the soft deadline (tail rows degrade
-    # first): cheap canary, then the NEWEST rows — the ones with the
-    # least slope history — so a shed tail loses re-confirmations of
-    # long-established readings, never a row's only driver-captured
-    # slope (VERDICT r10 #3: the r10 capture shed exactly the newest
-    # row, curate_substring_policy, whose sole reading then lived only
-    # in a committed run).  Standing rule: a row added to this panel
-    # goes directly after the canary, ahead of every established row.
+    # MEMBERSHIP list; the RUN order is computed by _spot_order():
+    # cheap canary first, then stalest-reading-first — each row's
+    # staleness derived from the committed BENCH_r*.json /
+    # BENCH_LOCAL.json records themselves (never-recorded rows sort
+    # first of all, preserving the r10 #3 rule that a new row's only
+    # slope must not live in a shed tail).  Under the soft deadline the
+    # shed tail is therefore the rows with the FRESHEST records, and a
+    # row shed this run becomes the stalest and runs first next run —
+    # coverage rotates across shed runs instead of re-confirming the
+    # same head forever (the r12 #1 shed-proofing ask, completed r14;
+    # persistence comes free from the repo's own committed artifacts).
     "q1_pricing_summary",
     # r13: the persisted-index query path — its slope tracks the pair
     # phase alone (the store survives _cold_min's cache clear by
@@ -177,6 +180,36 @@ SF1_SPOT = [
     "text_doc_frequency",
 ]
 _SF1_DIR = "/tmp/spark_graft_sf1"
+
+
+def _spot_order(records: list[dict] | None = None) -> list[str]:
+    """Canary first, then stalest-slope-reading first (see the SF1_SPOT
+    comment).  ``records`` is the chronological list of past bench
+    dicts; None loads the repo's committed BENCH_r*.json +
+    BENCH_LOCAL.json (oldest → newest)."""
+    if records is None:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        paths.append(os.path.join(here, "BENCH_LOCAL.json"))
+        records = []
+        for p in paths:
+            try:
+                with open(p) as fh:
+                    records.append(json.load(fh))
+            except Exception:
+                continue
+    last_seen: dict[str, int] = {}
+    for rank, rec in enumerate(records):
+        spot = rec.get("sf1_spot") or {}
+        for n, row in spot.items():
+            if isinstance(row, dict) and row.get("slope") is not None:
+                last_seen[n] = rank
+    rest = list(SF1_SPOT[1:])
+    # stable: ties (same record) keep the hand-curated membership order
+    rest.sort(key=lambda n: (last_seen.get(n, -1), SF1_SPOT.index(n)))
+    return [SF1_SPOT[0]] + rest
 
 
 def _synth_marker(base: str) -> str:
@@ -323,8 +356,10 @@ def _sf1_spot(
     query that would start past it and records what it skipped — the
     driver kills bench at an unknown wall budget, and a panel that runs
     into the kill loses the round's whole record to a truncated tail
-    (BENCH_r04/r08 lesson).  SF1_SPOT is ordered so tail-drops hit the
-    longest-established rows first.  ADVICE r9 hardening: admission
+    (BENCH_r04/r08 lesson).  Rows run in _spot_order() — canary first,
+    then stalest committed reading first — so tail-drops shed the rows
+    with the freshest records and coverage rotates across shed runs
+    (r12 #1).  ADVICE r9 hardening: admission
     reserves headroom for the row about to start (estimated at the last
     row's full elapsed — plan costs within the panel are same-order),
     and the deadline is re-checked between the sf0.1 and 10x cold legs
@@ -343,16 +378,17 @@ def _sf1_spot(
                 # the 120 s rebuild margin (ADVICE r10)
                 synth_cached = fh.read() == _synth_marker(base)
         if remaining < (30.0 if synth_cached else 120.0):
-            return {"_skipped_past_deadline": list(SF1_SPOT)}
+            return {"_skipped_past_deadline": _spot_order()}
     sf1 = _ensure_sf1(spark, base)
+    order = _spot_order()
     out: dict[str, dict] = {}
     est = 0.0  # last row's full elapsed ≈ cost of admitting one more
-    for i, name in enumerate(SF1_SPOT):
+    for i, name in enumerate(order):
         if (
             deadline_ts is not None
             and time.perf_counter() + est > deadline_ts
         ):
-            out["_skipped_past_deadline"] = SF1_SPOT[i:]
+            out["_skipped_past_deadline"] = order[i:]
             break
         fn = queries[name]
         # no noise-retry at 10x data: a slope reading tolerates host noise
@@ -366,7 +402,7 @@ def _sf1_spot(
             deadline_ts is not None
             and time.perf_counter() + 6.0 * c01 > deadline_ts
         ):
-            out["_skipped_past_deadline"] = SF1_SPOT[i:]
+            out["_skipped_past_deadline"] = order[i:]
             break
         c1 = _cold_min(spark, fn, sf1)
         est = time.perf_counter() - row_t0

@@ -207,3 +207,44 @@ def test_probe_best_all_raise_records_failure_and_returns_none():
     failed = {}
     assert bench.probe_best(fn, "k", 25_000, failed) is None
     assert "dead broker" in failed["k"]
+
+
+def test_spot_order_rotates_stalest_first(monkeypatch):
+    """r12 #1 (completed r14): run order = canary, then stalest
+    committed slope reading first, never-recorded rows ahead of all —
+    so a shed tail always holds the FRESHEST records and a row shed
+    this run rises to the front of the next."""
+    monkeypatch.setattr(bench, "SF1_SPOT", ["canary", "qa", "qb", "qc", "qd"])
+    rec = lambda *names: {  # noqa: E731
+        "sf1_spot": {n: {"slope": 1.0} for n in names}
+    }
+    # chronological records: qa seen most recently, qc older, qb oldest,
+    # qd never recorded
+    records = [rec("qb", "qc", "qa"), rec("qc"), rec("qa")]
+    order = bench._spot_order(records)
+    assert order[0] == "canary"
+    assert order[1:] == ["qd", "qb", "qc", "qa"]
+    assert set(order) == set(bench.SF1_SPOT)  # membership preserved
+    # simulate: this run sheds the tail (qa) → next run qa is stalest;
+    # the three rows just measured tie and keep membership order
+    records.append(rec("qd", "qb", "qc"))
+    assert bench._spot_order(records)[1:] == ["qa", "qb", "qc", "qd"]
+
+
+def test_spot_order_ignores_rows_without_slope_and_bad_records(monkeypatch):
+    monkeypatch.setattr(bench, "SF1_SPOT", ["canary", "qa", "qb"])
+    records = [
+        {"sf1_spot": {"qa": {"slope": None}, "_skipped_past_deadline": ["qb"]}},
+        {},  # a record with no spot panel at all
+    ]
+    # neither row has a real reading → membership order preserved
+    assert bench._spot_order(records) == ["canary", "qa", "qb"]
+
+
+def test_spot_order_loads_committed_records_for_real_membership():
+    """Against the real repo artifacts: full membership, canary first,
+    and deterministic (two calls agree)."""
+    order = bench._spot_order()
+    assert order[0] == bench.SF1_SPOT[0]
+    assert sorted(order) == sorted(bench.SF1_SPOT)
+    assert order == bench._spot_order()
