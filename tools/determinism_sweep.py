@@ -42,6 +42,15 @@ def main() -> int:
     ap.add_argument("--state", default=None, help="resume file of done names")
     ap.add_argument("--deadline", type=float, default=None)
     ap.add_argument("--only", nargs="*", help="subset of query names")
+    ap.add_argument(
+        "--alt-partitions",
+        default=ALT_PARTITIONS,
+        help="the alternate shuffle layout (default 7 — right for the "
+        "small SFs; at the synthesized ~sf1 use a value ABOVE the "
+        "core count, e.g. 48: 7 collapses big stages to 7 tasks on 32 "
+        "cores and the sweep pays a ~4x wall-clock penalty for the "
+        "same layout-invariance signal)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -96,7 +105,9 @@ def main() -> int:
             clear_shared_cache()
             baseline = result(name)
             try:
-                spark.conf.set("spark.sql.shuffle.partitions", ALT_PARTITIONS)
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", args.alt_partitions
+                )
                 clear_shared_cache()
                 relaid = result(name)
             finally:
