@@ -202,9 +202,18 @@ def _spot_order(records: list[dict] | None = None) -> list[str]:
                 continue
     last_seen: dict[str, int] = {}
     for rank, rec in enumerate(records):
+        # two record shapes exist: BENCH_LOCAL.json stores top-level
+        # sf1_spot {name: {slope: ...}}; driver BENCH_r*.json records
+        # store parsed.sf1_slopes {name: float} (ADVICE r14: the
+        # r-records previously contributed nothing, so a row shed in a
+        # driver run never rose to the front of the next run)
         spot = rec.get("sf1_spot") or {}
         for n, row in spot.items():
             if isinstance(row, dict) and row.get("slope") is not None:
+                last_seen[n] = rank
+        slopes = (rec.get("parsed") or {}).get("sf1_slopes") or {}
+        for n, v in slopes.items():
+            if isinstance(v, (int, float)):
                 last_seen[n] = rank
     rest = list(SF1_SPOT[1:])
     # stable: ties (same record) keep the hand-curated membership order

@@ -241,6 +241,50 @@ def test_spot_order_ignores_rows_without_slope_and_bad_records(monkeypatch):
     assert bench._spot_order(records) == ["canary", "qa", "qb"]
 
 
+def test_spot_order_reads_driver_record_shape(monkeypatch):
+    """ADVICE r14: the 14 committed driver records store readings as
+    parsed.sf1_slopes {name: float}, not top-level sf1_spot — they must
+    count as freshness evidence, or a row shed in a driver-captured run
+    never rises to the front of the next run (the r12 #1 goal)."""
+    monkeypatch.setattr(bench, "SF1_SPOT", ["canary", "qa", "qb", "qc"])
+    records = [
+        {"sf1_spot": {"qa": {"slope": 1.2}, "qb": {"slope": 0.9}}},  # LOCAL shape
+        {"parsed": {"sf1_slopes": {"qa": 1.1}}, "tail": "..."},      # driver shape
+    ]
+    # qc never seen → first; qb oldest reading; qa refreshed by the
+    # driver record despite no sf1_spot key
+    assert bench._spot_order(records)[1:] == ["qc", "qb", "qa"]
+    # a driver record with junk in sf1_slopes contributes nothing
+    records.append({"parsed": {"sf1_slopes": {"qb": None, "qc": "n/a"}}})
+    assert bench._spot_order(records)[1:] == ["qc", "qb", "qa"]
+
+
+def test_spot_order_real_driver_records_contribute(monkeypatch):
+    """The committed BENCH_r*.json artifacts themselves (not synthetic
+    look-alikes) must register readings — pins the loader end-to-end."""
+    import glob, json, os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    assert paths, "committed driver bench records missing"
+    records = [json.load(open(p)) for p in paths]
+    names = {
+        n
+        for r in records
+        for n, v in ((r.get("parsed") or {}).get("sf1_slopes") or {}).items()
+        if isinstance(v, (int, float))
+    }
+    assert names, "no driver record carries sf1_slopes readings"
+    some = sorted(names & set(bench.SF1_SPOT[1:]))
+    assert some, "driver readings cover no current spot row"
+    # with ONLY driver-shaped records as input, those rows sort after
+    # the never-seen rows (i.e. they were seen)
+    order = bench._spot_order(records)
+    never_seen = [n for n in order[1:] if n not in names]
+    seen = [n for n in order[1:] if n in names]
+    assert order[1:] == never_seen + seen
+
+
 def test_spot_order_loads_committed_records_for_real_membership():
     """Against the real repo artifacts: full membership, canary first,
     and deterministic (two calls agree)."""
