@@ -104,6 +104,77 @@ def test_fresh_checkpoint_restart_does_not_skip_early_epochs(
     assert run_key(str(tmp_path / "ck1")) != run_key(str(tmp_path / "ck2"))
 
 
+def test_run_key_prefers_checkpoint_metadata_query_id(tmp_path):
+    """ADVICE r14: a key hashed from the checkpoint PATH survives
+    `rm -rf ckpt` + restart at the same path, resuming the dead run's
+    markers and silently skipping the new run's early epochs.  The key
+    must come from the query id in <ckpt>/metadata, which Spark
+    regenerates whenever the checkpoint is recreated."""
+    import json
+    import shutil
+
+    from streaming_amqp_spark.streaming.index_sink import run_key
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    path_fallback = run_key(str(ck))  # no metadata yet → path hash
+    (ck / "metadata").write_text(json.dumps({"id": "query-uuid-AAA"}))
+    k1 = run_key(str(ck))
+    assert k1 != path_fallback  # metadata id takes over
+    assert run_key(str(ck)) == k1  # stable within a lifetime
+    # the reset pattern: same path, recreated checkpoint, new query id
+    shutil.rmtree(ck)
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "query-uuid-BBB"}))
+    assert run_key(str(ck)) != k1
+    # corrupt metadata degrades to the path fallback, never raises
+    (ck / "metadata").write_text("not json")
+    assert run_key(str(ck)) == path_fallback
+
+
+def test_same_path_checkpoint_reset_does_not_skip_early_epochs(
+    spark, tmp_path
+):
+    """End-to-end form of the ADVICE r14 scenario: run a maintenance
+    stream, `rm -rf` its checkpoint, start a NEW stream over NEW docs
+    at the SAME checkpoint path.  The new run's epoch 0 must append —
+    under path-hash keying the dead run's epoch-0 marker blocked it."""
+    import shutil
+
+    docs = _docs(spark)
+    path = str(tmp_path / "ix")
+    ixs._write_batch(shingles_of(docs.where(F.lit(False))), path, "overwrite")
+    ck = str(tmp_path / "ckpt")
+
+    def _run_stream(src_docs, src_dir):
+        src_docs.coalesce(1).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(src_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = start_minhash_index_maintenance(stream, path, ck)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    first = docs.where(F.col("doc_id") < 100)
+    second = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    _run_stream(first, str(tmp_path / "in1"))
+    shutil.rmtree(ck)  # the reset: same path, fresh checkpoint
+    _run_stream(second, str(tmp_path / "in2"))
+    sh, _br = ixs.load_minhash_index(spark, path)
+    assert sh.count() == first.count() + second.count()
+    # and the markers really are keyed by metadata query id: two runs,
+    # two distinct run prefixes among the epoch markers
+    prefixes = {
+        m.rsplit("-", 1)[0]
+        for m in os.listdir(os.path.join(path, "_batches"))
+    }
+    assert len(prefixes) == 2
+
+
 def test_markerless_duplicate_append_is_normalized(spark, tmp_path):
     # the crash window: append completed, marker write did not — the
     # replay appends the same rows AGAIN and only the normalizing reads
