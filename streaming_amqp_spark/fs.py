@@ -58,28 +58,44 @@ def listdir(path: str) -> list[str]:
     return sorted(os.listdir(path)) if os.path.isdir(path) else []
 
 
+_TAIL_BYTES = 65536
+
+
 def stat_fingerprint(data_path: str) -> str:
     """A cheap content fingerprint of a source dataset: the sorted
-    (relative name, size, mtime_ns) triples of every file under
-    ``data_path`` (or of the single file itself), hashed.  Regenerating
-    a corpus in place — the degenerate-sweep corpora on a synth-version
-    bump, a re-synthesized bench sf1 — changes sizes/mtimes and
-    therefore the fingerprint, which is exactly the signal the index
-    stores fold into their `_DONE` markers so a rebuilt corpus forces
-    an index rebuild instead of silently serving stale rows (ADVICE
-    r13).  On an object store this maps to listing keys with their
-    ETags/sizes — same shape, one round trip."""
+    (relative name, size, mtime_ns, tail-hash) tuples of every file
+    under ``data_path`` (or of the single file itself), hashed.
+    Regenerating a corpus in place — the degenerate-sweep corpora on a
+    synth-version bump, a re-synthesized bench sf1 — changes the
+    fingerprint, which is exactly the signal the index stores fold
+    into their `_DONE` markers so a rebuilt corpus forces an index
+    rebuild instead of silently serving stale rows (ADVICE r13).
+
+    The tail-hash term covers the stat-only blind spot (ADVICE r14): a
+    corpus restored with identical sizes AND preserved mtimes (cp -p
+    of different content, coarse-mtime filesystems) slips past
+    (name, size, mtime) alone.  The last 64 KiB of a parquet file is
+    its footer — row-group metadata, column statistics, offsets — so
+    any content change moves it; reading it costs one ranged read per
+    file, and these corpora are single-digit file counts.  On an
+    object store this maps to listing keys with ETags (a true content
+    hash, subsuming the tail read) or a ranged GET of the footer —
+    one round trip per file either way."""
     import hashlib
+
+    def entry(p: str, rel: str) -> str:
+        st = os.stat(p)
+        with open(p, "rb") as fh:
+            fh.seek(max(0, st.st_size - _TAIL_BYTES))
+            tail = hashlib.md5(fh.read(_TAIL_BYTES)).hexdigest()[:16]
+        return f"{rel}:{st.st_size}:{st.st_mtime_ns}:{tail}"
 
     parts: list[str] = []
     if os.path.isdir(data_path):
         for root, _dirs, files in os.walk(data_path):
             for f in sorted(files):
                 p = os.path.join(root, f)
-                st = os.stat(p)
-                rel = os.path.relpath(p, data_path)
-                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+                parts.append(entry(p, os.path.relpath(p, data_path)))
     elif os.path.exists(data_path):
-        st = os.stat(data_path)
-        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+        parts.append(entry(data_path, "."))
     return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:16]

@@ -270,8 +270,11 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     Single-writer contract applies; run it when no maintenance stream
     is active on this path."""
     sh, bands = _load_raw(spark, path)
-    # materialize away from the directories being replaced, then swap —
-    # a lazy Spark plan cannot overwrite its own input
+    # materialize BOTH datasets away from the directories being
+    # replaced before touching anything — a lazy Spark plan cannot
+    # overwrite its own input, and the store must stay servable until
+    # the non-Spark swap below begins
+    staged = []
     for name, df, part in (
         ("shingles", sh.repartition(_N_SHINGLE_BUCKETS, "doc_id"), None),
         ("bands", bands, "band_idx"),
@@ -279,13 +282,24 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
         tmp = os.path.join(path, f"{name}.compact")
         w = df.write.mode("overwrite")
         (w.partitionBy(part) if part else w).parquet(tmp)
+        staged.append((tmp, os.path.join(path, name)))
+    # the swap is destructive and not atomic across two directories:
+    # drop _DONE FIRST so a crash mid-swap leaves a store that
+    # ensure_minhash_index rebuilds instead of serving a dataset
+    # directory that no longer exists (ADVICE r14), and rewrite the
+    # same attestation after both swaps complete
+    marker = os.path.join(path, "_DONE")
+    want = fs.read_text(marker).strip() if fs.exists(marker) else None
+    fs.remove(marker)
+    for tmp, final in staged:
         # local-FS directory swap; on an object store this becomes the
         # copy-then-delete (or rename, where atomic) of the same seam
         # the fs module documents
-        final = os.path.join(path, name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
     fs.write_text(os.path.join(path, "_COMPACT"), "compacted")
+    if want is not None:
+        fs.write_text(marker, want)
 
 
 def dedup_minhash_lsh_indexed(

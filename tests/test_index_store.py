@@ -219,6 +219,82 @@ def test_compaction_preserves_results_and_skips_normalization(
     assert "Deduplicate" in sh_again._jdf.queryExecution().toString()
 
 
+def test_stat_fingerprint_catches_mtime_preserving_regeneration(tmp_path):
+    """ADVICE r14: a corpus restored with identical file sizes AND
+    preserved mtimes (cp -p of different content; coarse-mtime
+    filesystems) slipped past a (name, size, mtime)-only fingerprint.
+    The tail-hash content term must move it."""
+    from streaming_amqp_spark import fs
+
+    d = tmp_path / "src"
+    d.mkdir()
+    f = d / "data.parquet"
+    f.write_bytes(b"A" * 4096)
+    st = os.stat(f)
+    fp1 = fs.stat_fingerprint(str(d))
+    assert fs.stat_fingerprint(str(d)) == fp1  # stable
+    # same size, same mtime restored, DIFFERENT content
+    f.write_bytes(b"B" * 4096)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(f).st_mtime_ns == st.st_mtime_ns
+    assert fs.stat_fingerprint(str(d)) != fp1
+    # a change ONLY in bytes before the 64 KiB tail window is the
+    # documented residual blind spot for giant files — but parquet
+    # footers live in the tail, and a body change moves the footer's
+    # column statistics, so exercise the parquet-realistic case too:
+    # single-file form matches the directory walk on relative naming
+    assert fs.stat_fingerprint(str(f)) != fp1
+
+
+def test_compaction_crash_midswap_self_heals(spark, tmp_path, monkeypatch):
+    """ADVICE r14: the compaction swap (rmtree final, rename tmp) is
+    not atomic — a crash between the two used to leave _DONE matching
+    its marker while the dataset directory was GONE, so ensure_* served
+    a broken path forever.  The fix drops _DONE before the destructive
+    swap: a mid-swap crash now self-heals via rebuild, and a completed
+    compaction restores the identical attestation."""
+    import shutil as _sh
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    _sh.copy(
+        os.path.join(SF_DIR, "documents.parquet"),
+        src / "documents.parquet",
+    )
+    p = ixs.ensure_minhash_index(spark, str(src))
+    before = _rows(minhash_pairs_from(*ixs.load_minhash_index(spark, p)))
+    want = open(os.path.join(p, "_DONE")).read()
+
+    real_rename = os.rename
+
+    def boom(a, b):
+        if str(a).endswith(".compact"):
+            raise RuntimeError("crash mid-swap")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(RuntimeError, match="crash mid-swap"):
+        ixs.compact_minhash_index(spark, p)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the crash window left the store partially destroyed — but _DONE
+    # is gone, so ensure rebuilds instead of serving the broken path
+    assert not os.path.exists(os.path.join(p, "_DONE"))
+    p2 = ixs.ensure_minhash_index(spark, str(src))
+    assert p2 == p
+    assert _rows(
+        minhash_pairs_from(*ixs.load_minhash_index(spark, p2))
+    ) == before
+    # a compaction that COMPLETES preserves the attestation verbatim:
+    # ensure keeps serving the cache, results unchanged
+    ixs.compact_minhash_index(spark, p2)
+    assert open(os.path.join(p2, "_DONE")).read() == want
+    assert ixs.ensure_minhash_index(spark, str(src)) == p2
+    assert _rows(
+        minhash_pairs_from(*ixs.load_minhash_index(spark, p2))
+    ) == before
+    _sh.rmtree(p2, ignore_errors=True)
+
+
 def test_ivf_append_plus_retrain_equals_full_build(spark, tmp_path):
     """Verdict r13 #4: build(A) + append(B) + retrain ≡ build(A∪B)
     exactly — appends land in their label= partitions, and the cheap
