@@ -42,9 +42,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan, hash-fanned-out to session parallelism when
+    (and only when) the scan itself is narrower than the core count.
+
+    Every expression-heavy corpus-side consumer (PQ encode, Lloyd
+    assignment, cosine scoring, LSH bucketing) reads through this: the
+    driver's one-row-group files otherwise pin those projections to ONE
+    task (measured r15: the PQ encode projection alone is ~0.95 s
+    single-task at sf0.1 vs ~0.1 s fanned out).  At real scale the scan
+    is already wide and this is a no-op — see
+    ``tables.fan_out_if_narrow``.  Filters on top (the ``vec_id <
+    N_QUERIES`` query side, codebook prefixes) still push down to the
+    parquet scan through the repartition, so small sides shuffle only
+    their surviving rows."""
+    from streaming_amqp_spark.tables import fan_out_if_narrow
+
+    return fan_out_if_narrow(
+        _emb(spark, sf_dir), "vec_id", width_key=("embeddings", sf_dir)
+    )
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 8)."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_wide(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -130,7 +151,7 @@ def _sql_bucket(tbl: str) -> str:
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment + histogram."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_wide(spark, sf_dir)
     return (
         emb.select("vec_id", _bucket_expr().alias("bucket"))
         .groupBy("bucket")
@@ -149,7 +170,7 @@ GROUP BY 1
 def ann_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH scale path for all-pairs similarity: cosine is evaluated
     only for same-bucket pairs, and survivors (cos ≥ threshold) returned."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_wide(spark, sf_dir)
     bucketed = emb.select("vec_id", "embedding", _bucket_expr().alias("bucket"))
     a = bucketed.select(
         F.col("bucket"),
@@ -413,7 +434,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs is bounded to vec_id < EXACT_BASELINE_ID_CAP (mirrored in
     the oracle): the baseline's job is measuring recall on a fixed sample,
     never scanning pairs of the whole corpus."""
-    emb = _emb(spark, sf_dir).where(F.col("vec_id") < EXACT_BASELINE_ID_CAP)
+    emb = _emb_wide(spark, sf_dir).where(F.col("vec_id") < EXACT_BASELINE_ID_CAP)
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     return (
@@ -587,7 +608,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    with_cb = emb.crossJoin(F.broadcast(cb))
+    # encode input fanned out: the per-row argmin fold (PQ_M×PQ_K×PQ_SUB
+    # interpreted terms, ~0.5 ms/row measured) is the operator's dominant
+    # cost and must not run single-task on a narrow scan
+    with_cb = _emb_wide(spark, sf_dir).crossJoin(F.broadcast(cb))
 
     # argmin per subspace: transform evaluates each code's distance ONCE
     # (a fold comparing d would re-evaluate the interpreted chain twice
@@ -825,12 +849,12 @@ def _ivf_km_trained(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     cb = shared_cache(
         spark,
         ("ivf_km_centroids", sf_dir),
-        lambda: _ivf_km_centroids(_emb(spark, sf_dir)),
+        lambda: _ivf_km_centroids(_emb_wide(spark, sf_dir)),
     )
     assigned = shared_cache(
         spark,
         ("ivf_km_assign", sf_dir),
-        lambda: _ivf_km_assign(_emb(spark, sf_dir), cb).select(
+        lambda: _ivf_km_assign(_emb_wide(spark, sf_dir), cb).select(
             "vec_id", "cl"
         ),
     )
@@ -1214,7 +1238,10 @@ def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    with_cb = emb.crossJoin(F.broadcast(cb))
+    # encode input fanned out, exactly as in ann_pq_adc (the argmin fold
+    # is the dominant per-row cost; everything else in this function
+    # stays on the narrow scan — the probe/cand sides are join-pruned)
+    with_cb = _emb_wide(spark, sf_dir).crossJoin(F.broadcast(cb))
 
     def _best_code(m: int):
         scored = F.transform(
@@ -1579,7 +1606,7 @@ def _pq_trained(spark, sf_dir: str) -> DataFrame:
     return shared_cache(
         spark,
         ("pq_km_codebook", sf_dir),
-        lambda: _pq_train_kmeans(_emb(spark, sf_dir)),
+        lambda: _pq_train_kmeans(_emb_wide(spark, sf_dir)),
     )
 
 
@@ -1656,7 +1683,7 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is a pure scan against the broadcast codebook, the query
     distance table is broadcast, DECIMAL-exact distance sums,
     (dist, neighbor_id) tie-breaks."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_wide(spark, sf_dir)
     cb = _pq_trained(spark, sf_dir)
     return pq_kmeans_recall_from(spark, sf_dir, cb, pq_codes_long(emb, cb))
 

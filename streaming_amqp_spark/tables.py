@@ -290,6 +290,44 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+def fan_out_if_narrow(
+    df: DataFrame, *keys: str, width_key: tuple | None = None
+) -> DataFrame:
+    """``fan_out`` only when the plan would actually scan NARROWER than
+    the session's parallelism (single-row-group / few-file inputs — the
+    driver's sf0.1 tables are one row group each, so every scan stage is
+    one task whatever maxPartitionBytes says).
+
+    Scale-adaptive by construction (guide §2.4: remove shuffles outright
+    where the data already parallelizes): at 100 TB the input has far
+    more splits than cores, the probe sees a wide scan, and this returns
+    ``df`` unchanged — no corpus shuffle is ever added at scale.  The
+    repartition fires exactly in the regime where it pays: an
+    expression-heavy projection (PQ encode, Lloyd assignment, cosine
+    scoring) over an input whose file count < cores would otherwise run
+    single-task while the rest of the machine idles.
+
+    The width probe (``df.rdd.getNumPartitions()``) is driver-side
+    physical planning only — no job runs, no data moves; ``width_key``
+    memoizes it per session (the probe costs ~10-40 ms of plan
+    conversion, paid once per (table, sf_dir))."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    width = None
+    memo: dict | None = None
+    if width_key is not None:
+        memo = getattr(spark, "_saq_scan_width", None)
+        if memo is None:
+            memo = {}
+            spark._saq_scan_width = memo
+        width = memo.get(width_key)
+    if width is None:
+        width = df.rdd.getNumPartitions()
+        if memo is not None:
+            memo[width_key] = width
+    return df.repartition(n, *keys) if width < n else df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = False
 ) -> dict[str, DataFrame]:
