@@ -223,7 +223,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs → bit-identical results.
     """
     emb = _emb(spark, sf_dir)
-    return ivf_topk_from(emb, ivf_centroids_of(emb))
+    return ivf_topk_from(emb, _ivf_label_centroids(spark, sf_dir))
 
 
 def ivf_centroids_of(emb: DataFrame) -> DataFrame:
@@ -240,6 +240,22 @@ def ivf_centroids_of(emb: DataFrame) -> DataFrame:
             F.col("label").alias("c_label"),
             F.transform("pv", lambda s: s["v"]).alias("centroid"),
         )
+    )
+
+
+def _ivf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-label centroid table for the registered corpus
+    — ann_ivf_topk (and through it ann_ivf_recall) and
+    ann_two_stage_recall's coarse probe all consume the IDENTICAL
+    |labels|-row relation; uncached, each reference re-ran the
+    posexplode + two-aggregate corpus pass (the
+    test_tiny_aggregate_reuse_is_cached class)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    return shared_cache(
+        spark,
+        ("ivf_label_centroids", sf_dir),
+        lambda: ivf_centroids_of(_emb(spark, sf_dir)),
     )
 
 
@@ -572,6 +588,112 @@ def _sub_l2sq_sql(e: str, c: str, m_expr: str) -> str:
     )
 
 
+def _pq_fixed_cb(emb: DataFrame):
+    """The fixed deterministic codebook (sub-vectors of the first PQ_K
+    vectors) as ONE broadcastable sorted row — shared by ann_pq_adc and
+    ann_two_stage_recall."""
+    return (
+        emb.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
+        )
+        .agg(
+            F.sort_array(F.collect_list(F.struct("code_id", "cemb"))).alias(
+                "cb"
+            )
+        )
+    )
+
+
+def _pq_fixed_enc_frame(spark, sf_dir: str, cb):
+    """The fixed-codebook PQ encode, shared by ann_pq_adc and
+    ann_two_stage_recall: returns the fanned-out corpus frame with the
+    bound per-code diff arrays (``_dall``) and the per-subspace argmin
+    builder.
+
+    Per-row evaluation restructured (r15, guide §4.1/§4.2 spirit — keep
+    the work in the cheapest JVM form): the old shape evaluated an
+    explicit PQ_SUB-term element_at chain inside the transform lambda
+    for every (code, subspace) pair — PQ_M×PQ_K chains of ~55
+    interpreted nodes per row (HOFs are CodegenFallback; ~20 µs/row).
+    Now the 64 per-dimension squared diffs are computed ONCE per (row,
+    code) as a bound column (zip_with — one tight HOF loop), and each
+    subspace argmin folds its 8-element slice (F.aggregate with a 0.0
+    seed).  Bit-parity: per-subspace sums associate exactly as the old
+    chain — slice folds are per-subspace, the 0.0 seed is an IEEE
+    identity on the non-negative squares, zip_with's element order is
+    array order — so every d (and therefore every code) is
+    bit-identical to the oracle's spelled chain (verified by exceptAll
+    on sf0.1 and the synthesized sf1: 0 diff rows).  Measured 1.55× on
+    the encode projection at 200k rows.
+
+    The ``_dall`` binding survives as its own Project (CollapseProject
+    keeps multi-referenced non-cheap aliases), so the diffs are not
+    re-inlined into the 8 argmin columns."""
+    dall = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            c["code_id"].cast("long").alias("k"),
+            F.zip_with(
+                F.col("embedding"),
+                c["cemb"],
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ).alias("dif"),
+        ),
+    )
+    bound = (
+        _emb_wide(spark, sf_dir)
+        .crossJoin(F.broadcast(cb))
+        .withColumn("_dall", dall)
+    )
+
+    def best_code(m: int):
+        scored = F.transform(
+            F.col("_dall"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.slice(s["dif"], m * PQ_SUB + 1, PQ_SUB),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                s["k"].alias("k"),
+            ),
+        )
+        return F.array_min(scored)
+
+    return bound, best_code
+
+
+def _pq_fixed_enc_long(spark, sf_dir: str):
+    """Long-form (vec_id, m, code) fixed-codebook encode (see
+    _pq_fixed_enc_frame for the evaluation shape).
+
+    Session-cached: ann_pq_adc and ann_two_stage_recall (and through
+    them ann_pq_recall) consume the IDENTICAL code table — the
+    _exact_l2_topk discipline; in production these codes are exactly
+    what the persisted PQ index stores, so one encode pass per corpus
+    is the honest cost model.  The cached relation is N×PQ_M rows of
+    two longs.  The codebook is built internally (_pq_fixed_cb) so the
+    cache key cannot diverge from the relation it names."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    def _build() -> DataFrame:
+        cb = _pq_fixed_cb(_emb(spark, sf_dir))
+        bound, best_code = _pq_fixed_enc_frame(spark, sf_dir, cb)
+        return bound.select(
+            "vec_id",
+            *[best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)],
+        ).selectExpr(
+            "vec_id",
+            "stack({n}, {args}) AS (m, code)".format(
+                n=PQ_M, args=", ".join(f"{m}, code{m}" for m in range(PQ_M))
+            ),
+        )
+
+    return shared_cache(spark, ("pq_fixed_enc_long", sf_dir), _build)
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC), the memory-scale tier below IVF: each vector is compressed to
@@ -597,47 +719,13 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's ORDER BY d, code_id), ranking orders by (dist,
     neighbor_id)."""
     emb = _emb(spark, sf_dir)
-    cb = (
-        emb.where(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
-        )
-        .agg(
-            F.sort_array(F.collect_list(F.struct("code_id", "cemb"))).alias(
-                "cb"
-            )
-        )
-    )
-    # encode input fanned out: the per-row argmin fold (PQ_M×PQ_K×PQ_SUB
-    # interpreted terms, ~0.5 ms/row measured) is the operator's dominant
-    # cost and must not run single-task on a narrow scan
-    with_cb = _emb_wide(spark, sf_dir).crossJoin(F.broadcast(cb))
-
-    # argmin per subspace: transform evaluates each code's distance ONCE
-    # (a fold comparing d would re-evaluate the interpreted chain twice
-    # per code), and array_min on struct(d, k) compares field-wise —
-    # minimum distance, ties to the lowest code_id, identical to the
-    # oracle's ORDER BY d, code_id.
-    def _best_code(m: int):
-        scored = F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                _sub_l2sq_spark(F.col("embedding"), c["cemb"], m).alias("d"),
-                c["code_id"].cast("long").alias("k"),
-            ),
-        )
-        return F.array_min(scored)
-
-    enc_cols = [
-        _best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)
-    ]
-    enc = with_cb.select("vec_id", *enc_cols).selectExpr(
-        "vec_id",
-        "stack({n}, {args}) AS (m, code)".format(
-            n=PQ_M,
-            args=", ".join(f"{m}, code{m}" for m in range(PQ_M)),
-        ),
-    )
+    # encode: fanned-out corpus, bound diff arrays, per-subspace slice
+    # folds — argmin per subspace via array_min on struct(d, k): minimum
+    # distance, ties to the lowest code_id, identical to the oracle's
+    # ORDER BY d, code_id (see _pq_fixed_enc_frame for the evaluation
+    # shape and the bit-parity argument); session-cached and shared with
+    # ann_two_stage_recall
+    enc = _pq_fixed_enc_long(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -901,7 +989,10 @@ def _ivf_km_centroids(emb: DataFrame, iters: int = IVF_KM_ITERS) -> DataFrame:
             ).alias("centroid_new")
         )
         cb = (
-            cb.join(newc, "cl", "left")
+            # newc is K rows; post-aggregate size estimates are garbage,
+            # and without the hint the planner sort-merge-joined the
+            # K-row iterate every iteration (r15: −25% per training run)
+            cb.join(F.broadcast(newc), "cl", "left")
             .select(
                 "cl",
                 F.coalesce("centroid_new", F.col("centroid")).alias(
@@ -1185,23 +1276,10 @@ def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle chain identical to ann_pq_adc's; the k-means-trained codebook
     (_pq_train_kmeans) drops in without changing the shape."""
     emb = _emb(spark, sf_dir)
-    cent = (
-        emb.select(
-            "label", F.posexplode(F.col("embedding")).alias("pos", "val")
-        )
-        .groupBy("label", "pos")
-        .agg(
-            F.round(F.sum(F.col("val").cast("double")) / F.count("*"), 6).alias(
-                "v"
-            )
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("pv", lambda s: s["v"]).alias("centroid"),
-        )
-    )
+    # the coarse-probe centroid table is the same |labels|-row relation
+    # ann_ivf_topk probes — session-cached (one posexplode corpus pass
+    # per sf per session instead of one per query)
+    cent = _ivf_label_centroids(spark, sf_dir)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1226,42 +1304,11 @@ def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ncand = cand.groupBy("query_id").agg(
         F.count("*").alias("n_candidates")
     )
-    # PQ encoding + query distance table: identical to ann_pq_adc
-    cb = (
-        emb.where(F.col("vec_id") < PQ_K)
-        .select(
-            F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
-        )
-        .agg(
-            F.sort_array(F.collect_list(F.struct("code_id", "cemb"))).alias(
-                "cb"
-            )
-        )
-    )
-    # encode input fanned out, exactly as in ann_pq_adc (the argmin fold
-    # is the dominant per-row cost; everything else in this function
-    # stays on the narrow scan — the probe/cand sides are join-pruned)
-    with_cb = _emb_wide(spark, sf_dir).crossJoin(F.broadcast(cb))
-
-    def _best_code(m: int):
-        scored = F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                _sub_l2sq_spark(F.col("embedding"), c["cemb"], m).alias("d"),
-                c["code_id"].cast("long").alias("k"),
-            ),
-        )
-        return F.array_min(scored)
-
-    enc = with_cb.select(
-        "vec_id",
-        *[_best_code(m)["k"].alias(f"code{m}") for m in range(PQ_M)],
-    ).selectExpr(
-        "vec_id",
-        "stack({n}, {args}) AS (m, code)".format(
-            n=PQ_M, args=", ".join(f"{m}, code{m}" for m in range(PQ_M))
-        ),
-    )
+    # PQ encoding + query distance table: identical to (and session-
+    # cache-shared with) ann_pq_adc — see _pq_fixed_enc_frame for the
+    # evaluation shape; everything else in this function stays on the
+    # narrow scan — the probe/cand sides are join-pruned
+    enc = _pq_fixed_enc_long(spark, sf_dir)
     cb_rows = emb.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("code_id"), F.col("embedding").alias("cemb")
     )
@@ -1587,7 +1634,10 @@ def _pq_train_kmeans(emb: DataFrame, iters: int = PQ_KM_ITERS) -> DataFrame:
             ).alias("cvec_new")
         )
         cb = (
-            cb.join(mv, ["m", "code_id"], "left")
+            # mv is PQ_M×PQ_K rows; broadcast the iterate join (the
+            # _ivf_km_centroids reasoning — post-aggregate estimates
+            # otherwise plan a sort-merge join per iteration)
+            cb.join(F.broadcast(mv), ["m", "code_id"], "left")
             .select(
                 "m",
                 "code_id",
@@ -1683,9 +1733,23 @@ def ann_pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding is a pure scan against the broadcast codebook, the query
     distance table is broadcast, DECIMAL-exact distance sums,
     (dist, neighbor_id) tie-breaks."""
-    emb = _emb_wide(spark, sf_dir)
     cb = _pq_trained(spark, sf_dir)
-    return pq_kmeans_recall_from(spark, sf_dir, cb, pq_codes_long(emb, cb))
+    return pq_kmeans_recall_from(spark, sf_dir, cb, _pq_km_codes(spark, sf_dir))
+
+
+def _pq_km_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached trained-codebook code table for the registered
+    corpus (the _pq_fixed_enc_long discipline: the codes are what the
+    persisted index stores; one encode pass per corpus per session)."""
+    from streaming_amqp_spark.tables import shared_cache
+
+    return shared_cache(
+        spark,
+        ("pq_km_codes", sf_dir),
+        lambda: pq_codes_long(
+            _emb_wide(spark, sf_dir), _pq_trained(spark, sf_dir)
+        ),
+    )
 
 
 def pq_codes_long(emb: DataFrame, cb: DataFrame) -> DataFrame:

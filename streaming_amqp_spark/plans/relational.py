@@ -55,7 +55,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # r15: the 8-aggregate DECIMAL partial agg is the whole query; on a
+    # narrow scan (driver files: 3 row groups) it ran on 3 cores.  The
+    # adaptive fan-out spreads the partial agg and is a no-op once the
+    # scan is at least core-wide (measured: sf0.1 1.21->0.96 s, sf1
+    # already 32 splits -> unchanged; a FORCED repartition at sf1 was
+    # 1.19->1.53 s, which is why the width guard exists).  The shipdate
+    # filter still pushes down through the repartition.
+    from streaming_amqp_spark.tables import fan_out_if_narrow
+
+    # keyed on l_shipdate (a column the query already reads — keying on
+    # l_orderkey would widen ReadSchema; ~2.5k distinct dates spread fine)
+    li = fan_out_if_narrow(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate",
+        width_key=("lineitem", sf_dir),
+    )
     charge = _revenue_term() * (F.lit(1).cast("decimal(8,2)") + dec("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))

@@ -243,13 +243,17 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
 
 def test_pq_adc_encoding_is_map_side(spark, sf_dir):
     """PQ: codebook and query distance table broadcast; corpus encoding
-    is a pure projection.  The only data-bearing shuffles are the
-    (query, vector) distance sum (with map-side partial agg) and the
-    per-query top-k window — which must carry the WindowGroupLimit
-    pushdown so executors emit k rows, not all N."""
+    is a pure projection over the (conditionally fanned-out) scan.  The
+    data-bearing shuffles are bounded by three hashpartitioning
+    exchanges: the r15 narrow-input fan-out feeding the encode (fires
+    only when scan splits < cores — a no-op at real scale, see
+    tables.fan_out_if_narrow), the (query, vector) distance sum (with
+    map-side partial agg), and the per-query top-k window — which must
+    carry the WindowGroupLimit pushdown so executors emit k rows, not
+    all N."""
     plan = _plan(spark, sf_dir, "ann_pq_adc")
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("Arguments: hashpartitioning") <= 3
     assert "partial_sum" in plan
     assert "WindowGroupLimit" in plan
 
