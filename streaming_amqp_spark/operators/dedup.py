@@ -584,9 +584,21 @@ def dedup_simhash_hamming1(
     regardless of bucket skew (uncapped it is Σ quadratic bucket
     products; >1 GiB at the synthesized sf1).
 
-    The per-doc simhash relation is referenced six times (probe side,
-    bucket stats, cold side + its stats join, both hamming lookups) —
-    session-cached for the same no-CSE reason as ``_shared_band_stats``."""
+    The per-doc simhash relation is referenced four times (probe side,
+    bucket stats, cold side + its stats join) — session-cached for the
+    same no-CSE reason as ``_shared_band_stats``.
+
+    r15 (guide §2.4, remove shuffles outright): the hamming distance is
+    computed MAP-SIDE before the pair distinct, from the two hashes the
+    join already carries — the probe side keeps its original fingerprint
+    (``s1``) alongside the flipped probes, and the exact side's ``h2`` is
+    by construction the fingerprint of ``id2`` (a hot bucket's hub is a
+    member of its own bucket).  The old shape re-joined the oriented
+    pair set back to the doc-grain hash relation twice (two extra
+    shuffle joins).  Hamming is symmetric, so the value is orientation-
+    independent, and it is a pure function of the pair, so
+    distinct-over-(id1, id2, hamming) returns exactly the old row set —
+    the 16-term substring sum is spelled identically to the oracle's."""
     sim = _shared_simhash(spark, sf_dir)
 
     def flip(col, p):  # flip bit p (1-based) of the 16-char bitstring
@@ -599,7 +611,9 @@ def dedup_simhash_hamming1(
 
     probes = F.array(F.col("simhash"), *[flip(F.col("simhash"), p) for p in range(1, 17)])
     left = sim.select(
-        F.col("doc_id").alias("id1"), F.explode(probes).alias("probe")
+        F.col("doc_id").alias("id1"),
+        F.col("simhash").alias("s1"),
+        F.explode(probes).alias("probe"),
     )
     stats = sim.groupBy("simhash").agg(
         F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
@@ -623,10 +637,19 @@ def dedup_simhash_hamming1(
     # bucket's hub may be on either side of a star pair, and for cold
     # pairs the probe expansion is symmetric so the oriented-distinct set
     # is identical to the old asymmetric filter's.
-    pairs = (
+    dist = sum(
+        F.when(
+            F.substring("s1", p, 1) != F.substring("h2", p, 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in range(1, 17)
+    )
+    return (
         # 17N probes vs ~N exact hashes — both linear in corpus; the
         # equi-join must shuffle on the hash key (per-key matches are
-        # cap-bounded), never broadcast a side
+        # cap-bounded), never broadcast a side.  Hamming comes from the
+        # hashes the join already carries (s1 = id1's fingerprint,
+        # h2 = id2's), before orientation — symmetric, so identical
+        # either way — leaving distinct as the only downstream shuffle.
         left.join(
             right_cold.unionByName(right_hot).hint("shuffle_hash"),
             left.probe == F.col("h2"),
@@ -635,22 +658,9 @@ def dedup_simhash_hamming1(
         .select(
             F.least("id1", "id2").alias("id1"),
             F.greatest("id1", "id2").alias("id2"),
+            dist.alias("hamming"),
         )
         .distinct()
-    )
-    h1 = sim.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"))
-    h2 = sim.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"))
-    dist = sum(
-        F.when(
-            F.substring("s1", p, 1) != F.substring("s2", p, 1), F.lit(1)
-        ).otherwise(F.lit(0))
-        for p in range(1, 17)
-    )
-    return (
-        # pair-grain ⋈ doc-grain, both linear: shuffle by doc id
-        pairs.join(h1.hint("shuffle_hash"), "id1")
-        .join(h2.hint("shuffle_hash"), "id2")
-        .select("id1", "id2", dist.alias("hamming"))
     )
 
 

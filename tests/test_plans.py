@@ -313,11 +313,12 @@ def test_minhash_band_relation_is_cached(spark, sf_dir):
 
 
 def test_simhash_relation_is_cached(spark, sf_dir):
-    """dedup_simhash_hamming1 references the per-doc simhash relation six
-    times (probe side, bucket stats, cold side + stats join, both hamming
-    lookups); the `_shared_simhash` session cache must serve every
-    reference or each one re-runs the full documents scan + fingerprint
-    aggregation (review-caught in r7)."""
+    """dedup_simhash_hamming1 references the per-doc simhash relation four
+    times (probe side, bucket stats, cold side + stats join — the two
+    hamming lookups were folded into the pair phase in r15); the
+    `_shared_simhash` session cache must serve every reference or each
+    one re-runs the full documents scan + fingerprint aggregation
+    (review-caught in r7)."""
     import re
 
     df = _QUERIES["dedup_simhash_hamming1"](spark, sf_dir)
