@@ -1254,8 +1254,21 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side from the sorted set (i < j gives brand1 < brand2 for free),
     and the pair aggregate is the only other shuffle, bounded by
     |brands|² regardless of corpus size.  The part dimension broadcasts.
-    Two exchanges total vs the textbook self-join's three-plus."""
-    li = _t(spark, sf_dir, "lineitem")
+    Two exchanges total vs the textbook self-join's three-plus.
+
+    r15: the lineitem side fans out keyed on l_orderkey when the scan is
+    narrower than the session (the sf0.1 3-row-group file pinned the
+    broadcast join + collect_set partials to 3 tasks).  Keying on the
+    groupBy column means the repartition REPLACES the aggregate's own
+    exchange (hash(l_orderkey) satisfies the agg's clustering), so the
+    exchange count stays two; at real scale the guard is a no-op."""
+    from streaming_amqp_spark.tables import fan_out_if_narrow
+
+    li = fan_out_if_narrow(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        width_key=("lineitem", sf_dir),
+    )
     part = _t(spark, sf_dir, "part")
     per_order = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1317,8 +1330,19 @@ def brand_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket_brand_pairs shape); each iteration is one keyed join of the
     edge list against the broadcast rank vector + one dst-keyed
     partial-aggregated shuffle — the standard distributed PageRank
-    shape, bounded by |edges| per iteration."""
-    li = _t(spark, sf_dir, "lineitem")
+    shape, bounded by |edges| per iteration.
+
+    r15: same keyed fan-out as basket_brand_pairs — hash(l_orderkey) is
+    a subset of the distinct's (l_orderkey, p_brand) clustering AND the
+    collect_set's l_orderkey clustering, so the one narrow-scan
+    repartition replaces both downstream exchanges; no-op at scale."""
+    from streaming_amqp_spark.tables import fan_out_if_narrow
+
+    li = fan_out_if_narrow(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        width_key=("lineitem", sf_dir),
+    )
     part = _t(spark, sf_dir, "part")
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
