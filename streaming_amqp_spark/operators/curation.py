@@ -176,21 +176,39 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     training band rows stream map-side through the hash join, so the only
     shuffles are the signature aggregation and the final per-eval-doc
     rollup.  The shingle index is the same cached relation the dedup
-    family uses."""
+    family uses.
+
+    r15 (guide §2.4 remove shuffles outright): the eval/train split is a
+    membership test on the tiny eval-doc-id set, not a property the band
+    rows must be joined with ``documents`` to learn — a broadcast
+    semi/anti join against the eval ids replaces the two corpus-grain
+    ``sh ⋈ src`` shuffle joins, and the band table itself comes from the
+    session-cached ``_shared_band_rows`` relation (the SAME banding
+    definition the LSH family uses), so the 16-hash signature fold runs
+    once per session instead of twice per query.  The verification sides
+    read the cached shingle index directly: the old ``src`` join there
+    carried a column the query never used, at the cost of a doc-grain
+    shuffle join per side (1:1 inner join on a key guaranteed present —
+    row set unchanged)."""
     from streaming_amqp_spark.operators.dedup import (
         JACCARD_THRESHOLD,
+        _shared_band_rows,
         _shared_shingles,
-        band_rows_of,
     )
 
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    # doc-grain ⋈ doc-grain: shuffle by doc_id (src is linear in corpus)
-    sh = _shared_shingles(spark, sf_dir).join(src.hint("shuffle_hash"), "doc_id")
-    band_rows = band_rows_of(sh, "source")
-    ev = band_rows.where(F.col("source") == EVAL_SOURCE).select(
+    shingles = _shared_shingles(spark, sf_dir)
+    eval_ids = (
+        _docs(spark, sf_dir)
+        .where(F.col("source") == EVAL_SOURCE)
+        .select("doc_id")
+    )
+    band_rows = _shared_band_rows(spark, sf_dir)
+    # the eval slice is bounded (benchmarks ≪ corpus): broadcast its ids;
+    # train band rows stream map-side through the anti join — no shuffle
+    ev = band_rows.join(F.broadcast(eval_ids), "doc_id").select(
         F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
     )
-    tr = band_rows.where(F.col("source") != EVAL_SOURCE).select(
+    tr = band_rows.join(F.broadcast(eval_ids), "doc_id", "left_anti").select(
         F.col("doc_id").alias("train_doc"), "band_idx", "band_hash"
     )
     cand = (
@@ -198,12 +216,21 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eval_doc", "train_doc")
         .distinct()
     )
-    s1 = sh.select(
-        F.col("doc_id").alias("eval_doc"),
-        F.col("shingles").alias("sh1"),
-        F.col("n").alias("n1"),
+    # r15: bound s1 to the eval slice BEFORE broadcasting it — the old
+    # shape broadcast the corpus-grain shingle relation (arrays included)
+    # under an "eval-bounded" comment that was only true of the rows the
+    # join would keep, not of the bytes shipped.  The membership test is
+    # the same broadcast eval-id set; cand.eval_doc ⊆ eval_ids, so the
+    # inner join keeps exactly the same rows.
+    s1 = (
+        shingles.join(F.broadcast(eval_ids), "doc_id")
+        .select(
+            F.col("doc_id").alias("eval_doc"),
+            F.col("shingles").alias("sh1"),
+            F.col("n").alias("n1"),
+        )
     )
-    s2 = sh.select(
+    s2 = shingles.select(
         F.col("doc_id").alias("train_doc"),
         F.col("shingles").alias("sh2"),
         F.col("n").alias("n2"),
@@ -294,8 +321,17 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality signals: duplicate positional
     3-gram fraction (boilerplate / copy-paste detector) and most-frequent-
     token share.  Pure per-row expressions over one bound token array —
-    no shuffle, fuses into the scan."""
-    d = _docs(spark, sf_dir)
+    no shuffle, fuses into the scan.
+
+    r15: fans out when the scan is narrower than the session — the
+    sf0.1 one-row-group documents file ran this heavy HOF projection
+    single-task; the width guard keeps 100 TB scan-only (no exchange
+    added at scale)."""
+    from streaming_amqp_spark.tables import fan_out_if_narrow
+
+    d = fan_out_if_narrow(
+        _docs(spark, sf_dir), "doc_id", width_key=("documents", sf_dir)
+    )
 
     def stats_of(t):
         n = F.size(t)
@@ -855,12 +891,31 @@ def dedup_substring_runs(
     per-pair-sized, never corpus-sized.  Chunk text never shuffles:
     only (hash, doc, position) triples move."""
     chunks = _chunk_hash_relation(spark, sf_dir, docs)
-    common = (
-        chunks.groupBy("h")
-        .agg(F.count("*").alias("occ"))
-        .where(F.col("occ") > MAX_CHUNK_MATCH_FREQ)
-        .select("h")
-    )
+
+    def _common() -> DataFrame:
+        return (
+            chunks.groupBy("h")
+            .agg(F.count("*").alias("occ"))
+            .where(F.col("occ") > MAX_CHUNK_MATCH_FREQ)
+            .select("h")
+        )
+
+    # r15 (tiny-aggregate reuse): the hot-hash set is referenced by BOTH
+    # anti-join sides (a and b) and Catalyst has no DAG CSE, so the full
+    # chunk-grain aggregate ran twice per query (and twice more in
+    # curate_substring_policy).  It is a handful of rows (hashes with
+    # > MAX_CHUNK_MATCH_FREQ occurrences) — session-cache it for the
+    # registered corpus, same discipline as
+    # test_tiny_aggregate_reuse_is_cached.  Caller-supplied docs are
+    # per-invocation inputs (no stable cache key): left re-derived.
+    if docs is None:
+        from streaming_amqp_spark.tables import shared_cache
+
+        common = shared_cache(
+            spark, ("substring_hot_hashes", sf_dir), _common
+        )
+    else:
+        common = _common()
     filt = chunks.join(F.broadcast(common), "h", "left_anti")
     a = filt.select(
         F.col("doc_id").alias("doc_a"),

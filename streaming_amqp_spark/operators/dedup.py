@@ -112,6 +112,7 @@ def dedup_ngram_jaccard(
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
     sh: DataFrame | None = None,
     id_cap: int | None = None,
+    doc_attrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: 3-word-shingle Jaccard ≥ 0.8 via posting
     lists (candidates = pairs sharing ≥1 shingle).  ``id_cap`` restricts
@@ -127,15 +128,24 @@ def dedup_ngram_jaccard(
     explode each list's (i < j) combinations — bounded at cap² rows per
     shingle, and df=1 shingles (most of the index) never enter the pair
     stage at all.  The posting table is cached because both the sizes
-    and pairs branches consume it."""
-    stats = _posting_pair_stats(spark, sf_dir, max_shingle_freq, sh, id_cap)
+    and pairs branches consume it.
+
+    ``doc_attrs`` (doc-grain ``(doc_id, attr...)``) rides the sizes
+    joins: each attr comes back suffixed ``1``/``2`` per pair side — a
+    consumer that needs per-doc labels gets them WITHOUT re-joining the
+    pair set to the corpus (r15: dedup_cross_source's two pair-grain
+    label shuffles fold into the doc-grain sizes lookup)."""
+    stats = _posting_pair_stats(spark, sf_dir, max_shingle_freq, sh, id_cap, doc_attrs)
     jac = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     )
+    keep = ["id1", "id2", "inter", "jaccard"] + [
+        c for c in stats.columns if c not in ("id1", "id2", "inter", "n1", "n2")
+    ]
     return (
         stats.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("id1", "id2", "inter", "jaccard")
+        .select(*keep)
     )
 
 
@@ -145,13 +155,20 @@ def _posting_pair_stats(
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
     sh: DataFrame | None = None,
     id_cap: int | None = None,
+    doc_attrs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared pair machinery behind Jaccard and containment dedup:
     (id1, id2, inter, n1, n2) for every doc pair sharing ≥1 surviving
     shingle.  One shuffle builds the posting lists (cached — both the
     sizes and pairs branches consume it, and every similarity measure
     over the same index reuses it); the pair expansion is bounded at
-    max_shingle_freq² rows per shingle."""
+    max_shingle_freq² rows per shingle.
+
+    ``doc_attrs`` joins doc-grain attributes onto the sizes relation —
+    the aggregate's hash(doc_id) output partitioning is reused, so only
+    the attr side shuffles (doc-grain, never the pair set); every doc_id
+    in sizes exists in the corpus, so the inner lookup drops nothing.
+    Attr columns surface suffixed ``1``/``2`` alongside n1/n2."""
     if sh is None:
         sh = _doc_shingles(spark, sf_dir)
     if id_cap is not None:
@@ -173,6 +190,13 @@ def _posting_pair_stats(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
+    attrs: list[str] = []
+    if doc_attrs is not None:
+        attrs = [c for c in doc_attrs.columns if c != "doc_id"]
+        # doc-grain ⋈ doc-grain on the aggregate's own hash(doc_id)
+        # partitioning: only doc_attrs moves; shuffle-hash pinned for
+        # the same r9 estimate-driven-broadcast reason as s1/s2 below
+        sizes = sizes.join(doc_attrs.hint("shuffle_hash"), "doc_id")
     pairs = (
         posting.where(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id1"), F.col("ids"))
@@ -183,8 +207,16 @@ def _posting_pair_stats(
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    s1 = sizes.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n").alias("n1"),
+        *[F.col(c).alias(f"{c}1") for c in attrs],
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n").alias("n2"),
+        *[F.col(c).alias(f"{c}2") for c in attrs],
+    )
     # SHUFFLE_HASH-hint the doc-grain sizes sides (build side of a
     # shuffled hash join).  Without the hint, a FRESH session (shared
     # cache cleared, posting relation not yet materialized) statically
@@ -348,6 +380,20 @@ def annotate_band_stats(band_rows: DataFrame) -> DataFrame:
 
 def _band_stats_rows(sh: DataFrame) -> DataFrame:
     return annotate_band_stats(band_rows_of(sh))
+
+
+def _shared_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared cached copy of the PLAIN band rows (doc_id,
+    band_idx, band_hash) — a pure projection over the cached shingle
+    index (the 16-hash signature fold is the expensive part; there is no
+    shuffle in the build).  Consumers that branch the band table more
+    than once (contamination_fuzzy's eval/train split) read this instead
+    of re-running the signature fold per branch."""
+    return shared_cache(
+        spark,
+        ("band_rows", sf_dir),
+        lambda: band_rows_of(_shared_shingles(spark, sf_dir)),
+    )
 
 
 def _shared_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,27 +1005,21 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the near-dup pair set is sparse at 0.8 but still grows with
     the corpus, and the ``documents`` label sides are doc-grain — both
-    linear in N, so the label joins shuffle by doc id (pinned; an
-    estimate-driven broadcast of either side is the r9 pairs-broadcast
-    class).  The rollup output is at most |sources|² rows.  Aggregates
-    are count / max / min — order-independent, so doubles are hash-safe."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # pair-grain ⋈ doc-grain label joins — both linear in corpus, so
-    # they shuffle by doc id (the docstring's earlier "AQE broadcasts
-    # the pair relation" reasoning only holds when runtime stats exist;
-    # a cold session plans off static estimates — r9 pairs-broadcast class)
-    labeled = pairs.join(
-        d.select(
-            F.col("doc_id").alias("id1"), F.col("source").alias("src1")
-        ).hint("shuffle_hash"),
-        "id1",
-    ).join(
-        d.select(
-            F.col("doc_id").alias("id2"), F.col("source").alias("src2")
-        ).hint("shuffle_hash"),
-        "id2",
+    linear in N, so labels shuffle by doc id (pinned; an estimate-driven
+    broadcast of either side is the r9 pairs-broadcast class).  The
+    rollup output is at most |sources|² rows.  Aggregates are
+    count / max / min — order-independent, so doubles are hash-safe.
+
+    r15 (guide §2.1 remove shuffles outright): source labels ride the
+    sizes joins already inside the pair build (``doc_attrs``) instead of
+    re-joining the finished pair set to ``documents`` twice — the two
+    pair-grain label shuffles collapse into one doc-grain lookup on the
+    sizes aggregate's existing hash(doc_id) partitioning.  Same rows:
+    the label join is an inner lookup on a key guaranteed present."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("src")
     )
+    labeled = dedup_ngram_jaccard(spark, sf_dir, doc_attrs=d)
     return labeled.groupBy(
         F.least("src1", "src2").alias("src_a"),
         F.greatest("src1", "src2").alias("src_b"),
