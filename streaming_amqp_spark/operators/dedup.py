@@ -635,16 +635,18 @@ def dedup_simhash_hamming1(
     same no-CSE reason as ``_shared_band_stats``.
 
     r15 (guide §2.4, remove shuffles outright): the hamming distance is
-    computed MAP-SIDE before the pair distinct, from the two hashes the
-    join already carries — the probe side keeps its original fingerprint
-    (``s1``) alongside the flipped probes, and the exact side's ``h2`` is
-    by construction the fingerprint of ``id2`` (a hot bucket's hub is a
-    member of its own bucket).  The old shape re-joined the oriented
-    pair set back to the doc-grain hash relation twice (two extra
-    shuffle joins).  Hamming is symmetric, so the value is orientation-
-    independent, and it is a pure function of the pair, so
-    distinct-over-(id1, id2, hamming) returns exactly the old row set —
-    the 16-term substring sum is spelled identically to the oracle's."""
+    computed MAP-SIDE before the pair distinct.  The old shape re-joined
+    the oriented pair set back to the doc-grain hash relation twice (two
+    extra shuffle joins) to recompute both fingerprints; but a joined
+    row already PROVES its distance — probe == h2 with
+    probe = flip_p(s1), so hamming(s1, h2) is exactly 0 for the
+    unflipped probe (p = 0) and exactly 1 for any flip.  The probe side
+    therefore carries only the flip position (an int) instead of its
+    16-char fingerprint, narrowing the 17N-row shuffle (guide §2.3).
+    Hamming is symmetric (orientation-independent) and a pure function
+    of the pair, so distinct-over-(id1, id2, hamming) returns exactly
+    the old row set; the value is integer-exact, so the oracle's literal
+    16-term sum hashes identically."""
     sim = _shared_simhash(spark, sf_dir)
 
     def flip(col, p):  # flip bit p (1-based) of the 16-char bitstring
@@ -656,10 +658,13 @@ def dedup_simhash_hamming1(
         )
 
     probes = F.array(F.col("simhash"), *[flip(F.col("simhash"), p) for p in range(1, 17)])
+    # r15 narrowing: carry the flip POSITION (0 = unflipped) instead of
+    # the 16-char original fingerprint — a matched row's hamming is a
+    # pure function of it (see `dist` below), so the probe-side shuffle
+    # ships an int where it shipped a string.
     left = sim.select(
         F.col("doc_id").alias("id1"),
-        F.col("simhash").alias("s1"),
-        F.explode(probes).alias("probe"),
+        F.posexplode(probes).alias("p", "probe"),
     )
     stats = sim.groupBy("simhash").agg(
         F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
@@ -683,12 +688,14 @@ def dedup_simhash_hamming1(
     # bucket's hub may be on either side of a star pair, and for cold
     # pairs the probe expansion is symmetric so the oriented-distinct set
     # is identical to the old asymmetric filter's.
-    dist = sum(
-        F.when(
-            F.substring("s1", p, 1) != F.substring("h2", p, 1), F.lit(1)
-        ).otherwise(F.lit(0))
-        for p in range(1, 17)
-    )
+    #
+    # r15: a joined row satisfies probe == h2 with probe = flip_p(s1)
+    # (flip_0 = identity), so hamming(s1, h2) = hamming(s1, flip_p(s1))
+    # is EXACTLY 0 when p = 0 and EXACTLY 1 otherwise — the old 16-term
+    # substring sum recomputed this constant per matched row (and
+    # required shuffling s1 alongside every probe).  Integer-valued and
+    # bit-exact, so the oracle's literal sum hashes identically.
+    dist = F.when(F.col("p") == 0, F.lit(0)).otherwise(F.lit(1))
     return (
         # 17N probes vs ~N exact hashes — both linear in corpus; the
         # equi-join must shuffle on the hash key (per-key matches are
