@@ -255,8 +255,19 @@ def _load_raw(
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
+    """r15: the stats-annotated band relation is lazily
+    local-checkpointed.  ``minhash_pairs_from`` references it THREE
+    times (both cold self-join sides + the hot-star branch) and
+    Catalyst has no DAG CSE, so the per-bucket stats aggregate, its
+    equi-join, and six parquet scans of the band store ran per query
+    where one of each suffices.  A lazy localCheckpoint materializes
+    the (narrow: 5-column) relation once on first action and serves
+    every reference from the snapshot — scoped to THIS load call, so an
+    append followed by a fresh load still sees the new rows (the
+    append-visible-immediately contract), unlike a session cache keyed
+    on the path, which would go stale between appends."""
     sh, bands = _load_raw(spark, path)
-    return sh, annotate_band_stats(bands)
+    return sh, annotate_band_stats(bands).localCheckpoint(eager=False)
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:
