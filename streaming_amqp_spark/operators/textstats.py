@@ -1110,12 +1110,24 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + 1)
         ),
     )
+    # r15 (guide §2.3 narrower types + map-side aggregation): only the
+    # FIRST HEX DIGIT of each bigram's min-key is ever consumed, and the
+    # lexicographic min's first char IS the min of first chars (the
+    # first char is the key's most significant position, and hex digits
+    # order identically as chars and as numbers).  Aggregating
+    # min(<int digit>) instead of min(<33+-char string>) shuffles 4
+    # bytes per bigram instead of the key, and — min(string) not being
+    # hash-aggregable — turns the partial+final SortAggregate pair
+    # (sort the whole exploded bigram relation) into a map-side
+    # combining HashAggregate.  Values are integer-exact; the bucket
+    # label round-trips bijectively via hex().
+    bucket_int = F.conv(key.substr(1, 1), 16, 10).cast("int")
     ex = d.select(
-        key.alias("k"), F.explode(F.array_distinct(bigrams)).alias("big")
+        bucket_int.alias("bi"), F.explode(F.array_distinct(bigrams)).alias("big")
     )
-    first = ex.groupBy("big").agg(F.min("k").alias("fk"))
+    first = ex.groupBy("big").agg(F.min("bi").alias("fb"))
     per = (
-        first.select(F.substring("fk", 1, 1).alias("bucket"))
+        first.select(F.lower(F.hex("fb")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_new_bigrams"))
     )
