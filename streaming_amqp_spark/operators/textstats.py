@@ -274,15 +274,13 @@ def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 decimals (the irrational-output convention, plans.relational
     RATIO).
 
-    r15: fans out when the scan is narrower than the session (the sf0.1
-    one-row-group documents file ran tokenize+explode+partial-agg on a
-    single task; width guard = no-op at scale)."""
-    from streaming_amqp_spark.tables import fan_out_if_narrow
-
-    raw = _docs(spark, sf_dir)
-    d = fan_out_if_narrow(raw, "doc_id", width_key=("documents", sf_dir))
-    # the 1-row corpus count never needs the fan-out exchange
-    n_docs = raw.select(F.count("*").alias("n_docs"))
+    (r15: a fan_out_if_narrow wrapper was briefly committed here on a
+    min-of-4 A/B reading 1.11 -> 0.48 s — then found to be a PLAN NO-OP
+    (``_docs`` already hash-fans-out on doc_id; the width guard sees 32
+    partitions and passes through), so the reading was host noise.
+    Reverted; captured plans before/after are node-identical.)"""
+    d = _docs(spark, sf_dir)
+    n_docs = d.select(F.count("*").alias("n_docs"))
     df_ = (
         d.select(F.explode(F.array_distinct(tokens())).alias("term"))
         .groupBy("term")
