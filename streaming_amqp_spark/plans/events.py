@@ -294,12 +294,20 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three equi-joins on user_id — all shuffles share the same key,
     so a cluster plans one exchange reused across stages (and bucketing
     events by user_id makes them exchange-free).  Stage tables are
-    min-aggregates, orders of magnitude smaller than the event log."""
+    min-aggregates, orders of magnitude smaller than the event log.
+
+    r15: each stage table is referenced twice (next stage's join + its
+    own funnel count) and Catalyst has no DAG CSE, so the chain
+    re-expanded per reference — SIX filtered event-log scans
+    (1 + 2 + 3) where three suffice.  Lazy localCheckpoints on the
+    user-grain stage aggregates compute each once; scoped to the query,
+    nothing persists across calls."""
     ev = load_table(spark, sf_dir, "events")
     views = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     clicks = (
         ev.where(F.col("event_type") == "click")
@@ -310,6 +318,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     purchases = (
         ev.where(F.col("event_type") == "purchase")
