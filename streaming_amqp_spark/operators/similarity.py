@@ -1296,10 +1296,16 @@ def ann_two_stage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= NPROBE)
         .select("query_id", F.col("c_label").alias("probe_label"))
     )
+    # r15: cand feeds BOTH the ADC re-rank and the n_candidates rollup;
+    # without DAG CSE the whole coarse phase (centroid scoring, probe
+    # window, label join) re-expanded per reference.  Lazy
+    # localCheckpoint computes the narrow (query_id, vec_id) shortlist
+    # once, scoped to the query.
     cand = (
         emb.join(F.broadcast(probe), emb.label == probe.probe_label)
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
     )
     ncand = cand.groupBy("query_id").agg(
         F.count("*").alias("n_candidates")

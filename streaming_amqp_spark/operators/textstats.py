@@ -382,6 +382,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     n_docs = d.select(F.count("*").alias("n_docs"))
+    # r15 negative results, kept for the record: tf feeds BOTH the
+    # scored join and the df reduction (double tokenize+explode, no DAG
+    # CSE), but (a) a window-by-term df regressed 0.62 -> 0.94 s (term
+    # sort > second tokenize), (b) a corpus fan-out regressed
+    # 0.62 -> 0.78 s, and (c) a lazy localCheckpoint of tf was a wash
+    # (control-normalized ~0.70 vs 0.76 — tf is doc×term grain, so
+    # materializing it costs about what recomputing it does).  The
+    # double derivation stands as the cheapest known shape.
     tf = (
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .groupBy("doc_id", "term")

@@ -1789,11 +1789,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "monetary"),
     )
     ref = o.agg(F.max("o_orderdate").alias("ref_date"))
-    per_cust = per_cust.crossJoin(F.broadcast(ref)).select(
-        "o_custkey",
-        F.datediff("ref_date", "last_order").alias("recency_days"),
-        "n_orders",
-        "monetary",
+    # r15: per_cust feeds BOTH the threshold percentiles and the final
+    # scoring; without DAG CSE the orders scan + customer aggregate ran
+    # twice per query.  Lazy localCheckpoint computes the narrow
+    # customer-grain relation once, scoped to the query.
+    per_cust = (
+        per_cust.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "n_orders",
+            "monetary",
+        )
+        .localCheckpoint(eager=False)
     )
     qs = [0.2, 0.4, 0.6, 0.8]
     th = per_cust.agg(
