@@ -566,14 +566,27 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = o.join(
         done, o.o_orderkey == done.l_orderkey
     ).select(F.col("o_orderdate").alias("start_day"), "end_day")
-    opens = spans.select(
-        F.col("start_day").alias("day"), F.lit(1).alias("delta")
-    )
-    closes = spans.select(
-        F.col("end_day").alias("day"), F.lit(-1).alias("delta")
-    )
+    # r15: the old opens/closes UNION referenced spans twice, and with
+    # no DAG CSE the orders ⋈ lineitem-max join ran per side (4 table
+    # scans where 2 suffice).  Exploding each span into its two (day,
+    # delta) endpoint rows map-side emits the identical row multiset in
+    # one pass.
+    endpoints = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("end_day").alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
     daily = (
-        opens.unionAll(closes)
+        endpoints
         .groupBy("day")
         .agg(
             F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias(
