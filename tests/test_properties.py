@@ -896,3 +896,51 @@ def test_bpe_rewrite_semantics_match_greedy_reference(spark):
     # the corpus actually exercised the interesting cases
     assert any(BPE_JOIN in e for e in expected)
     assert any("a" + BPE_JOIN + "a" + BPE_JOIN + "b" in e for e in expected)
+
+
+def test_simhash_hamming_matches_bit_distance(spark, sf_dir):
+    """r15: dedup_simhash_hamming1 derives each pair's hamming from the
+    matched probe position (0 for the unflipped probe, 1 for a flip)
+    instead of re-comparing fingerprints.  Pin the equivalence: every
+    reported pair's hamming equals the actual bit distance of the two
+    documents' fingerprints, recomputed independently here."""
+    from streaming_amqp_spark.operators.dedup import (
+        _shared_simhash,
+        dedup_simhash_hamming1,
+    )
+
+    fp = {
+        r.doc_id: r.simhash
+        for r in _shared_simhash(spark, sf_dir).collect()  # driver-small
+    }
+    rows = dedup_simhash_hamming1(spark, sf_dir).collect()  # driver-small
+    assert rows, "fixture must produce at least one pair"
+    for r in rows:
+        true_d = sum(a != b for a, b in zip(fp[r.id1], fp[r.id2]))
+        assert r.hamming == true_d, (r, fp[r.id1], fp[r.id2])
+        assert r.hamming in (0, 1)
+
+
+def test_ngram_jaccard_doc_attrs_ride_the_sizes_join(spark, sf_dir):
+    """r15: dedup_ngram_jaccard(doc_attrs=...) threads doc-grain
+    attributes through the sizes joins (dedup_cross_source's label
+    path).  Pin the seam's semantics: same pair set as the plain call,
+    and each side's attr equals an independent per-doc lookup."""
+    from pyspark.sql import functions as F
+
+    from streaming_amqp_spark.operators.dedup import dedup_ngram_jaccard
+    from streaming_amqp_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("src")
+    )
+    src = {r.doc_id: r.src for r in d.collect()}  # driver-small fixture
+    plain = {
+        (r.id1, r.id2): (r.inter, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()  # driver-small
+    }
+    got = dedup_ngram_jaccard(spark, sf_dir, doc_attrs=d).collect()  # driver-small
+    assert {(r.id1, r.id2): (r.inter, r.jaccard) for r in got} == plain
+    assert plain, "fixture must produce pairs"
+    for r in got:
+        assert r.src1 == src[r.id1] and r.src2 == src[r.id2], r
