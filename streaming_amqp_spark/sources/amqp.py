@@ -140,6 +140,75 @@ def _msg_to_row(msg: dict) -> tuple:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched row shipping.
+#
+# PySpark's Python-data-source worker accepts either tuples or
+# ``pyarrow.RecordBatch``es from ``read()``.  The tuple path runs a
+# per-row, per-column converter loop (plan_data_source_read.records_to_
+# arrow_batches) that measures ~27 µs/row on the 11-column envelope —
+# 4× the cost of the JSON parse itself.  Building the RecordBatch here,
+# column-wise, keeps the JVM↔Python boundary columnar end to end and
+# was measured bit-equal to the tuple path (same pa schema, same values,
+# including bool/int→string coercion, map-entry and tz normalization).
+
+_ARROW_ENV: tuple | None = None  # (pyarrow module, envelope arrow schema)
+ARROW_ROWS_PER_BATCH = 16384  # flush granularity; bounds per-batch memory
+
+
+def _arrow_env():
+    global _ARROW_ENV
+    if _ARROW_ENV is None:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _ARROW_ENV = (pa, to_arrow_schema(ENVELOPE_SCHEMA))
+    return _ARROW_ENV
+
+
+def _coerce_str(v):
+    """The worker's StringType coercion (conversion.py convert_string):
+    None/str pass through, bool lowers, anything else str()s."""
+    if v is None or type(v) is str:
+        return v
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _rows_to_arrow_batch(rows: list[tuple]):
+    """Envelope row tuples (``_msg_to_row`` output) → one RecordBatch,
+    replicating the stock tuple-path converters exactly: string coercion,
+    map dict → entry list, naive timestamp interpreted via astimezone(UTC)
+    (identical to conversion.py's TimestampType converter)."""
+    pa, schema = _arrow_env()
+    cols = list(zip(*rows))
+    ts = schema.types
+
+    def scol(i):
+        return pa.array([_coerce_str(v) for v in cols[i]], ts[i])
+
+    def mcol(i):
+        return pa.array(
+            [list(v.items()) if v is not None else None for v in cols[i]],
+            ts[i],
+        )
+
+    arrays = [
+        scol(0), scol(1), scol(2), scol(3), scol(4),
+        mcol(5), mcol(6),
+        scol(7), scol(8),
+        pa.array(
+            [None if v is None else bytes(v) for v in cols[9]], ts[9]
+        ),
+        pa.array(
+            [None if v is None else v.astimezone(timezone.utc) for v in cols[10]],
+            ts[10],
+        ),
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
 def _parse_spool_line(line: str) -> dict | None:
     """One spool-file line → message dict, or None for a malformed /
     non-object line (SURVEY §7.4.2 drop-don't-crash semantics — shared by
@@ -514,7 +583,15 @@ class AMQPStreamReader(SimpleDataSourceStreamReader):
             self._batch_done[self._seq] = (time.monotonic(), len(rows))
             while len(self._batch_done) > 64:
                 self._batch_done.pop(next(iter(self._batch_done)))
-        return iter(rows), {"seq": self._seq}
+        # Ship as ONE RecordBatch (columnar boundary — the driver-side
+        # prefetch cache passes it to the JVM unconverted; the tuple
+        # path's per-row converter loop was the measured bottleneck).
+        # An empty read MUST return an empty iterator, not a 0-row batch:
+        # the engine treats any yielded element with an unchanged offset
+        # as OFFSET_DID_NOT_ADVANCE.  Rows stay retained as tuples for
+        # readBetweenOffsets replay (per-message granularity).
+        out = iter([_rows_to_arrow_batch(rows)]) if rows else iter(())
+        return out, {"seq": self._seq}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         lo, hi = start["seq"], end["seq"]
@@ -709,9 +786,13 @@ class AMQPScaleOutStreamReader(DataSourceStreamReader):
                 parts.append(_SpoolRangePartition(ranges))
         return parts or [_EmptyPartition()]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator:
+        # Yields RecordBatches, not tuples: columnar all the way to the JVM
+        # (see _rows_to_arrow_batch — the tuple path's per-row converter
+        # loop dominated the measured per-batch cost).
         if isinstance(partition, _EmptyPartition):
             return
+        buf: list[tuple] = []
         for path, lo, hi in partition.ranges:
             with open(path, "rb") as f:
                 f.seek(lo)
@@ -720,7 +801,12 @@ class AMQPScaleOutStreamReader(DataSourceStreamReader):
                 line = raw.decode("utf-8", errors="replace")
                 if line.strip():
                     if (msg := _parse_spool_line(line)) is not None:
-                        yield _msg_to_row(msg)
+                        buf.append(_msg_to_row(msg))
+                        if len(buf) >= ARROW_ROWS_PER_BATCH:
+                            yield _rows_to_arrow_batch(buf)
+                            buf = []
+        if buf:
+            yield _rows_to_arrow_batch(buf)
 
     def commit(self, end: dict) -> None:
         pass
@@ -773,17 +859,24 @@ class AMQPBatchReader(DataSourceReader):
         addresses = self.options.get("address", "spark").split(",")
         return [_AddressPartition(a.strip()) for a in addresses]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator:
         if isinstance(partition, _EmptyPartition):
             return
         if isinstance(partition, _SpoolFilePartition):
             # same drop-and-count semantics as the streaming SpoolTransport
             # (SURVEY §7.4.2): a malformed or non-object line never fails
-            # the task
+            # the task.  Rows ship as RecordBatches (columnar boundary —
+            # see _rows_to_arrow_batch).
+            buf: list[tuple] = []
             with open(partition.path) as f:
                 for line in f:
                     if (msg := _parse_spool_line(line)) is not None:
-                        yield _msg_to_row(msg)
+                        buf.append(_msg_to_row(msg))
+                        if len(buf) >= ARROW_ROWS_PER_BATCH:
+                            yield _rows_to_arrow_batch(buf)
+                            buf = []
+            if buf:
+                yield _rows_to_arrow_batch(buf)
             return
         # live link: per-partition connection, drain until empty, settle all
         transport = QpidTransport(  # pragma: no cover - no AMQP stack in image

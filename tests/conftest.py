@@ -24,3 +24,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def envelope_rows(read_result) -> list[tuple]:
+    """Flatten a reader ``read()`` result — an iterator of envelope row
+    tuples OR pyarrow RecordBatches (the sources ship columnar since the
+    Arrow-batched decode) — into a list of row tuples in schema order."""
+    rows: list[tuple] = []
+    for el in read_result:
+        if hasattr(el, "to_pylist"):  # pa.RecordBatch
+            rows.extend(tuple(d.values()) for d in el.to_pylist())
+        else:
+            rows.append(el)
+    return rows

@@ -16,6 +16,8 @@ import json
 import pytest
 
 from streaming_amqp_spark import api
+
+from tests.conftest import envelope_rows
 from streaming_amqp_spark.sources.amqp import (
     AMQPScaleOutStreamReader,
     _complete_bytes,
@@ -91,7 +93,7 @@ def test_scaleout_reader_partitions_per_dir(tmp_path):
     parts = r.partitions(start, end1)
     assert len(parts) == 2
     assert all(isinstance(p, _SpoolRangePartition) for p in parts)
-    rows = [row for p in parts for row in r.read(p)]
+    rows = [row for p in parts for row in envelope_rows(r.read(p))]
     assert len(rows) == 5
 
     # incremental: only d1 grows -> exactly one partition, only new rows
@@ -99,12 +101,12 @@ def test_scaleout_reader_partitions_per_dir(tmp_path):
     end2 = r.latestOffset()
     parts2 = r.partitions(end1, end2)
     assert len(parts2) == 1
-    new_rows = list(r.read(parts2[0]))
+    new_rows = envelope_rows(r.read(parts2[0]))
     assert [row[0] for row in new_rows] == ["y-2", "y-3", "y-4"]
 
     # replayability: the first range re-reads identically (exactly-once
     # on a durable spool)
-    replay = [row for p in r.partitions(start, end1) for row in r.read(p)]
+    replay = [row for p in r.partitions(start, end1) for row in envelope_rows(r.read(p))]
     assert [row[0] for row in replay] == [row[0] for row in rows]
 
 
@@ -132,7 +134,7 @@ def test_scaleout_admission_cap_bounds_batches(tmp_path):
         end = r.latestOffset()
         if end == offs[-1]:
             break
-        ids += [row[0] for p in r.partitions(offs[-1], end) for row in r.read(p)]
+        ids += [row[0] for p in r.partitions(offs[-1], end) for row in envelope_rows(r.read(p))]
         offs.append(end)
         batches += 1
         assert batches < 20, "cap not advancing"
@@ -157,7 +159,7 @@ def test_scaleout_first_latest_offset_uncapped_after_restart(tmp_path):
     end = r.latestOffset()
     assert end[d0][path] == full  # not capped below the checkpointed start
     start = {d0: {path: start_48}}  # checkpoint
-    rows = [row for p in r.partitions(start, end) for row in r.read(p)]
+    rows = [row for p in r.partitions(start, end) for row in envelope_rows(r.read(p))]
     assert [row[0] for row in rows] == ["x-48", "x-49"]  # only the tail
 
 
@@ -175,10 +177,10 @@ def test_scaleout_oversized_line_still_progresses(tmp_path):
     _write_dir(tmp_path, "d0", [big])
     _write_dir(tmp_path, "d0", _msgs(1, addr="y"), fname="001.jsonl")
     end1 = r.latestOffset()
-    rows1 = [row for p in r.partitions(prev, end1) for row in r.read(p)]
+    rows1 = [row for p in r.partitions(prev, end1) for row in envelope_rows(r.read(p))]
     assert [row[0] for row in rows1] == ["big"]  # over-budget line admitted
     end2 = r.latestOffset()
-    rows2 = [row for p in r.partitions(end1, end2) for row in r.read(p)]
+    rows2 = [row for p in r.partitions(end1, end2) for row in envelope_rows(r.read(p))]
     assert [row[0] for row in rows2] == ["y-0"]  # FIFO preserved, no loss
 
 
@@ -218,3 +220,64 @@ def test_scaleout_checkpoint_restart_no_duplicates(amqp, tmp_path):
     _write_dir(tmp_path, "d0", _msgs(2, start=3, addr="x"))
     run_once()  # restart from checkpoint: only the appended tail arrives
     assert sorted(seen) == ["x-0", "x-1", "x-2", "x-3", "x-4"]
+
+
+def test_arrow_batch_bit_equals_stock_tuple_conversion():
+    """The sources ship envelope rows as self-built RecordBatches
+    (``_rows_to_arrow_batch``) instead of tuples, skipping the worker's
+    per-row converter loop.  Pin bit-equality against that stock loop
+    (pyspark conversion.py converters + the same arrow schema) over a
+    corpus that exercises every coercion seam: non-string ids, bools,
+    numeric map values, nested bodies, binary b64 bodies, tz-aware and
+    absent timestamps, absent optional fields."""
+    import pyarrow as pa
+    from pyspark.sql.conversion import LocalDataToArrowConversion
+
+    from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
+    from streaming_amqp_spark.sources.amqp import (
+        _arrow_env,
+        _msg_to_row,
+        _rows_to_arrow_batch,
+    )
+
+    msgs = []
+    for i in range(200):
+        m = {
+            "message_id": f"m{i}",
+            "to_address": "t",
+            "body": str(i % 10),
+            "ingest_ts": "2024-01-01T00:00:00",
+        }
+        if i % 3 == 0:
+            m["application_properties"] = {"k": "v", "n": i, "b": True}
+            m["message_annotations"] = {"x": 1.5}
+        if i % 5 == 0:
+            m["body"] = {"nested": [1, 2, i]}
+        if i % 7 == 0:
+            m["body_b64"] = "aGVsbG8="
+        if i % 11 == 0:
+            m["message_id"] = i  # non-string id -> str() coercion
+            m["subject"] = True  # bool -> "true"
+            m["ingest_ts"] = "2024-06-01T05:06:07.123456+02:00"
+        if i % 13 == 0:
+            m["body"] = None
+        msgs.append(m)
+
+    rows = [_msg_to_row(m) for m in msgs]
+    _, schema = _arrow_env()
+    converters = [
+        LocalDataToArrowConversion._create_converter(
+            f.dataType, none_on_identity=False
+        )
+        for f in ENVELOPE_SCHEMA.fields
+    ]
+    pylist: list[list] = [[] for _ in ENVELOPE_SCHEMA.fields]
+    for r in rows:
+        for c, conv in enumerate(converters):
+            pylist[c].append(conv(r[c]))
+    stock = pa.RecordBatch.from_arrays(pylist, schema=schema)
+
+    mine = _rows_to_arrow_batch(rows)
+    assert mine.schema.equals(stock.schema)
+    for c in range(stock.num_columns):
+        assert mine.column(c).equals(stock.column(c)), schema.names[c]

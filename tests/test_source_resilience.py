@@ -10,6 +10,8 @@ import time
 
 import pytest
 
+from tests.conftest import envelope_rows
+
 from streaming_amqp_spark.sources.amqp import (
     AMQPStreamReader,
     AMQPWriter,
@@ -63,7 +65,7 @@ def test_reconnect_survives_transient_disconnect(tmp_path):
     r = _reader(spool)
     r.transport = FlakyTransport(spool, fail_times=2)
     rows, off = r.read(r.initialOffset())
-    assert len(list(rows)) == 5
+    assert len(envelope_rows(rows)) == 5
     assert off == {"seq": 5}
     assert r.transport.reconnects == 2
 
@@ -72,12 +74,12 @@ def test_reconnect_preserves_unsettled_buffer(tmp_path):
     spool = _write_spool(tmp_path, _msgs(3))
     r = _reader(spool)
     r.transport = FlakyTransport(spool, fail_times=0)
-    list(r.read(r.initialOffset())[0])  # batch 1 retained (uncommitted)
+    envelope_rows(r.read(r.initialOffset())[0])  # batch 1 retained (uncommitted)
     assert len(r._retained) == 3
     _write_spool(tmp_path, _msgs(2, start=3), fname="001.jsonl")
     r.transport.fail_times = 1  # drop mid-stream before batch 2
     rows, off = r.read({"seq": 3})
-    assert len(list(rows)) == 2 and off == {"seq": 5}
+    assert len(envelope_rows(rows)) == 2 and off == {"seq": 5}
     # batch-1 rows still replayable after the reconnect
     assert len(r._retained) == 5
     assert len(list(r.readBetweenOffsets({"seq": 0}, {"seq": 3}))) == 3
@@ -99,21 +101,21 @@ def test_adaptive_admission_shrinks_then_regrows(tmp_path):
     spool = _write_spool(tmp_path, _msgs(300))
     r = _reader(spool, maxmessagesperbatch="100", targetbatchseconds="0.2")
     rows1, off1 = r.read(r.initialOffset())
-    assert len(list(rows1)) == 100  # no feedback yet: full cap
+    assert len(envelope_rows(rows1)) == 100  # no feedback yet: full cap
     time.sleep(0.5)  # the batch takes >> target to process
     r.commit(off1)
     # cap scaled to ~ 100 * target / proc with proc >= 0.5 → at most 40
     cap1 = r._adaptive_cap
     assert 1 <= cap1 <= 40, cap1
     rows2, off2 = r.read(off1)
-    assert len(list(rows2)) == cap1  # shrunken cap applied
+    assert len(envelope_rows(rows2)) == cap1  # shrunken cap applied
     r.commit(off2)  # committed immediately: fast batch → cap doubles
     assert r._adaptive_cap == min(100, 2 * cap1)
     # an idle gap with NO outstanding batch must not move the cap
     before = r._adaptive_cap
     time.sleep(0.3)
     rows3, off3 = r.read(off2)
-    assert len(list(rows3)) == before
+    assert len(envelope_rows(rows3)) == before
     r.commit(off3)
 
 

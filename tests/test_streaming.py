@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from streaming_amqp_spark.envelope import ENVELOPE_SCHEMA
+from tests.conftest import envelope_rows
 from streaming_amqp_spark.sources.amqp import register_amqp_source
 from streaming_amqp_spark.streaming.windows import (
     streaming_dedup,
@@ -774,14 +775,14 @@ def test_unreliable_mode_settles_on_receive(amqp, tmp_path):
         {"transport": "spool", "spooldir": spool, "reliable": "false"}
     )
     rows, end = r.read(r.initialOffset())
-    assert len(list(rows)) == 5 and end == {"seq": 5}
+    assert len(envelope_rows(rows)) == 5 and end == {"seq": 5}
     assert r._retained == []  # settled on receive — no replay buffer
 
     r2 = AMQPStreamReader(
         {"transport": "spool", "spooldir": spool, "reliable": "true"}
     )
     rows2, end2 = r2.read(r2.initialOffset())
-    assert len(list(rows2)) == 5
+    assert len(envelope_rows(rows2)) == 5
     assert len(r2._retained) == 5  # reliable mode retains until commit
     r2.commit(end2)
     assert r2._retained == []
