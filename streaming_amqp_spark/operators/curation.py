@@ -944,7 +944,18 @@ def dedup_substring_runs(
             (F.col("pa") - F.col("pb")).alias("diag"),
         )
     )
-    wn = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    # r15: window partitioned by the PAIR, ordered (diag, pa) — not by
+    # (pair, diag).  Island identity within each (pair, diag) group is
+    # unchanged: rows of one diag are contiguous under the (diag, pa)
+    # order, so row_number stays consecutive inside a diag segment and
+    # pa - row_number is still constant exactly on gap-free runs (its
+    # absolute value shifts per diag, but island is only ever a group
+    # key alongside diag, never compared across diags).  The payoff:
+    # HashPartitioning(doc_a, doc_b) satisfies the clustering of BOTH
+    # downstream aggregates (subset rule), so the per-pair groupBy rides
+    # the window exchange instead of re-shuffling `runs` (plan: 2
+    # exchanges after the join → 1).  Partitions stay pair-bounded.
+    wn = W.partitionBy("doc_a", "doc_b").orderBy("diag", "pa")
     isl = pairs.withColumn("island", F.col("pa") - F.row_number().over(wn))
     runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
         F.count("*").alias("run_chunks"),
