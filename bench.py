@@ -662,7 +662,8 @@ def main() -> None:
     # stdout.  Emit a compact parseable line NOW (marked partial): with
     # progress bars off, stdout between here and the final lines is
     # empty, so even an external kill leaves this line inside the tail.
-    print(json.dumps(_compact_summary(out) | {"partial": True}), flush=True)
+    print(json.dumps(_compact_summary(out) | {"partial": True}))
+    print(_per_query_line(out, extra={"partial": True}), flush=True)
 
     # throughput probes BEFORE the slope panel: they are headline
     # capability numbers (the reference's ≥10k msg/s ceiling) while the
@@ -697,10 +698,17 @@ def main() -> None:
         out["failed"] = failed
         out["failed_count"] = len(failed)
     _persist(out)  # full record -> BENCH_LOCAL.json (lossless)
-    # Full line for full-capture consumers, then the compact summary
-    # LAST — short enough (<1 KB) that the tail window holds it whole.
+    # Full line for full-capture consumers, then the compact digest
+    # (slopes / vs_r1 / throughput), then the PER-QUERY line LAST.
+    # VERDICT r15 #1: the driver archives only the last 2000 chars of
+    # stdout and parses the last JSON line — two rounds of PERF came
+    # back with per_query empty because the digest omitted the queries
+    # map.  The final line now carries per-query seconds directly; the
+    # digest moves one line earlier (still inside BENCH_LOCAL.json and
+    # the full line for lossless consumers).
     print(json.dumps(out))
-    print(json.dumps(_compact_summary(out)), flush=True)
+    print(json.dumps(_compact_summary(out)))
+    print(_per_query_line(out), flush=True)
     spark.stop()
 
 
@@ -760,6 +768,51 @@ def _compact_summary(out: dict) -> dict:
         ),
         "detail": "BENCH_LOCAL.json",
     }
+
+
+def _per_query_line(
+    out: dict, budget: int = 1980, extra: dict | None = None
+) -> str:
+    """The driver-parsed FINAL stdout line: headline identity fields plus
+    a per-query ``{"name": seconds}`` map (2-decimal, same unit as the
+    full record), compact-separated and greedily filled by DESCENDING
+    query cost so the line stays inside the driver's 2000-char tail
+    window.  All 82 full names never fit (names alone are ~1.6 KB), so
+    the cheapest-by-time tail entries are omitted when space runs out —
+    ``queries_omitted`` records how many (they remain in the full line
+    and BENCH_LOCAL.json).  VERDICT r15 #1: PERF per_query / scaling
+    came back empty two rounds running because the parsed line carried
+    no queries map at all."""
+    base = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "headline_count": out["headline_count"],
+        "headline_set_sha": out["headline_set_sha"],
+        "failed_count": out.get("failed_count", 0),
+        # placeholder at max width (2 digits) so setting the real count
+        # below can only shrink the line, never overflow the budget
+        "queries_omitted": 99,
+    }
+    if extra:
+        base = extra | base
+    timings = out.get("queries") or {}
+    picked: dict[str, float] = {}
+    # descending cost: the queries that dominate the total get driver
+    # per-query evidence first; ties break on name for determinism
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        cand = {**picked, name: round(timings[name], 2)}
+        if (
+            len(json.dumps(base | {"queries": cand}, separators=(",", ":")))
+            > budget
+        ):
+            continue  # a shorter-named entry may still fit
+        picked = cand
+    base["queries_omitted"] = len(timings) - len(picked)
+    # emit in headline order so the map reads stably across rounds
+    qmap = {n: picked[n] for n in timings if n in picked}
+    return json.dumps(base | {"queries": qmap}, separators=(",", ":"))
 
 
 def _persist(out: dict) -> str:

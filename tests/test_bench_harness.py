@@ -292,3 +292,69 @@ def test_spot_order_loads_committed_records_for_real_membership():
     assert order[0] == bench.SF1_SPOT[0]
     assert sorted(order) == sorted(bench.SF1_SPOT)
     assert order == bench._spot_order()
+
+
+# ------------------------------------------------------------ _per_query_line
+
+
+def _fake_out(n_queries: int = 82) -> dict:
+    # realistically long names (the real 82 sum to ~1.6 KB of name bytes)
+    names = [f"some_quite_long_query_name_{i:03d}" for i in range(n_queries)]
+    return {
+        "metric": "headline_total_runtime",
+        "value": 38.4965,
+        "unit": "sec",
+        "sf": 0.1,
+        "headline_count": n_queries,
+        "headline_set_sha": "915e63827f",
+        "failed_count": 0,
+        "queries": {n: 0.05 + (i % 37) * 0.173 for i, n in enumerate(names)},
+    }
+
+
+def test_per_query_line_fits_driver_tail_and_parses():
+    """VERDICT r15 #1: the driver keeps the LAST 2000 stdout chars and
+    parses the last JSON line — the final line must carry per-query
+    seconds and fit that window whole."""
+    import json
+
+    out = _fake_out()
+    line = bench._per_query_line(out)
+    assert len(line) <= 1999
+    p = json.loads(line)
+    assert p["metric"] == out["metric"] and p["value"] == out["value"]
+    assert p["headline_set_sha"] == out["headline_set_sha"]
+    assert p["unit"] == "sec"  # per-query values stay in seconds
+    assert p["queries"], "per-query map must be non-empty"
+    for n, v in p["queries"].items():
+        assert v == round(out["queries"][n], 2)
+    assert p["queries_omitted"] == len(out["queries"]) - len(p["queries"])
+
+
+def test_per_query_line_prefers_expensive_queries():
+    out = _fake_out()
+    p = __import__("json").loads(bench._per_query_line(out))
+    included = set(p["queries"])
+    omitted = set(out["queries"]) - included
+    if omitted:  # every omitted query is cheaper than every included one
+        assert max(out["queries"][n] for n in omitted) <= min(
+            out["queries"][n] for n in included
+        )
+
+
+def test_per_query_line_small_map_is_complete_and_real_record_fits():
+    import json
+
+    out = _fake_out(5)
+    p = json.loads(bench._per_query_line(out))
+    assert p["queries_omitted"] == 0 and len(p["queries"]) == 5
+    # the committed real record must also produce a fitting line
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    real = json.load(open(os.path.join(here, "BENCH_LOCAL.json")))
+    if real.get("queries"):
+        line = bench._per_query_line(real, extra={"partial": True})
+        assert len(line) <= 1999
+        rp = json.loads(line)
+        assert rp["partial"] is True and len(rp["queries"]) >= 50
