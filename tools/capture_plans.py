@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r15/.
+"""Capture .explain("formatted") for headline queries into plans/r16/.
 
 Usage:
     python tools/capture_plans.py before [name ...]
     python tools/capture_plans.py after  [name ...]
 
 With no names, captures every bench HEADLINE query.  Writes
-plans/r15/<query>_<tag>.txt.  Plans are captured at sf0.1 (the bench
+plans/r16/<query>_<tag>.txt.  Plans are captured at sf0.1 (the bench
 scale) without executing the query (explain only), so this is cheap;
 note AQE plans print isFinalPlan=false — the judge-facing artifact is
 the static plan shape (Exchange count, join strategy, PushedFilters).
@@ -34,7 +34,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
