@@ -48,51 +48,51 @@ _MODULES = (
 # The driver only checks the first 50 registry entries per round; the list
 # rotates per round.  Standing rule (VERDICT r4 #1): any commit that edits a
 # query or its oracle must put that name in the window.
-# Round-14 window (181 registered total; cumulative ledger after r13:
-# every query's latest driver verdict is green, zero never-attested,
-# latest-verdict distribution r10:35 r11:46 r12:50 r13:50).
+# Round-16 window (181 registered total; ledger after r15: zero
+# never-attested, zero stale-red, latest-verdict distribution
+# r11:39 r12:47 r13:45 r15:50).
 # Composition, per the touch-a-query→rotate-it-in rule:
-# - 5 names TOUCHED this round: text_encoding_policy (control-char drop
-#   class excludes \t\n\r, ADVICE r13) and the four persisted-index
-#   serving paths (store rework: source fingerprints, _COMPACT-aware
-#   reads — dedup_minhash_lsh_indexed / ann_ivf_topk_indexed /
-#   ann_pq_kmeans_recall_indexed / minhash_index_stats).
-# - 3 names VERDICT r13 #5 called out as touched-in-r13-but-unrotated:
-#   dedup_containment, dedup_cross_source, ann_pq_kmeans_recall.
-# - all 35 names whose latest verdict is r10 — the oldest evidence
-#   (`tools/freshness.py --suggest`); note 8 of them are events-family,
-#   so the new events.ts ingest gate (which touches every events plan;
-#   the full-registry sweeps attest the rest) is driver-attested too.
-# - 7 r11 fills: the 5 oldest alphabetically plus the cohort's two
-#   events-family names (events_conversion_latency,
-#   events_cum_distinct_users), preferred within the equal-age cohort
-#   because the ts gate changed their plans this round.
+# - the 11 names VERDICT r15 #2 lists as touched-in-r15-but-unrotated
+#   (the probe-position hamming, island-window re-key, vocab-growth
+#   digit-min, checkpoint family, sweepline, fan-out, doc_attrs sites):
+#   dedup_simhash_hamming1, dedup_substring_runs,
+#   curate_substring_policy, contamination_fuzzy, text_vocab_growth,
+#   events_funnel, rfm_segmentation, orders_backlog_sweepline,
+#   q1_pricing_summary, ann_pq_adc, dedup_ngram_jaccard.  Several are
+#   ALSO this round's optimization targets (VERDICT r16 asks #3/#4),
+#   so their r16 rewrites get driver attestation too.
+# - all 39 names whose latest verdict is r11 — the oldest evidence
+#   cohort, taken whole (`tools/freshness.py --suggest`); includes
+#   profile_table, this round's #5 target.
+# events_funnel sits in BOTH groups (r15-touched with an r11 latest
+# verdict), so the union is 49; agg_cube_lineitem (oldest r12 name,
+# alphabetical) fills the last slot.  Any additional query touched this
+# round swaps in for the cheapest-risk fill at change time.
 _FIRST_50 = (
-    # touched this round
-    "text_encoding_policy", "dedup_minhash_lsh_indexed",
-    "ann_ivf_topk_indexed", "ann_pq_kmeans_recall_indexed",
-    "minhash_index_stats",
-    # r13-touched, unrotated then (VERDICT r13 #5)
-    "dedup_containment", "dedup_cross_source", "ann_pq_kmeans_recall",
-    # r10-stale (latest verdict is r10) — the full cohort
-    "basket_brand_pairs", "brand_graph_pagerank", "contamination_check",
-    "corpus_len_histogram", "customer_order_gaps", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_simhash_buckets", "embedding_centroids",
-    "envelope_map_functions", "events_cusum_alarms", "events_cusum_daily",
-    "events_ewma", "events_from_json_typed", "events_interval_join_binned",
-    "events_retention", "events_seasonal_anomaly", "events_window_5s_max",
-    "full_outer_nation_profile", "hist_order_totalprice",
-    "orders_cohort_ltv", "pivot_status_by_priority",
-    "priciest_part_per_brand", "range_join_signup_clicks",
-    "sample_deterministic", "scalar_function_showcase", "scd_priority_asof",
-    "semi_join_big_orders", "set_ops_nation_presence",
-    "sort_limit_top_lineitems", "split_train_val_test",
-    "streaming_cms_topk_twin", "window_lag_event_delta",
-    "window_range_frame_7d", "window_running_revenue",
-    # r11 fills (oldest-first + the cohort's gate-touched events names)
-    "agg_cms_heavy_hitters", "ann_ivf_balance", "ann_ivf_kmeans_recall",
-    "ann_pq_recall", "ann_two_stage_recall", "events_conversion_latency",
-    "events_cum_distinct_users",
+    # r15-touched, unrotated then (VERDICT r15 #2) — several re-touched
+    # this round
+    "dedup_simhash_hamming1", "dedup_substring_runs",
+    "curate_substring_policy", "contamination_fuzzy", "text_vocab_growth",
+    "events_funnel", "rfm_segmentation", "orders_backlog_sweepline",
+    "q1_pricing_summary", "ann_pq_adc", "dedup_ngram_jaccard",
+    # r11-stale (latest verdict is r11) — the full cohort
+    "anti_join_idle_customers", "dedup_chunk_cdc", "dedup_minhash_recall",
+    "domain_mixture_weights", "embedding_l2_normalize",
+    "embedding_pca_power", "embedding_quantize_int8",
+    "envelope_body_roundtrip", "events_dow_hour_heatmap",
+    "events_holt_daily", "events_json_props", "events_sessionize_30m",
+    "events_sliding_10m_5m", "events_window_hourly_by_type",
+    "knn_cosine_topk", "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_meta", "multimodal_resize",
+    "pack_docs_nextfit", "pii_mask_events", "profile_table",
+    "scalar_array_funcs", "scalar_conditional_funcs", "scalar_date_funcs",
+    "scalar_string_funcs", "text_bigram_counts", "text_chunk_sliding",
+    "text_doc_frequency", "text_encode_tokens", "text_fingerprint",
+    "text_lang_id", "text_quality_score", "text_simhash",
+    "text_token_stats", "text_winnowing_fingerprints",
+    "unpivot_order_measures", "window_rank_variants",
+    # r12 fill (oldest-first, alphabetical)
+    "agg_cube_lineitem",
 )
 
 
