@@ -68,6 +68,13 @@ _MODULES = (
 # verdict), so the union is 49; agg_cube_lineitem (oldest r12 name,
 # alphabetical) fills the last slot.  Any additional query touched this
 # round swaps in for the cheapest-risk fill at change time.
+# r16 swaps: the _posting_pair_stats rework (sizes cache + id1-keyed
+# pair exchange) also changes dedup_containment and dedup_cross_source
+# (dedup_minhash_recall and dedup_ngram_jaccard were already in), so
+# they displace window_rank_variants and unpivot_order_measures — the
+# two untouched r11 fills with the simplest single-scan relational
+# shapes (their r11 verdicts are green and their code is unchanged
+# since).
 _FIRST_50 = (
     # r15-touched, unrotated then (VERDICT r15 #2) — several re-touched
     # this round
@@ -90,9 +97,10 @@ _FIRST_50 = (
     "text_doc_frequency", "text_encode_tokens", "text_fingerprint",
     "text_lang_id", "text_quality_score", "text_simhash",
     "text_token_stats", "text_winnowing_fingerprints",
-    "unpivot_order_measures", "window_rank_variants",
     # r12 fill (oldest-first, alphabetical)
     "agg_cube_lineitem",
+    # r16-touched (posting/pair machinery rework)
+    "dedup_containment", "dedup_cross_source",
 )
 
 

@@ -169,6 +169,7 @@ def _posting_pair_stats(
     the attr side shuffles (doc-grain, never the pair set); every doc_id
     in sizes exists in the corpus, so the inner lookup drops nothing.
     Attr columns surface suffixed ``1``/``2`` alongside n1/n2."""
+    registered_corpus = sh is None
     if sh is None:
         sh = _doc_shingles(spark, sf_dir)
     if id_cap is not None:
@@ -185,18 +186,53 @@ def _posting_pair_stats(
     posting = shared_cache(
         spark, ("jaccard_posting", sf_dir, max_shingle_freq, id_cap), _build_posting
     )
-    sizes = (
-        posting.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+
+    # r16 (no-DAG-CSE re-expansion class, r15 §15): the doc-grain sizes
+    # aggregate is referenced by BOTH pair sides (s1 and s2 below), so
+    # the posting explode + groupBy(doc_id) + its exchange ran twice per
+    # query.  Session-cache it for the registered corpus (same key
+    # discipline as the posting cache; the slope panel clears it per
+    # cold iteration); caller-supplied shingle relations have no stable
+    # cache key — a lazy localCheckpoint computes the narrow (doc_id, n)
+    # relation once per invocation instead (query-scoped, doc-grain).
+    def _build_sizes() -> DataFrame:
+        return (
+            posting.select(F.explode("ids").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+
+    if registered_corpus:
+        sizes = shared_cache(
+            spark, ("jaccard_sizes", sf_dir, max_shingle_freq, id_cap), _build_sizes
+        )
+    else:
+        sizes = _build_sizes().localCheckpoint(eager=False)
     attrs: list[str] = []
     if doc_attrs is not None:
         attrs = [c for c in doc_attrs.columns if c != "doc_id"]
         # doc-grain ⋈ doc-grain on the aggregate's own hash(doc_id)
         # partitioning: only doc_attrs moves; shuffle-hash pinned for
-        # the same r9 estimate-driven-broadcast reason as s1/s2 below
+        # the same r9 estimate-driven-broadcast reason as s1/s2 below.
+        # Checkpointed lazily so the s1/s2 re-references below don't run
+        # the attr lookup twice (the base sizes cache cannot key on a
+        # caller-supplied DataFrame).
         sizes = sizes.join(doc_attrs.hint("shuffle_hash"), "doc_id")
+        sizes = sizes.localCheckpoint(eager=False)
+    # r16 (guide §2.4 share one exchange): the pair aggregate used to
+    # exchange on (id1, id2) and the s1 join then re-exchanged the
+    # aggregated pairs on id1.  hash(id1) satisfies the aggregate's
+    # clustering requirement too (subset rule), so ONE explicit
+    # repartition on id1 serves both — the trade is that raw pair rows
+    # cross the exchange without map-side combine, and that is cheap
+    # here by measurement: raw/combined = 1.12 at sf0.1 and 1.22 at the
+    # synthesized sf1 (a pair's shingle occurrences scatter across
+    # posting partitions, so the partial agg rarely merged anything).
+    # Bytes per pair: ~1.2x of (id1, id2) once vs (id1, id2, count)
+    # twice — under half, plus one whole stage barrier removed.  Skew
+    # note: hash(id1) concentrates a hot doc's pairs, but per-doc pair
+    # fan-out is cap-bounded (MAX_SHINGLE_FREQ per shingle) and the
+    # id1 < id2 orientation splits a hot doc across both roles.
     pairs = (
         posting.where(F.size("ids") >= 2)
         .select(F.explode("ids").alias("id1"), F.col("ids"))
@@ -204,6 +240,7 @@ def _posting_pair_stats(
             "id1",
             F.explode(F.filter("ids", lambda x: x > F.col("id1"))).alias("id2"),
         )
+        .repartition("id1")
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
     )
