@@ -641,6 +641,12 @@ _PROFILE_COLS = (
     "o_orderpriority",
 )
 
+# The string-typed profile columns: min/max over these is what forces a
+# whole-table aggregate into the interpreted SortAggregate fallback
+# (string aggregation buffers are not mutable-width), so the exact path
+# computes them on the distinct-pairs side instead (r16).
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
 
 # approx_count_distinct's default relative standard deviation is 0.05;
 # 3 sigma bounds the (deterministic-given-the-data) HLL estimate — the
@@ -675,15 +681,34 @@ def profile_table(
       the sketch path exists, and the exact side would be dropped at
       scale."""
     o = load_table(spark, sf_dir, "orders")
+    # r16 (guide §2.3/§7.2): min/max over the two STRING columns made
+    # the whole-table pass fall back to an INTERPRETED SortAggregate
+    # (string buffers are not mutable-width; no whole-stage codegen, no
+    # star in the executed plan) — flat at sf0.1 but the wrong per-row
+    # cost for a 100 TB scan.  On the exact path the string min/max now
+    # ride the distinct-pairs side (min over the distinct value set ==
+    # min over all values), so every whole-relation aggregate here is a
+    # codegen HashAggregate; the sketch-only path keeps them in its
+    # single pass (its contract is ONE scan, and a second scan would
+    # cost more than the interpreted evaluation saves).
     aggs: list[F.Column] = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
             F.approx_count_distinct(c).alias(f"apx_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
         ]
+        if not exact or c not in _PROFILE_STR_COLS:
+            aggs += [
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            ]
     one = o.agg(*aggs)
+    if exact:
+        # placeholders keep the stack() arg list uniform; the real
+        # values come from the distinct-pairs branch below
+        for c in _PROFILE_STR_COLS:
+            one = one.withColumn(f"min_{c}", F.lit(None).cast("string"))
+            one = one.withColumn(f"max_{c}", F.lit(None).cast("string"))
     stack_args = ", ".join(
         f"{i}, '{c}', null_{c}, apx_{c}, min_{c}, max_{c}"
         for i, c in enumerate(_PROFILE_COLS)
@@ -707,11 +732,36 @@ def profile_table(
             F.array(*[F.col(c).cast("string") for c in _PROFILE_COLS])
         ).alias("cid", "val")
     ).where(F.col("val").isNotNull())
-    dist = (
-        pairs.distinct()
-        .groupBy("cid")
-        .agg(F.count("*").alias("n_distinct"))
-    )
+    # the distinct relation feeds BOTH the per-column counts and the
+    # string min/max (no DAG CSE — without the lazy checkpoint the
+    # explode+distinct would run twice); at scale the exact side is
+    # dropped anyway (docstring), so materializing O(distinct) here is
+    # the bench-path trade only
+    dpairs = pairs.distinct().localCheckpoint(eager=False)
+    dist = dpairs.groupBy("cid").agg(F.count("*").alias("n_distinct"))
+    str_cids = [
+        i for i, c in enumerate(_PROFILE_COLS) if c in _PROFILE_STR_COLS
+    ]
+    # string min/max over the distinct-ENUM rows only: a grouping-free
+    # aggregate (keys=[] — no Sort node) whose input is the ≤
+    # |status|+|priority| distinct values, bounded at any corpus scale;
+    # min over a column's distinct set == min over the column
+    sm_aggs: list[F.Column] = []
+    for i in str_cids:
+        v = F.when(F.col("cid") == i, F.col("val"))
+        sm_aggs += [
+            F.min(v).alias(f"smin_{i}"),
+            F.max(v).alias(f"smax_{i}"),
+        ]
+    sm = dpairs.where(F.col("cid").isin(*str_cids)).agg(*sm_aggs)
+    mn_val, mx_val = F.col("min_val"), F.col("max_val")
+    for i in str_cids:
+        mn_val = F.when(F.col("cid") == i, F.col(f"smin_{i}")).otherwise(
+            mn_val
+        )
+        mx_val = F.when(F.col("cid") == i, F.col(f"smax_{i}")).otherwise(
+            mx_val
+        )
     # LEFT join + coalesce keeps the row-per-column contract even for an
     # all-NULL column (no distinct pairs → no dist row, but the oracle
     # emits n_distinct=0 for it; ADVICE r5).
@@ -721,14 +771,15 @@ def profile_table(
     )
     return (
         stacked.join(F.broadcast(dist), "cid", "left")
+        .crossJoin(F.broadcast(sm))
         .select(
             "column_name",
             "n_rows",
             "n_null",
             nd.alias("n_distinct"),
             within.alias("dist_within_bound"),
-            "min_val",
-            "max_val",
+            mn_val.alias("min_val"),
+            mx_val.alias("max_val"),
         )
     )
 

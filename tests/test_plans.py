@@ -441,21 +441,44 @@ def test_scan_fused_round4b_operators_have_no_exchange(spark, sf_dir):
 
 
 def test_profile_table_plan_shape(spark, sf_dir):
-    """The r5 reform's claims, pinned (VERDICT r4 #2):
-    - registered (exact-grounded) path: exactly TWO scans — the sketch
-      base aggregate plus the hash-only distinct-pair side — and, the
-      actual fix, NO 6-way row Expand and no Sort feeding an aggregate
-      (the old multi-distinct compiled to Expand + SortAggregate over
-      900k sorted rows);
+    """The r5 reform's claims, pinned (VERDICT r4 #2), tightened r16:
+    - registered (exact-grounded) path: the whole-table profile pass
+      must be a codegen HashAggregate — min/max over the two STRING
+      columns used to force the entire 21-function pass into the
+      interpreted SortAggregate fallback; they now ride the
+      distinct-pairs side (r16).  The only SortAggregate allowed is the
+      grouping-free string min/max whose input is the filtered
+      distinct-ENUM rows (bounded at any scale), and no Sort node and
+      no 6-way row Expand may appear anywhere.
     - sketch path (exact=False, the 100 TB plan): exactly ONE scan,
       no Expand, fixed-size HLL state."""
     from streaming_amqp_spark.plans.statistics import profile_table
 
-    # formatted explain prints every scan node twice (tree + detail)
-    plan = _plan(spark, sf_dir, "profile_table")
-    assert plan.count("Scan parquet") == 4, plan[:800]
+    df = profile_table(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the one visible scan is the whole-table pass, and it must be a
+    # HashAggregate (the pairs explode lives behind the distinct
+    # checkpoint and runs once for counts + string min/max)
+    assert plan.count("Scan parquet") == 1, plan[:800]
     assert "Expand" not in plan, plan[:800]
     assert "Sort [" not in plan, plan[:800]
+    # whole-table pass: codegen HashAggregate, never SortAggregate
+    import re
+
+    whole_table = [
+        ln
+        for ln in plan.splitlines()
+        if "Aggregate" in ln and "approx_count_distinct" in ln
+    ]
+    assert whole_table and all(
+        "HashAggregate" in ln for ln in whole_table
+    ), plan[:1200]
+    # any remaining SortAggregate must be the grouping-free string
+    # min/max over the distinct-enum rows (key=[]), nothing else
+    for ln in plan.splitlines():
+        if "SortAggregate" in ln:
+            assert "key=[]" in ln and "CASE WHEN" in ln, ln
 
     sk = profile_table(spark, sf_dir, exact=False)
     skplan = sk._jdf.queryExecution().executedPlan().toString()
