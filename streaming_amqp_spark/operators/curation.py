@@ -961,15 +961,31 @@ def dedup_substring_runs(
         F.count("*").alias("run_chunks"),
         F.sum("nt_a").alias("run_tokens"),
     )
+    # r16 (guide §7.2): max over a STRUCT buffer forced this final
+    # per-pair aggregate into Sort + SortAggregate (struct buffers are
+    # not mutable-width) — the last sort pass in the query.  Pack the
+    # lexicographic (run_chunks, run_tokens) pair into ONE BIGINT
+    # instead: run_chunks << 32 | run_tokens.  Provably safe: both
+    # counts are bounded by ONE document's character count (a JVM
+    # string, < 2^31 chars — run_tokens sums whitespace-split token
+    # counts of one doc's chunks ≤ its chars; run_chunks ≤ its chunk
+    # count ≤ its chars), so run_tokens < 2^32 makes the packed order
+    # exactly the lexicographic order, and (2^31-1) << 32 + rt < 2^63
+    # never overflows.  shiftright/bitwiseAND unpack is integer-exact,
+    # so the oracle's row_number()-over-(DESC, DESC) pick hashes
+    # identically.
+    packed = F.shiftleft(F.col("run_chunks"), 32) + F.col("run_tokens")
     per = runs.groupBy("doc_a", "doc_b").agg(
-        F.max(F.struct("run_chunks", "run_tokens")).alias("best"),
+        F.max(packed).alias("best"),
         F.sum("run_chunks").alias("n_aligned_chunks"),
     )
     return per.select(
         "doc_a",
         "doc_b",
-        F.col("best.run_chunks").alias("longest_run_chunks"),
-        F.col("best.run_tokens").alias("longest_run_tokens"),
+        F.shiftright(F.col("best"), 32).alias("longest_run_chunks"),
+        F.col("best")
+        .bitwiseAND(F.lit(4294967295))
+        .alias("longest_run_tokens"),
         "n_aligned_chunks",
     ).where(F.col("longest_run_chunks") >= 2)
 
