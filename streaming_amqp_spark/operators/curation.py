@@ -202,13 +202,27 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("source") == EVAL_SOURCE)
         .select("doc_id")
     )
+    # ADVICE r15: the oracle's train side is `source <> EVAL_SOURCE`,
+    # which also EXCLUDES NULL-source documents (NULL <> x is NULL) —
+    # an anti join on eval ids alone would include them as training.
+    # The anti side therefore excludes "eval or unlabeled" ids; both
+    # classes are bounded anomaly slices next to the corpus (the eval
+    # broadcast already assumes the former), so the broadcast stays
+    # scale-safe and train band rows still stream map-side.
+    excluded_ids = (
+        _docs(spark, sf_dir)
+        .where(F.col("source").isNull() | (F.col("source") == EVAL_SOURCE))
+        .select("doc_id")
+    )
     band_rows = _shared_band_rows(spark, sf_dir)
     # the eval slice is bounded (benchmarks ≪ corpus): broadcast its ids;
     # train band rows stream map-side through the anti join — no shuffle
     ev = band_rows.join(F.broadcast(eval_ids), "doc_id").select(
         F.col("doc_id").alias("eval_doc"), "band_idx", "band_hash"
     )
-    tr = band_rows.join(F.broadcast(eval_ids), "doc_id", "left_anti").select(
+    tr = band_rows.join(
+        F.broadcast(excluded_ids), "doc_id", "left_anti"
+    ).select(
         F.col("doc_id").alias("train_doc"), "band_idx", "band_hash"
     )
     cand = (

@@ -180,32 +180,51 @@ def _rows_to_arrow_batch(rows: list[tuple]):
     """Envelope row tuples (``_msg_to_row`` output) → one RecordBatch,
     replicating the stock tuple-path converters exactly: string coercion,
     map dict → entry list, naive timestamp interpreted via astimezone(UTC)
-    (identical to conversion.py's TimestampType converter)."""
+    (identical to conversion.py's TimestampType converter).
+
+    ADVICE r15: converters dispatch on the arrow schema's FIELD TYPES
+    (string / map / binary / timestamp), not hard-coded column
+    positions, so an ENVELOPE_SCHEMA reorder or extension either keeps
+    converting correctly or fails loudly here — never silently
+    misaligns.  The pinned bit-equality corpus test
+    (tests/test_scaleout.py) remains the behavioural guard."""
     pa, schema = _arrow_env()
     cols = list(zip(*rows))
-    ts = schema.types
-
-    def scol(i):
-        return pa.array([_coerce_str(v) for v in cols[i]], ts[i])
-
-    def mcol(i):
-        return pa.array(
-            [list(v.items()) if v is not None else None for v in cols[i]],
-            ts[i],
-        )
-
-    arrays = [
-        scol(0), scol(1), scol(2), scol(3), scol(4),
-        mcol(5), mcol(6),
-        scol(7), scol(8),
-        pa.array(
-            [None if v is None else bytes(v) for v in cols[9]], ts[9]
-        ),
-        pa.array(
-            [None if v is None else v.astimezone(timezone.utc) for v in cols[10]],
-            ts[10],
-        ),
-    ]
+    arrays = []
+    for i, t in enumerate(schema.types):
+        if pa.types.is_string(t):
+            arrays.append(pa.array([_coerce_str(v) for v in cols[i]], t))
+        elif pa.types.is_map(t):
+            arrays.append(
+                pa.array(
+                    [
+                        list(v.items()) if v is not None else None
+                        for v in cols[i]
+                    ],
+                    t,
+                )
+            )
+        elif pa.types.is_binary(t):
+            arrays.append(
+                pa.array(
+                    [None if v is None else bytes(v) for v in cols[i]], t
+                )
+            )
+        elif pa.types.is_timestamp(t):
+            arrays.append(
+                pa.array(
+                    [
+                        None if v is None else v.astimezone(timezone.utc)
+                        for v in cols[i]
+                    ],
+                    t,
+                )
+            )
+        else:  # loud failure beats silent misconversion
+            raise TypeError(
+                f"unsupported envelope arrow type {t} for column "
+                f"{schema.names[i]}"
+            )
     return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 

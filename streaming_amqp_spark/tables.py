@@ -275,6 +275,14 @@ def clear_shared_cache(spark: SparkSession) -> None:
         for df in reg.values():
             df.unpersist(blocking=False)
         reg.clear()
+    # ADVICE r15: the fan_out_if_narrow width memo is keyed on
+    # (table, sf_dir) with no invalidation of its own — every caller
+    # that mutates inputs in place already clears the shared cache, so
+    # dropping the memo here keeps a rewritten/appended parquet dir
+    # from serving a stale scan width.
+    memo = getattr(spark, "_saq_scan_width", None)
+    if memo:
+        memo.clear()
 
 
 def fan_out(df: DataFrame, *keys: str) -> DataFrame:
@@ -310,7 +318,12 @@ def fan_out_if_narrow(
     The width probe (``df.rdd.getNumPartitions()``) is driver-side
     physical planning only — no job runs, no data moves; ``width_key``
     memoizes it per session (the probe costs ~10-40 ms of plan
-    conversion, paid once per (table, sf_dir))."""
+    conversion, paid once per (table, sf_dir)).  The memo assumes the
+    probed width is PROJECTION-INSENSITIVE (true for row-group-split
+    parquet scans: split count depends on file bytes, not the column
+    subset) and is invalidated alongside the shared cache
+    (``clear_shared_cache``) whenever a caller mutates inputs in
+    place (ADVICE r15)."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     width = None

@@ -253,7 +253,22 @@ def test_pq_adc_encoding_is_map_side(spark, sf_dir):
     all N."""
     plan = _plan(spark, sf_dir, "ann_pq_adc")
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Arguments: hashpartitioning") <= 3
+    # ADVICE r15: pin the KEYS of every exchange, not just a count — a
+    # regression that swapped the map-side partial-agg shape for a
+    # different 3-exchange plan used to pass the <=3 check.
+    import re
+
+    keys = sorted(
+        re.sub(r"#\d+L?", "", m).rstrip(", 0123456789")
+        for m in re.findall(
+            r"Arguments: hashpartitioning\(([^)]*)\), [A-Z_]+", plan
+        )
+    )
+    fanned = "REPARTITION_BY_NUM" in plan
+    expected = sorted(
+        (["vec_id"] if fanned else []) + ["query_id, vec_id", "query_id"]
+    )
+    assert keys == expected, keys
     assert "partial_sum" in plan
     assert "WindowGroupLimit" in plan
 
