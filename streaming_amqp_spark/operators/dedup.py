@@ -233,17 +233,35 @@ def _posting_pair_stats(
     # note: hash(id1) concentrates a hot doc's pairs, but per-doc pair
     # fan-out is cap-bounded (MAX_SHINGLE_FREQ per shingle) and the
     # id1 < id2 orientation splits a hot doc across both roles.
-    pairs = (
-        posting.where(F.size("ids") >= 2)
-        .select(F.explode("ids").alias("id1"), F.col("ids"))
-        .select(
-            "id1",
-            F.explode(F.filter("ids", lambda x: x > F.col("id1"))).alias("id2"),
+    def _build_pairs() -> DataFrame:
+        return (
+            posting.where(F.size("ids") >= 2)
+            .select(F.explode("ids").alias("id1"), F.col("ids"))
+            .select(
+                "id1",
+                F.explode(
+                    F.filter("ids", lambda x: x > F.col("id1"))
+                ).alias("id2"),
+            )
+            .repartition("id1")
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("inter"))
         )
-        .repartition("id1")
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
+
+    # r16: the aggregated (id1, id2, inter) candidate set is IDENTICAL
+    # across every consumer of this machinery (jaccard, containment,
+    # cross_source — doc_attrs only decorates the sizes side), so the
+    # registered corpus session-caches it like the posting index it
+    # derives from (cap-bounded pair grain; the slope panel's cold
+    # iterations clear it, so scaling figures still pay the build).
+    if registered_corpus:
+        pairs = shared_cache(
+            spark,
+            ("jaccard_pairs", sf_dir, max_shingle_freq, id_cap),
+            _build_pairs,
+        )
+    else:
+        pairs = _build_pairs()
     s1 = sizes.select(
         F.col("doc_id").alias("id1"),
         F.col("n").alias("n1"),
