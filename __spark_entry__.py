@@ -74,7 +74,8 @@ _MODULES = (
 # they displace window_rank_variants and unpivot_order_measures — the
 # two untouched r11 fills with the simplest single-scan relational
 # shapes (their r11 verdicts are green and their code is unchanged
-# since).
+# since).  agg_percentiles (group-key fan-out, r16) displaces
+# scalar_date_funcs on the same rule.
 _FIRST_50 = (
     # r15-touched, unrotated then (VERDICT r15 #2) — several re-touched
     # this round
@@ -92,15 +93,15 @@ _FIRST_50 = (
     "knn_cosine_topk", "multimodal_decode_features",
     "multimodal_frame_sample", "multimodal_meta", "multimodal_resize",
     "pack_docs_nextfit", "pii_mask_events", "profile_table",
-    "scalar_array_funcs", "scalar_conditional_funcs", "scalar_date_funcs",
+    "scalar_array_funcs", "scalar_conditional_funcs",
     "scalar_string_funcs", "text_bigram_counts", "text_chunk_sliding",
     "text_doc_frequency", "text_encode_tokens", "text_fingerprint",
     "text_lang_id", "text_quality_score", "text_simhash",
     "text_token_stats", "text_winnowing_fingerprints",
     # r12 fill (oldest-first, alphabetical)
     "agg_cube_lineitem",
-    # r16-touched (posting/pair machinery rework)
-    "dedup_containment", "dedup_cross_source",
+    # r16-touched (posting/pair machinery rework; percentile fan-out)
+    "dedup_containment", "dedup_cross_source", "agg_percentiles",
 )
 
 
