@@ -223,7 +223,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # held ~1.2 GB of the 10 GB storage region in one JVM with nothing ever
 # unpersisting).  Eviction is semantics-neutral: a re-referenced evicted
 # relation recomputes (slower, never wrong).
-_SHARED_CACHE_CAP = 12
+# r16: +2 over the original 12 — the pair-machinery rework added two
+# cache kinds (doc-grain sizes, aggregated candidate pairs) to the
+# dedup/curation stretch's working set; the cap bounds ENTRY COUNT (each
+# entry is itself bounded: cap-limited pair grain or doc-grain), so the
+# bump keeps that stretch resident without changing the memory envelope
+# class.
+_SHARED_CACHE_CAP = 14
 
 
 def shared_cache(spark: SparkSession, key: tuple, build) -> DataFrame:
