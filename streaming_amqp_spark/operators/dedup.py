@@ -721,8 +721,18 @@ def dedup_simhash_hamming1(
         F.col("doc_id").alias("id1"),
         F.posexplode(probes).alias("p", "probe"),
     )
-    stats = sim.groupBy("simhash").agg(
-        F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
+    # r16 (no-DAG-CSE re-expansion class): stats is referenced by BOTH
+    # the cold-side join and the hot-star filter, so the bucket-grain
+    # aggregate over the cached simhash relation ran twice per query
+    # (Exchange(21) + Exchange(31) in plans/r16's before capture).
+    # Fingerprint-grain and independent of max_simhash_freq (the cap is
+    # applied downstream), so one session-cached relation serves both.
+    stats = shared_cache(
+        spark,
+        ("simhash_stats", sf_dir),
+        lambda: sim.groupBy("simhash").agg(
+            F.count("*").alias("bsz"), F.min("doc_id").alias("hub")
+        ),
     )
     cap = (
         F.lit(max_simhash_freq)
